@@ -1,0 +1,243 @@
+"""Host-side (setup-phase) sparse matrix containers.
+
+Equivalent of the reference's serial ``Matrix`` hierarchy
+(core/matrix.hpp:56-1309: COOMatrix/CSRMatrix/CSCMatrix/BSRMatrix...), but as
+NumPy struct-of-arrays. These containers exist for the *setup phase* only —
+the solve phase uses the padded device formats in ``raptor_tpu.device``.
+
+Semantics preserved from the reference:
+- ``sort`` + ``remove_duplicates`` sum duplicate entries
+  (core/matrix.cpp:650-846, 878-1073).
+- format conversions between COO/CSR/CSC/BSR (core/matrix.cpp:1099-1316).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from raptor_tpu.core.types import ZERO_TOL
+
+
+@dataclasses.dataclass
+class CSRMatrix:
+    """Compressed sparse row. ``indptr``/``indices``/``data`` mirror the
+    reference's ``idx1``/``idx2``/``vals`` (core/matrix.hpp:619)."""
+
+    n_rows: int
+    n_cols: int
+    indptr: np.ndarray
+    indices: np.ndarray
+    data: np.ndarray
+
+    # --- constructors --------------------------------------------------------
+    @staticmethod
+    def empty(n_rows: int, n_cols: int) -> "CSRMatrix":
+        return CSRMatrix(n_rows, n_cols,
+                         np.zeros(n_rows + 1, dtype=np.int64),
+                         np.zeros(0, dtype=np.int64),
+                         np.zeros(0, dtype=np.float64))
+
+    @staticmethod
+    def from_scipy(m) -> "CSRMatrix":
+        m = sp.csr_matrix(m)
+        return CSRMatrix(m.shape[0], m.shape[1],
+                         m.indptr.astype(np.int64),
+                         m.indices.astype(np.int64),
+                         m.data.astype(np.float64))
+
+    def to_scipy(self) -> sp.csr_matrix:
+        return sp.csr_matrix(
+            (self.data, self.indices, self.indptr),
+            shape=(self.n_rows, self.n_cols))
+
+    @property
+    def nnz(self) -> int:
+        return len(self.indices)
+
+    def copy(self) -> "CSRMatrix":
+        return CSRMatrix(self.n_rows, self.n_cols, self.indptr.copy(),
+                         self.indices.copy(), self.data.copy())
+
+    # --- canonicalization -----------------------------------------------------
+    def sort(self) -> "CSRMatrix":
+        """Sort column indices within each row (matrix.cpp:650-846).
+        In-place; returns self."""
+        for i in range(self.n_rows):
+            s, e = self.indptr[i], self.indptr[i + 1]
+            order = np.argsort(self.indices[s:e], kind="stable")
+            self.indices[s:e] = self.indices[s:e][order]
+            self.data[s:e] = self.data[s:e][order]
+        return self
+
+    def canonicalize(self, drop_tol: Optional[float] = None) -> "CSRMatrix":
+        """Sorted columns + duplicates summed (remove_duplicates semantics,
+        matrix.cpp:878-1073); optionally drop |v| <= drop_tol entries."""
+        m = self.to_scipy()
+        m.sum_duplicates()
+        m.sort_indices()
+        out = CSRMatrix.from_scipy(m)
+        if drop_tol is not None:
+            out = out.drop(drop_tol)
+        return out
+
+    def drop(self, tol: float = ZERO_TOL) -> "CSRMatrix":
+        """Remove entries with |v| <= tol, keeping order."""
+        keep = np.abs(self.data) > tol
+        counts = np.zeros(self.n_rows, dtype=np.int64)
+        rows = np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
+        np.add.at(counts, rows[keep], 1)
+        indptr = np.zeros(self.n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return CSRMatrix(self.n_rows, self.n_cols, indptr,
+                         self.indices[keep], self.data[keep])
+
+    # --- basic linear algebra (host reference implementations) ---------------
+    def mult(self, x: np.ndarray) -> np.ndarray:
+        """b = A x (CSR_spmv, util/linalg/spmv.cpp:59)."""
+        return self.to_scipy() @ x
+
+    def mult_T(self, x: np.ndarray) -> np.ndarray:
+        """b = A^T x (CSR_append_T, util/linalg/spmv.cpp:168)."""
+        return self.to_scipy().T @ x
+
+    def residual(self, x: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return b - self.mult(x)
+
+    def transpose(self) -> "CSRMatrix":
+        return CSRMatrix.from_scipy(self.to_scipy().T.tocsr())
+
+    def multiply(self, other: "CSRMatrix") -> "CSRMatrix":
+        """C = A B with |c_ij| <= zero_tol dropped, matching the reference's
+        Gustavson accumulator drop rule (util/linalg/matmult.cpp:90-157)."""
+        c = (self.to_scipy() @ other.to_scipy()).tocsr()
+        c.sum_duplicates()
+        c.sort_indices()
+        return CSRMatrix.from_scipy(c).drop(ZERO_TOL)
+
+    def add(self, other: "CSRMatrix") -> "CSRMatrix":
+        c = (self.to_scipy() + other.to_scipy()).tocsr()
+        c.sort_indices()
+        return CSRMatrix.from_scipy(c)
+
+    def subtract(self, other: "CSRMatrix") -> "CSRMatrix":
+        c = (self.to_scipy() - other.to_scipy()).tocsr()
+        c.sort_indices()
+        return CSRMatrix.from_scipy(c)
+
+    def diagonal(self) -> np.ndarray:
+        return self.to_scipy().diagonal()
+
+    def row_slice(self, start: int, stop: int) -> "CSRMatrix":
+        m = self.to_scipy()[start:stop]
+        return CSRMatrix.from_scipy(m)
+
+    def col_slice(self, start: int, stop: int) -> "CSRMatrix":
+        m = self.to_scipy()[:, start:stop]
+        return CSRMatrix.from_scipy(m)
+
+    def to_dense(self) -> np.ndarray:
+        return np.asarray(self.to_scipy().todense())
+
+
+@dataclasses.dataclass
+class COOMatrix:
+    """Coordinate format (core/matrix.hpp:432)."""
+
+    n_rows: int
+    n_cols: int
+    row: np.ndarray
+    col: np.ndarray
+    data: np.ndarray
+
+    @property
+    def nnz(self) -> int:
+        return len(self.data)
+
+    def to_csr(self) -> CSRMatrix:
+        m = sp.csr_matrix(
+            (self.data, (self.row, self.col)),
+            shape=(self.n_rows, self.n_cols))
+        # scipy's COO->CSR sums duplicates, matching
+        # remove_duplicates_helper (core/matrix.cpp:878).
+        m.sum_duplicates()
+        m.sort_indices()
+        return CSRMatrix.from_scipy(m)
+
+    @staticmethod
+    def from_csr(a: CSRMatrix) -> "COOMatrix":
+        rows = np.repeat(np.arange(a.n_rows), np.diff(a.indptr))
+        return COOMatrix(a.n_rows, a.n_cols, rows, a.indices.copy(),
+                         a.data.copy())
+
+
+@dataclasses.dataclass
+class BSRMatrix:
+    """Block sparse row with dense b_rows x b_cols blocks
+    (core/matrix.hpp:962-1078). Block values are a dense
+    [n_blocks, b_rows, b_cols] array — the natural MXU layout."""
+
+    n_rows: int     # scalar rows
+    n_cols: int     # scalar cols
+    b_rows: int
+    b_cols: int
+    indptr: np.ndarray   # over block rows
+    indices: np.ndarray  # block col ids
+    blocks: np.ndarray   # [n_blocks, b_rows, b_cols]
+
+    @property
+    def n_block_rows(self) -> int:
+        return self.n_rows // self.b_rows
+
+    @property
+    def n_block_cols(self) -> int:
+        return self.n_cols // self.b_cols
+
+    @property
+    def nnz(self) -> int:
+        """Scalar nnz (counting all entries of stored blocks)."""
+        return self.blocks.size
+
+    @staticmethod
+    def from_csr(a: CSRMatrix, b_rows: int, b_cols: int) -> "BSRMatrix":
+        """CSR -> BSR conversion (core/matrix.cpp:1099-1316 ``to_BSR``)."""
+        m = a.to_scipy().tobsr(blocksize=(b_rows, b_cols))
+        return BSRMatrix(a.n_rows, a.n_cols, b_rows, b_cols,
+                         m.indptr.astype(np.int64),
+                         m.indices.astype(np.int64),
+                         np.asarray(m.data, dtype=np.float64))
+
+    def to_csr(self) -> CSRMatrix:
+        m = sp.bsr_matrix(
+            (self.blocks, self.indices, self.indptr),
+            shape=(self.n_rows, self.n_cols)).tocsr()
+        m.sort_indices()
+        return CSRMatrix.from_scipy(m)
+
+    def to_scipy(self) -> sp.bsr_matrix:
+        return sp.bsr_matrix((self.blocks, self.indices, self.indptr),
+                             shape=(self.n_rows, self.n_cols))
+
+    def mult(self, x: np.ndarray) -> np.ndarray:
+        return self.to_scipy() @ x
+
+    def mult_T(self, x: np.ndarray) -> np.ndarray:
+        return self.to_scipy().T @ x
+
+
+def compare(a: CSRMatrix, b: CSRMatrix, atol: float = 1e-6,
+            pattern_only: bool = False) -> None:
+    """Exact-pattern / value-tolerance comparison, the equivalent of the
+    reference test helper ``compare`` (raptor/tests/compare.hpp:16-69)."""
+    ac = a.canonicalize(drop_tol=0.0)
+    bc = b.canonicalize(drop_tol=0.0)
+    assert ac.n_rows == bc.n_rows and ac.n_cols == bc.n_cols, \
+        f"shape mismatch {(ac.n_rows, ac.n_cols)} vs {(bc.n_rows, bc.n_cols)}"
+    assert np.array_equal(ac.indptr, bc.indptr), "row pattern mismatch"
+    assert np.array_equal(ac.indices, bc.indices), "col pattern mismatch"
+    if not pattern_only:
+        err = np.max(np.abs(ac.data - bc.data)) if ac.nnz else 0.0
+        assert err <= atol, f"value mismatch: max err {err} > {atol}"
