@@ -1,0 +1,252 @@
+"""Sharded device matrix + halo-exchange SpMV under ``shard_map``.
+
+The solve-phase equivalent of the reference's ``ParCSRMatrix::mult`` /
+``mult_T`` / ``residual`` (util/linalg/par_spmv.cpp:25-280): each mesh shard
+owns a padded row block split into an on_proc ELL block (local columns) and an
+off_proc ELL block (condensed halo columns). One SpMV is
+
+    send = x[send_idx]                 # gather of boundary values
+    recv = lax.all_to_all(send)        # single fused ICI collective
+    halo = recv[halo_src]              # scatter into off_proc column order
+    b    = on_ell @ x  +  off_ell @ halo
+
+with XLA's latency-hiding scheduler overlapping the collective against the
+on_proc product (the reference overlaps MPI_Isend/Irecv the same way,
+par_spmv.cpp:25-59).
+
+All shapes are static and identical across shards (SPMD): rows padded to the
+max local rows, halos padded to the max halo size, per-pair messages padded to
+the max pair count. Padded matrix entries are (col 0, val 0) so padding never
+needs masking inside the linear ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raptor_tpu.comm.plan import CommPlan, build_comm_plan
+from raptor_tpu.core.par_matrix import ParCSRMatrix
+from raptor_tpu.device.formats import ell_arrays, ell_spmv, ell_spmv_T
+
+ROW_AXIS = "rows"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (ROW_AXIS,))
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["on_cols", "on_vals", "off_cols", "off_vals",
+                 "send_idx", "send_mask", "halo_src",
+                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"],
+    meta_fields=["rows_pad", "cols_pad", "halo_pad", "slot",
+                 "global_num_rows", "global_num_cols"],
+)
+@dataclasses.dataclass
+class DeviceParCSR:
+    """Stacked-over-shards device matrix (leading axis = shard)."""
+
+    on_cols: jnp.ndarray    # [S, W_on, R] int32
+    on_vals: jnp.ndarray    # [S, W_on, R]
+    off_cols: jnp.ndarray   # [S, W_off, R] int32 (halo col ids)
+    off_vals: jnp.ndarray   # [S, W_off, R]
+    send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
+    send_mask: jnp.ndarray  # [S, S, Q]
+    halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
+    slot_to_halo: jnp.ndarray  # [S, S, Q] int32
+    recv_mask: jnp.ndarray  # [S, S, Q]
+    row_mask: jnp.ndarray   # [S, R] 1.0 on valid rows
+    col_mask: jnp.ndarray   # [S, C] 1.0 on valid local cols
+    rows_pad: int
+    cols_pad: int
+    halo_pad: int
+    slot: int
+    global_num_rows: int
+    global_num_cols: int
+
+    @property
+    def n_shards(self) -> int:
+        return self.on_cols.shape[0]
+
+
+def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
+                      dtype=jnp.float64, lane_pad: int = 1) -> DeviceParCSR:
+    """Build the device plan from a host ParCSRMatrix and shard it."""
+    part = a.partition
+    S = part.n_shards
+    assert S == mesh.devices.size, (S, mesh.devices.size)
+    shards = a.shards()
+    plan: CommPlan = build_comm_plan(a, lane_pad=lane_pad)
+
+    R = _round_up(max(1, part.max_local_rows), lane_pad)
+    C = _round_up(max(1, part.max_local_cols), lane_pad)
+    W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
+                       if s.on_proc.nnz else 0) for s in shards))
+    W_off = max(1, max((int(np.diff(s.off_proc.indptr).max())
+                        if s.off_proc.nnz else 0) for s in shards))
+
+    on_cols = np.zeros((S, W_on, R), dtype=np.int32)
+    on_vals = np.zeros((S, W_on, R), dtype=np.float64)
+    off_cols = np.zeros((S, W_off, R), dtype=np.int32)
+    off_vals = np.zeros((S, W_off, R), dtype=np.float64)
+    row_mask = np.zeros((S, R), dtype=np.float64)
+    col_mask = np.zeros((S, C), dtype=np.float64)
+    for s, blk in enumerate(shards):
+        on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R, W_on)
+        off_cols[s], off_vals[s] = ell_arrays(blk.off_proc, R, W_off)
+        row_mask[s, :blk.local_num_rows] = 1.0
+        col_mask[s, :blk.on_proc_num_cols] = 1.0
+
+    def shard_leaf(x, spec_dtype=None):
+        arr = jnp.asarray(x, dtype=spec_dtype)
+        ndim_rest = arr.ndim - 1
+        spec = P(ROW_AXIS, *([None] * ndim_rest))
+        return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
+
+    return DeviceParCSR(
+        on_cols=shard_leaf(on_cols), on_vals=shard_leaf(on_vals, dtype),
+        off_cols=shard_leaf(off_cols), off_vals=shard_leaf(off_vals, dtype),
+        send_idx=shard_leaf(plan.send_idx),
+        send_mask=shard_leaf(plan.send_mask, dtype),
+        halo_src=shard_leaf(plan.halo_src),
+        slot_to_halo=shard_leaf(plan.slot_to_halo),
+        recv_mask=shard_leaf(plan.recv_mask, dtype),
+        row_mask=shard_leaf(row_mask, dtype),
+        col_mask=shard_leaf(col_mask, dtype),
+        rows_pad=R, cols_pad=C, halo_pad=plan.halo_pad, slot=plan.slot,
+        global_num_rows=part.global_num_rows,
+        global_num_cols=part.global_num_cols,
+    )
+
+
+# --- vectors -----------------------------------------------------------------
+
+def device_put_vector(x: np.ndarray, bounds: np.ndarray, pad: int,
+                      mesh: Mesh, dtype=jnp.float64) -> jnp.ndarray:
+    """Global host vector -> sharded padded [S, pad] device array."""
+    S = len(bounds) - 1
+    out = np.zeros((S, pad), dtype=np.float64)
+    for s in range(S):
+        n = int(bounds[s + 1] - bounds[s])
+        out[s, :n] = x[bounds[s]:bounds[s + 1]]
+    arr = jnp.asarray(out, dtype=dtype)
+    return jax.device_put(
+        arr, jax.sharding.NamedSharding(mesh, P(ROW_AXIS, None)))
+
+def host_vector(x: jnp.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Sharded padded [S, pad] -> global host vector."""
+    x = np.asarray(x)
+    return np.concatenate([
+        x[s, :int(bounds[s + 1] - bounds[s])] for s in range(x.shape[0])])
+
+
+# --- shard-level kernels (call inside shard_map; arrays have no shard axis) --
+
+def halo_exchange(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """Forward halo exchange: local x [C] -> halo values [H].
+
+    Reference: ParComm::communicate (core/comm_pkg.hpp:631-652)."""
+    send = x[A.send_idx]  # [S, Q]
+    recv = jax.lax.all_to_all(send, ROW_AXIS, split_axis=0, concat_axis=0,
+                              tiled=True)
+    return recv.reshape(-1)[A.halo_src]
+
+
+def halo_exchange_T(A: DeviceParCSR, halo_vals: jnp.ndarray,
+                    n_out: int) -> jnp.ndarray:
+    """Transpose exchange with sum reduction: halo contributions [H] ->
+    added back at the owning shard's local cols [n_out].
+
+    Reference: ParComm::communicate_T (core/comm_pkg.hpp:756-800)."""
+    buf = halo_vals[A.slot_to_halo] * A.recv_mask  # [S, Q]
+    back = jax.lax.all_to_all(buf, ROW_AXIS, split_axis=0, concat_axis=0,
+                              tiled=True)
+    back = back * A.send_mask
+    return jnp.zeros(n_out, dtype=halo_vals.dtype).at[
+        A.send_idx.reshape(-1)].add(back.reshape(-1))
+
+
+def spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """b = A x on one shard; x [C] local cols -> b [R] local rows."""
+    halo = halo_exchange(A, x)
+    b = ell_spmv(A.on_cols, A.on_vals, x)
+    b = b + ell_spmv(A.off_cols, A.off_vals, halo)
+    return b
+
+
+def spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """b = A^T x on one shard; x [R] local rows -> b [C] local cols."""
+    out = ell_spmv_T(A.on_cols, A.on_vals, x, A.cols_pad)
+    halo_contrib = ell_spmv_T(A.off_cols, A.off_vals, x, A.halo_pad)
+    return out + halo_exchange_T(A, halo_contrib, A.cols_pad)
+
+
+def residual_shard(A: DeviceParCSR, x: jnp.ndarray,
+                   b: jnp.ndarray) -> jnp.ndarray:
+    """r = b - A x (fused, par_spmv.cpp:211-280)."""
+    return b - spmv_shard(A, x)
+
+
+def dot_shard(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Global inner product (par_vector.cpp:101): local dot + psum."""
+    return jax.lax.psum(jnp.vdot(x, y), ROW_AXIS)
+
+
+def norm_shard(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(dot_shard(x, x))
+
+
+# --- jitted global entry points ----------------------------------------------
+
+def _unstack_specs(A: DeviceParCSR):
+    """in_specs entry for the matrix pytree: shard the leading axis."""
+    return DeviceParCSR(
+        *([P(ROW_AXIS)] * 11),
+        rows_pad=A.rows_pad, cols_pad=A.cols_pad, halo_pad=A.halo_pad,
+        slot=A.slot, global_num_rows=A.global_num_rows,
+        global_num_cols=A.global_num_cols)
+
+
+def _shard_op(op, mesh: Mesh, A: DeviceParCSR, *vecs):
+    """Run a shard-level op under shard_map, squeezing the shard axis."""
+    def body(Ash, *vs):
+        Ash = jax.tree.map(lambda l: l[0], Ash)
+        vs = [v[0] for v in vs]
+        out = op(Ash, *vs)
+        return out[None]
+
+    specs_in = (_unstack_specs(A),) + tuple(P(ROW_AXIS, None) for _ in vecs)
+    return jax.shard_map(body, mesh=mesh, in_specs=specs_in,
+                         out_specs=P(ROW_AXIS, None))(A, *vecs)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def spmv(mesh: Mesh, A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """Global b = A x over the mesh; x [S, C] -> b [S, R]."""
+    return _shard_op(spmv_shard, mesh, A, x)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def spmv_T(mesh: Mesh, A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """Global b = A^T x over the mesh; x [S, R] -> b [S, C]."""
+    return _shard_op(spmv_T_shard, mesh, A, x)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def residual(mesh: Mesh, A: DeviceParCSR, x: jnp.ndarray,
+             b: jnp.ndarray) -> jnp.ndarray:
+    return _shard_op(residual_shard, mesh, A, x, b)

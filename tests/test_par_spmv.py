@@ -1,0 +1,88 @@
+"""Sharded device SpMV vs golden vectors at 1/4/8 shards.
+
+Mirrors util/tests/test_par_spmv_{aniso,laplacian,random}.cpp and
+test_tap_spmv_*.cpp, with mesh shards standing in for MPI ranks."""
+
+import jax
+import numpy as np
+import pytest
+
+from raptor_tpu.core.par_matrix import par_matrix_from_scipy
+from raptor_tpu.device import par as dpar
+from raptor_tpu.gallery.io import read_pm
+from raptor_tpu.gallery.stencils import (
+    diffusion_stencil_2d, laplace_stencil_27pt, par_stencil_grid)
+
+SHARD_COUNTS = [1, 4, 8]
+
+
+def _matrices(test_data, n_shards):
+    return {
+        "aniso": par_stencil_grid(
+            diffusion_stencil_2d(0.001, np.pi / 8), (25, 25), n_shards),
+        "laplacian27": par_stencil_grid(
+            laplace_stencil_27pt(), (10, 10, 10), n_shards),
+        "random": par_matrix_from_scipy(
+            read_pm(test_data / "random.pm").to_scipy(), n_shards),
+    }
+
+
+@pytest.mark.parametrize("n_shards", SHARD_COUNTS)
+@pytest.mark.parametrize("name", ["aniso", "laplacian27", "random"])
+def test_device_spmv_golden(test_data, n_shards, name):
+    A = _matrices(test_data, n_shards)[name]
+    mesh = dpar.make_mesh(n_shards)
+    dA = dpar.device_put_matrix(A, mesh)
+    part = A.partition
+
+    for xvec, fwd_file, t_file in [
+        (np.ones(A.global_num_cols), f"{name}_ones_b.txt",
+         f"{name}_ones_b_T.txt"),
+        (np.arange(A.global_num_cols, dtype=np.float64),
+         f"{name}_inc_b.txt", f"{name}_inc_b_T.txt"),
+    ]:
+        x = dpar.device_put_vector(xvec, part.col_bounds, dA.cols_pad, mesh)
+        b = dpar.spmv(mesh, dA, x)
+        golden = np.loadtxt(test_data / fwd_file)
+        np.testing.assert_allclose(
+            dpar.host_vector(b, part.row_bounds), golden, atol=1e-6)
+
+        xr = dpar.device_put_vector(xvec, part.row_bounds, dA.rows_pad, mesh)
+        bt = dpar.spmv_T(mesh, dA, xr)
+        golden_t = np.loadtxt(test_data / t_file)
+        np.testing.assert_allclose(
+            dpar.host_vector(bt, part.col_bounds), golden_t, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_shards", SHARD_COUNTS)
+def test_device_residual(test_data, n_shards):
+    A = _matrices(test_data, n_shards)["aniso"]
+    mesh = dpar.make_mesh(n_shards)
+    dA = dpar.device_put_matrix(A, mesh)
+    part = A.partition
+    rng = np.random.default_rng(0)
+    xh = rng.standard_normal(A.global_num_cols)
+    bh = rng.standard_normal(A.global_num_rows)
+    x = dpar.device_put_vector(xh, part.col_bounds, dA.cols_pad, mesh)
+    b = dpar.device_put_vector(bh, part.row_bounds, dA.rows_pad, mesh)
+    r = dpar.residual(mesh, dA, x, b)
+    np.testing.assert_allclose(
+        dpar.host_vector(r, part.row_bounds),
+        bh - A.mult(xh), atol=1e-10)
+
+
+def test_shard_invariance(test_data):
+    """Same answer at every shard count (bitwise-level determinism of the
+    sharded schedule vs the serial one)."""
+    results = []
+    for n in SHARD_COUNTS:
+        A = _matrices(test_data, n)["laplacian27"]
+        mesh = dpar.make_mesh(n)
+        dA = dpar.device_put_matrix(A, mesh)
+        x = dpar.device_put_vector(
+            np.arange(A.global_num_cols, dtype=np.float64),
+            A.partition.col_bounds, dA.cols_pad, mesh)
+        b = dpar.spmv(mesh, dA, x)
+        results.append(dpar.host_vector(b, A.partition.row_bounds))
+    for r in results[1:]:
+        np.testing.assert_allclose(r, results[0], rtol=1e-14)
