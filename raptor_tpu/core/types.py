@@ -49,8 +49,8 @@ class RelaxType(enum.Enum):
 class CFState:
     TmpSelection = 4
     NewSelection = 3
-    NewUnselection = -3
+    NewUnselection = 2
     Selected = 1
-    Unselected = -1
-    Unassigned = 0
+    Unselected = 0
+    Unassigned = -1
     NoNeighbors = -2

@@ -48,6 +48,14 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (ROW_AXIS,))
 
 
+def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
+    """Place a [S, ...] stacked host array with the leading axis sharded
+    over the mesh row axis."""
+    arr = jnp.asarray(x, dtype=dtype)
+    spec = P(ROW_AXIS, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["on_cols", "on_vals", "off_cols", "off_vals",
@@ -112,10 +120,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         col_mask[s, :blk.on_proc_num_cols] = 1.0
 
     def shard_leaf(x, spec_dtype=None):
-        arr = jnp.asarray(x, dtype=spec_dtype)
-        ndim_rest = arr.ndim - 1
-        spec = P(ROW_AXIS, *([None] * ndim_rest))
-        return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
+        return _shard_leading(x, mesh, spec_dtype)
 
     return DeviceParCSR(
         on_cols=shard_leaf(on_cols), on_vals=shard_leaf(on_vals, dtype),
@@ -211,6 +216,26 @@ def norm_shard(x: jnp.ndarray) -> jnp.ndarray:
 
 
 # --- jitted global entry points ----------------------------------------------
+
+def leaf_specs(tree):
+    """P(ROW_AXIS, None, ...) spec for every array leaf of a pytree."""
+    return jax.tree.map(
+        lambda l: P(ROW_AXIS, *([None] * (jnp.ndim(l) - 1))), tree)
+
+
+def run_sharded(mesh: Mesh, shard_fn, args, out_specs):
+    """Run ``shard_fn`` (written against single-shard arrays) under
+    shard_map. Every array leaf of ``args`` must carry a leading shard axis,
+    which is stripped inside; outputs are returned raw against ``out_specs``
+    (use P(ROW_AXIS, ...) for sharded outputs the body returns with a leading
+    [1, ...] axis, P() for psum-replicated scalars/arrays)."""
+    def body(*a):
+        a = jax.tree.map(lambda l: l[0], a)
+        return shard_fn(*a)
+
+    return jax.shard_map(body, mesh=mesh, in_specs=leaf_specs(args),
+                         out_specs=out_specs)(*args)
+
 
 def _unstack_specs(A: DeviceParCSR):
     """in_specs entry for the matrix pytree: shard the leading axis."""

@@ -1,0 +1,267 @@
+"""Classical AMG interpolation: direct and modified-classical (hypre-style).
+
+Reimplementations of the reference's serial row algorithms
+(ruge_stuben/interpolation.cpp:443 ``direct_interpolation``,
+:206 ``mod_classical_interpolation``), run globally on the host. The parallel
+versions (ruge_stuben/par_interpolation.cpp:1474, :1012) produce identical
+results given the same splitting, so a global implementation is golden-exact
+and shard-count invariant. ``filter_interp`` mirrors
+par_interpolation.cpp:196 (used after PMIS/HMIS + Extended).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raptor_tpu.core.matrix import CSRMatrix
+from raptor_tpu.core.par_matrix import ParCSRMatrix
+from raptor_tpu.core.partition import Partition
+from raptor_tpu.core.types import CFState, ZERO_TOL
+
+S_, F = CFState.Selected, CFState.Unselected
+
+
+def _coarse_map(states):
+    """Global col -> coarse col index for Selected points."""
+    sel = states == S_
+    col_to_new = np.cumsum(sel) - 1
+    return np.where(sel, col_to_new, -1), int(sel.sum())
+
+
+def _mark_strong(am, sm) -> np.ndarray:
+    """Boolean mask over A's data positions that appear in S's pattern
+    (both CSR, sorted indices). S's pattern must be a subset of A's."""
+    strong_mask = np.zeros(len(am.indices), dtype=bool)
+    for i in range(am.shape[0]):
+        srow = sm.indices[sm.indptr[i]:sm.indptr[i + 1]]
+        srow = srow[srow != i]
+        if len(srow) == 0:
+            continue
+        a0, a1 = am.indptr[i], am.indptr[i + 1]
+        acols = am.indices[a0:a1]
+        strong_mask[a0 + np.searchsorted(acols, srow)] = True
+    return strong_mask
+
+
+def direct_interpolation(a: CSRMatrix, s: CSRMatrix,
+                         states: np.ndarray) -> CSRMatrix:
+    """interpolation.cpp:443-597. For each F row: P_ij = -(alpha|beta)*a_ij/d
+    over strong coarse cols, alpha = (sum all neg off-diag)/(sum strong neg
+    coarse), beta likewise for pos (if no strong pos, pos sum folds into the
+    diagonal instead)."""
+    import scipy.sparse as sp
+    n = a.n_rows
+    col_to_new, n_coarse = _coarse_map(states)
+    diag = a.diagonal()
+
+    am = a.to_scipy()
+
+    # The reference re-reads A's values on S's pattern (the golden S files
+    # may carry strength values, interpolation.cpp:458-478): mark A's
+    # positions that are strong.
+    strong_mask = _mark_strong(am, s.to_scipy())
+
+    acoo = am.tocoo()
+    rows_all, cols_all, data_all = acoo.row, acoo.col, acoo.data
+    offd = rows_all != cols_all
+    neg = data_all < 0
+    sum_all_neg = np.zeros(n)
+    sum_all_pos = np.zeros(n)
+    np.add.at(sum_all_neg, rows_all[offd & neg], data_all[offd & neg])
+    np.add.at(sum_all_pos, rows_all[offd & ~neg], data_all[offd & ~neg])
+
+    s_coarse = strong_mask & offd & (states[cols_all] == S_)
+    sum_strong_neg = np.zeros(n)
+    sum_strong_pos = np.zeros(n)
+    np.add.at(sum_strong_neg, rows_all[s_coarse & neg],
+              data_all[s_coarse & neg])
+    np.add.at(sum_strong_pos, rows_all[s_coarse & ~neg],
+              data_all[s_coarse & ~neg])
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha = sum_all_neg / sum_strong_neg
+    no_pos = sum_strong_pos == 0
+    eff_diag = np.where(no_pos, diag + sum_all_pos, diag)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta = np.where(no_pos, 0.0, sum_all_pos / sum_strong_pos)
+    neg_coeff = -alpha / eff_diag
+    pos_coeff = -beta / eff_diag
+
+    # P entries: C rows get identity; F rows get coeff * a_ij at strong
+    # coarse cols (row order preserved = ascending col)
+    keep = s_coarse
+    p_rows = rows_all[keep]
+    p_cols = cols_all[keep]
+    p_vals_raw = data_all[keep]
+    p_vals = np.where(p_vals_raw < 0, neg_coeff[p_rows] * p_vals_raw,
+                      pos_coeff[p_rows] * p_vals_raw)
+    f_rows_mask = states[p_rows] == F
+    p_rows, p_cols, p_vals = (p_rows[f_rows_mask], p_cols[f_rows_mask],
+                              p_vals[f_rows_mask])
+
+    c_rows = np.nonzero(states == S_)[0]
+    all_rows = np.concatenate([p_rows, c_rows])
+    all_cols = np.concatenate([col_to_new[p_cols], col_to_new[c_rows]])
+    all_vals = np.concatenate([p_vals, np.ones(len(c_rows))])
+
+    p = sp.csr_matrix((all_vals, (all_rows, all_cols)),
+                      shape=(n, n_coarse))
+    p.sum_duplicates()
+    p.sort_indices()
+    return CSRMatrix.from_scipy(p)
+
+
+def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
+                                states: np.ndarray,
+                                num_variables: int = 1,
+                                variables: np.ndarray = None) -> CSRMatrix:
+    """interpolation.cpp:206-441 (hypre's modified classical interpolation).
+
+    Row-sequential host loop: for each F row i with weak sum w_i (diag +
+    non-strong same-variable entries), distribute each strong-F neighbor's
+    value over the strong-C entries it shares with row i (sign-filtered by
+    -sign(diag)), then scale by -1/w_i."""
+    n = a.n_rows
+    col_to_new, n_coarse = _coarse_map(states)
+
+    am = a.to_scipy()
+    sm = s.to_scipy()
+    a_indptr, a_indices, a_data = am.indptr, am.indices, am.data
+    s_indptr, s_indices = sm.indptr, sm.indices
+
+    # Split A's entries against S's pattern (interpolation.cpp:240-292):
+    # SS: strong & Selected; SU: strong & Unselected; NS: weak & Selected.
+    # weak_sum[i] = diag + weak same-variable entries.
+    strong_mask = _mark_strong(am, sm)
+
+    rows_all = np.repeat(np.arange(n), np.diff(a_indptr))
+    is_diag = a_indices == rows_all
+    diag = a.diagonal()
+    sign = np.where(diag < 0, -1.0, 1.0)
+
+    if num_variables == 1:
+        same_var = np.ones(len(a_indices), dtype=bool)
+    else:
+        same_var = variables[rows_all] == variables[a_indices]
+
+    weak = ~strong_mask & ~is_diag & same_var
+    weak_sums = diag.copy()
+    np.add.at(weak_sums, rows_all[weak], a_data[weak])
+
+    import scipy.sparse as sp
+    sel_ss = strong_mask & (states[a_indices] == S_)
+    sel_su = strong_mask & (states[a_indices] == F)
+    sel_ns = ~strong_mask & ~is_diag & (states[a_indices] == S_)
+    SS = sp.csr_matrix((a_data[sel_ss], (rows_all[sel_ss],
+                                         a_indices[sel_ss])), shape=am.shape)
+    SU = sp.csr_matrix((a_data[sel_su], (rows_all[sel_su],
+                                         a_indices[sel_su])), shape=am.shape)
+    NS = sp.csr_matrix((a_data[sel_ns], (rows_all[sel_ns],
+                                         a_indices[sel_ns])), shape=am.shape)
+    SS.sort_indices(), SU.sort_indices(), NS.sort_indices()
+
+    rows_out, cols_out, vals_out = [], [], []
+    row_coarse = np.zeros(n, dtype=bool)
+    pos = np.full(n, -1, dtype=np.int64)
+
+    for i in range(n):
+        if states[i] == S_:
+            rows_out.append(np.array([i]))
+            cols_out.append(np.array([col_to_new[i]]))
+            vals_out.append(np.array([1.0]))
+            continue
+        ss_cols = SS.indices[SS.indptr[i]:SS.indptr[i + 1]]
+        ss_vals = SS.data[SS.indptr[i]:SS.indptr[i + 1]]
+        su_cols = SU.indices[SU.indptr[i]:SU.indptr[i + 1]]
+        su_vals = SU.data[SU.indptr[i]:SU.indptr[i + 1]]
+
+        p_vals = ss_vals.astype(np.float64).copy()
+        row_coarse[ss_cols] = True
+        pos[ss_cols] = np.arange(len(ss_cols))
+
+        weak_sum = weak_sums[i]
+        sgn = sign[i]
+        for jj, (col, suv) in enumerate(zip(su_cols, su_vals)):
+            # coarse_sum: col's connections (strong or weak-coarse) that are
+            # strong-coarse in row i, sign-filtered
+            cs = 0.0
+            for mat in (SS, NS):
+                kk = slice(mat.indptr[col], mat.indptr[col + 1])
+                ck = mat.indices[kk]
+                vk = mat.data[kk]
+                m = row_coarse[ck] & (vk * sgn < 0)
+                cs += vk[m].sum()
+            if abs(cs) < ZERO_TOL:
+                weak_sum += suv
+            else:
+                ratio = suv / cs
+                for mat in (SS, NS):
+                    kk = slice(mat.indptr[col], mat.indptr[col + 1])
+                    ck = mat.indices[kk]
+                    vk = mat.data[kk]
+                    m = row_coarse[ck] & (vk * sgn < 0)
+                    np.add.at(p_vals, pos[ck[m]], ratio * vk[m])
+
+        p_vals /= -weak_sum
+        rows_out.append(np.full(len(ss_cols), i))
+        cols_out.append(col_to_new[ss_cols])
+        vals_out.append(p_vals)
+        row_coarse[ss_cols] = False
+        pos[ss_cols] = -1
+
+    p = sp.csr_matrix(
+        (np.concatenate(vals_out),
+         (np.concatenate(rows_out), np.concatenate(cols_out))),
+        shape=(n, n_coarse))
+    p.sum_duplicates()
+    p.sort_indices()
+    return CSRMatrix.from_scipy(p)
+
+
+def filter_interp(p: CSRMatrix, filter_threshold: float) -> CSRMatrix:
+    """Drop P entries below filter_threshold * row max magnitude, preserving
+    row sums (par_interpolation.cpp:196-299)."""
+    if filter_threshold <= 0:
+        return p
+    m = p.to_scipy().tocoo()
+    n = p.n_rows
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, m.row, np.abs(m.data))
+    keep = np.abs(m.data) >= filter_threshold * row_max[m.row]
+    # preserve row sums: scale kept entries by old/new row sum
+    old_sum = np.zeros(n)
+    np.add.at(old_sum, m.row, m.data)
+    new_sum = np.zeros(n)
+    np.add.at(new_sum, m.row[keep], m.data[keep])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(np.abs(new_sum) > ZERO_TOL, old_sum / new_sum, 1.0)
+    import scipy.sparse as sp
+    out = sp.csr_matrix((m.data[keep] * scale[m.row[keep]],
+                         (m.row[keep], m.col[keep])), shape=m.shape)
+    out.sort_indices()
+    return CSRMatrix.from_scipy(out)
+
+
+# --- Par wrappers -------------------------------------------------------------
+
+def par_interpolation(a: ParCSRMatrix, s: ParCSRMatrix, states, kind="direct",
+                      num_variables=1, variables=None) -> ParCSRMatrix:
+    if kind == "direct":
+        p = direct_interpolation(a.global_csr, s.global_csr, states)
+    elif kind == "mod_classical":
+        p = mod_classical_interpolation(a.global_csr, s.global_csr, states,
+                                        num_variables, variables)
+    else:
+        raise ValueError(kind)
+    part = Partition.create(a.global_num_rows, p.n_cols,
+                            a.partition.n_shards)
+    # P inherits A's row partition; coarse cols partitioned by ownership of
+    # their fine C-points (par_interpolation.cpp builds P's partition the
+    # same way)
+    row_bounds = a.partition.row_bounds
+    sel = (np.asarray(states) == S_)
+    csum = np.concatenate([[0], np.cumsum(sel)])
+    col_bounds = csum[row_bounds]
+    part = Partition(a.global_num_rows, p.n_cols, a.partition.n_shards,
+                     row_bounds, col_bounds.astype(np.int64))
+    return ParCSRMatrix(p, part)
