@@ -33,7 +33,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from raptor_tpu.comm.plan import CommPlan, build_comm_plan
 from raptor_tpu.core.par_matrix import ParCSRMatrix
-from raptor_tpu.device.formats import ell_arrays, ell_spmv, ell_spmv_T
+from raptor_tpu.device.formats import (
+    dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays, ell_spmv,
+    ell_spmv_T)
 
 ROW_AXIS = "rows"
 
@@ -56,22 +58,34 @@ def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
     return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
 
 
+_DATA_FIELDS = ["on_cols", "on_vals", "off_cols", "off_vals",
+                "dia_offs", "dia_vals",
+                "send_idx", "send_mask", "halo_src",
+                "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
+_META_FIELDS = ["rows_pad", "cols_pad", "halo_pad", "slot", "dia_pad",
+                "on_format", "global_num_rows", "global_num_cols"]
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["on_cols", "on_vals", "off_cols", "off_vals",
-                 "send_idx", "send_mask", "halo_src",
-                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"],
-    meta_fields=["rows_pad", "cols_pad", "halo_pad", "slot",
-                 "global_num_rows", "global_num_cols"],
+    data_fields=_DATA_FIELDS, meta_fields=_META_FIELDS,
 )
 @dataclasses.dataclass
 class DeviceParCSR:
-    """Stacked-over-shards device matrix (leading axis = shard)."""
+    """Stacked-over-shards device matrix (leading axis = shard).
 
-    on_cols: jnp.ndarray    # [S, W_on, R] int32
+    The on_proc block is stored either as transposed-ELL (general sparsity)
+    or as DIA diagonals (``on_format == "dia"``, chosen at setup when the
+    block has few distinct col-row offsets — the common case for stencil
+    operators and their Galerkin products on structured grids). DIA SpMV is
+    gather-free: K shift+fma sweeps at HBM bandwidth."""
+
+    on_cols: jnp.ndarray    # [S, W_on, R] int32 (dummy [S,1,R] when DIA)
     on_vals: jnp.ndarray    # [S, W_on, R]
     off_cols: jnp.ndarray   # [S, W_off, R] int32 (halo col ids)
     off_vals: jnp.ndarray   # [S, W_off, R]
+    dia_offs: jnp.ndarray   # [S, K] int32 (dummy [S,1] when ELL)
+    dia_vals: jnp.ndarray   # [S, K, R]
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
     halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
@@ -83,6 +97,8 @@ class DeviceParCSR:
     cols_pad: int
     halo_pad: int
     slot: int
+    dia_pad: int            # max |offset| when DIA
+    on_format: str          # "ell" | "dia"
     global_num_rows: int
     global_num_cols: int
 
@@ -91,9 +107,17 @@ class DeviceParCSR:
         return self.on_cols.shape[0]
 
 
+MAX_DIA_OFFSETS = 64
+
+
 def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
-                      dtype=jnp.float64, lane_pad: int = 1) -> DeviceParCSR:
-    """Build the device plan from a host ParCSRMatrix and shard it."""
+                      dtype=jnp.float64, lane_pad: int = 1,
+                      force_format: Optional[str] = None) -> DeviceParCSR:
+    """Build the device plan from a host ParCSRMatrix and shard it.
+
+    The on_proc block format is chosen per matrix: DIA when every shard's
+    block has <= MAX_DIA_OFFSETS distinct diagonals (stencil-structured),
+    else transposed-ELL."""
     part = a.partition
     S = part.n_shards
     assert S == mesh.devices.size, (S, mesh.devices.size)
@@ -102,19 +126,42 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
 
     R = _round_up(max(1, part.max_local_rows), lane_pad)
     C = _round_up(max(1, part.max_local_cols), lane_pad)
-    W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
-                       if s.on_proc.nnz else 0) for s in shards))
     W_off = max(1, max((int(np.diff(s.off_proc.indptr).max())
                         if s.off_proc.nnz else 0) for s in shards))
 
-    on_cols = np.zeros((S, W_on, R), dtype=np.int32)
-    on_vals = np.zeros((S, W_on, R), dtype=np.float64)
+    # decide on_proc format (global across shards for SPMD uniformity)
+    shard_offs = [dia_detect(blk.on_proc, MAX_DIA_OFFSETS) for blk in shards]
+    use_dia = (force_format or
+               ("dia" if all(o is not None for o in shard_offs) else "ell"))
+
+    if use_dia == "dia":
+        K = max(1, max(len(o) for o in shard_offs))
+        dia_pad = max(1, max((int(np.abs(o).max()) if len(o) else 0)
+                             for o in shard_offs))
+        on_cols = np.zeros((S, 1, R), dtype=np.int32)
+        on_vals = np.zeros((S, 1, R), dtype=np.float64)
+        dia_offs = np.zeros((S, K), dtype=np.int32)
+        dia_vals = np.zeros((S, K, R), dtype=np.float64)
+    else:
+        W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
+                           if s.on_proc.nnz else 0) for s in shards))
+        on_cols = np.zeros((S, W_on, R), dtype=np.int32)
+        on_vals = np.zeros((S, W_on, R), dtype=np.float64)
+        dia_offs = np.zeros((S, 1), dtype=np.int32)
+        dia_vals = np.zeros((S, 1, R), dtype=np.float64)
+        K, dia_pad = 1, 1
+
     off_cols = np.zeros((S, W_off, R), dtype=np.int32)
     off_vals = np.zeros((S, W_off, R), dtype=np.float64)
     row_mask = np.zeros((S, R), dtype=np.float64)
     col_mask = np.zeros((S, C), dtype=np.float64)
     for s, blk in enumerate(shards):
-        on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R, W_on)
+        if use_dia == "dia":
+            dia_offs[s], dia_vals[s] = dia_arrays(blk.on_proc, shard_offs[s],
+                                                  R, K)
+        else:
+            on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
+                                                on_cols.shape[1])
         off_cols[s], off_vals[s] = ell_arrays(blk.off_proc, R, W_off)
         row_mask[s, :blk.local_num_rows] = 1.0
         col_mask[s, :blk.on_proc_num_cols] = 1.0
@@ -125,6 +172,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     return DeviceParCSR(
         on_cols=shard_leaf(on_cols), on_vals=shard_leaf(on_vals, dtype),
         off_cols=shard_leaf(off_cols), off_vals=shard_leaf(off_vals, dtype),
+        dia_offs=shard_leaf(dia_offs), dia_vals=shard_leaf(dia_vals, dtype),
         send_idx=shard_leaf(plan.send_idx),
         send_mask=shard_leaf(plan.send_mask, dtype),
         halo_src=shard_leaf(plan.halo_src),
@@ -133,6 +181,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         row_mask=shard_leaf(row_mask, dtype),
         col_mask=shard_leaf(col_mask, dtype),
         rows_pad=R, cols_pad=C, halo_pad=plan.halo_pad, slot=plan.slot,
+        dia_pad=dia_pad, on_format=use_dia,
         global_num_rows=part.global_num_rows,
         global_num_cols=part.global_num_cols,
     )
@@ -185,17 +234,30 @@ def halo_exchange_T(A: DeviceParCSR, halo_vals: jnp.ndarray,
         A.send_idx.reshape(-1)].add(back.reshape(-1))
 
 
+def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """b = A_on x (on_proc block only), format-dispatched."""
+    if A.on_format == "dia":
+        return dia_spmv(A.dia_offs, A.dia_vals, x, A.dia_pad)
+    return ell_spmv(A.on_cols, A.on_vals, x)
+
+
+def on_spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
+    if A.on_format == "dia":
+        return dia_spmv_T(A.dia_offs, A.dia_vals, x, A.cols_pad, A.dia_pad)
+    return ell_spmv_T(A.on_cols, A.on_vals, x, A.cols_pad)
+
+
 def spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     """b = A x on one shard; x [C] local cols -> b [R] local rows."""
     halo = halo_exchange(A, x)
-    b = ell_spmv(A.on_cols, A.on_vals, x)
+    b = on_spmv_shard(A, x)
     b = b + ell_spmv(A.off_cols, A.off_vals, halo)
     return b
 
 
 def spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     """b = A^T x on one shard; x [R] local rows -> b [C] local cols."""
-    out = ell_spmv_T(A.on_cols, A.on_vals, x, A.cols_pad)
+    out = on_spmv_T_shard(A, x)
     halo_contrib = ell_spmv_T(A.off_cols, A.off_vals, x, A.halo_pad)
     return out + halo_exchange_T(A, halo_contrib, A.cols_pad)
 
@@ -240,10 +302,8 @@ def run_sharded(mesh: Mesh, shard_fn, args, out_specs):
 def _unstack_specs(A: DeviceParCSR):
     """in_specs entry for the matrix pytree: shard the leading axis."""
     return DeviceParCSR(
-        *([P(ROW_AXIS)] * 11),
-        rows_pad=A.rows_pad, cols_pad=A.cols_pad, halo_pad=A.halo_pad,
-        slot=A.slot, global_num_rows=A.global_num_rows,
-        global_num_cols=A.global_num_cols)
+        *([P(ROW_AXIS)] * len(_DATA_FIELDS)),
+        **{f: getattr(A, f) for f in _META_FIELDS})
 
 
 def _shard_op(op, mesh: Mesh, A: DeviceParCSR, *vecs):

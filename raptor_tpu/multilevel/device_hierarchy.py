@@ -1,0 +1,190 @@
+"""Device-resident AMG hierarchy + fully-jitted V-cycle solve.
+
+The solve-phase half of ParMultilevel (multilevel/par_multilevel.hpp:335-540),
+TPU-native: after host setup, every level becomes a static padded device plan
+(matrix, smoother schedule, prolongator AND its transpose — the restriction
+is a *forward* SpMV on the pre-transposed P, cheaper on TPU than the
+reference's reverse-communication mult_T), and the whole V-cycle iteration
+loop runs inside one ``shard_map`` + ``lax.while_loop``. The redundant dense
+coarse solve (par_multilevel.hpp:223-333, :347-369) is an ``all_gather`` of
+the coarse rhs followed by a replicated ``lu_solve`` on every shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from raptor_tpu.core.types import RelaxType
+from raptor_tpu.device import par as dpar
+from raptor_tpu.device.par import (
+    DeviceParCSR, ROW_AXIS, device_put_matrix, dot_shard, spmv_shard)
+from raptor_tpu.device.relax import (
+    DeviceRelax, RELAX_FNS, build_relax)
+from raptor_tpu.multilevel.par_multilevel import ParMultilevel
+
+RELAX_NAME = {RelaxType.Jacobi: "jacobi", RelaxType.SOR: "sor",
+              RelaxType.SSOR: "ssor"}
+
+
+class DeviceLevel(NamedTuple):
+    A: DeviceParCSR
+    RX: DeviceRelax
+    P: Optional[DeviceParCSR]    # None on the coarsest level
+    Pt: Optional[DeviceParCSR]
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    res: jnp.ndarray      # relative residual history, padded with -1
+    n_iters: jnp.ndarray
+
+
+class DeviceHierarchy:
+    def __init__(self, ml: ParMultilevel, mesh, dtype=jnp.float64,
+                 lane_pad: int = 1):
+        self.mesh = mesh
+        self.dtype = dtype
+        self.ml = ml
+        self.relax_kind = RELAX_NAME[ml.relax_type]
+        self.num_smooth_sweeps = ml.num_smooth_sweeps
+        self.relax_weight = ml.relax_weight
+        self.solve_tol = ml.solve_tol
+        self.max_iterations = ml.max_iterations
+
+        levels = []
+        for i, lvl in enumerate(ml.levels):
+            dA = device_put_matrix(lvl.A, mesh, dtype=dtype,
+                                   lane_pad=lane_pad)
+            dRX = build_relax(lvl.A, mesh, dA, dtype=dtype)
+            if lvl.P is not None:
+                dP = device_put_matrix(lvl.P, mesh, dtype=dtype,
+                                       lane_pad=lane_pad)
+                dPt = device_put_matrix(lvl.P.transpose(), mesh, dtype=dtype,
+                                        lane_pad=lane_pad)
+            else:
+                dP = dPt = None
+            levels.append(DeviceLevel(dA, dRX, dP, dPt))
+        self.levels: Tuple[DeviceLevel, ...] = tuple(levels)
+
+        # redundant coarse LU, replicated on every shard
+        lu, piv = ml.coarse_lu
+        self.lu = jnp.asarray(lu, dtype=dtype)
+        self.piv = jnp.asarray(piv, dtype=jnp.int32)
+        part_c = ml.levels[-1].A.partition
+        S = part_c.n_shards
+        Rc = self.levels[-1].A.rows_pad
+        n_c = part_c.global_num_rows
+        gather_idx = np.zeros(n_c, dtype=np.int32)
+        coarse_take = np.zeros((S, Rc), dtype=np.int32)
+        for s in range(S):
+            r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
+            gather_idx[r0:r1] = s * Rc + np.arange(r1 - r0)
+            coarse_take[s, :r1 - r0] = np.arange(r0, r1)
+        self.gather_idx = jnp.asarray(gather_idx)
+        self.coarse_take = dpar._shard_leading(coarse_take, mesh)
+
+        self.row_bounds = ml.levels[0].A.partition.row_bounds
+        self.rows_pad = self.levels[0].A.rows_pad
+        self._solve_jit = None
+
+    # --- shard-level building blocks ------------------------------------------
+    def _relax(self, A, RX, x, b):
+        return RELAX_FNS[self.relax_kind](A, RX, x, b,
+                                          self.num_smooth_sweeps,
+                                          self.relax_weight)
+
+    def _coarse_solve(self, lu, piv, coarse_take, row_mask, b):
+        """all_gather + replicated dense solve (par_multilevel.hpp:347-369)."""
+        ball = jax.lax.all_gather(b, ROW_AXIS)          # [S, Rc]
+        bvec = ball.reshape(-1)[self.gather_idx]        # [n_c]
+        y = jax.scipy.linalg.lu_solve((lu, piv), bvec)
+        return y[coarse_take] * row_mask
+
+    def vcycle_shard(self, levels, lu, piv, coarse_take, x, b,
+                     level: int = 0):
+        """One V-cycle on shard-local vectors (par_multilevel.hpp:335-459)."""
+        A, RX, Pmat, Pt = levels[level]
+        if level == len(levels) - 1:
+            return self._coarse_solve(lu, piv, coarse_take, A.row_mask, b)
+        x = self._relax(A, RX, x, b)
+        r = b - spmv_shard(A, x)
+        bc = spmv_shard(Pt, r)                  # restriction
+        # mark the zero initial guess as mesh-varying so loop carries type-check
+        xc = jax.lax.pcast(jnp.zeros(Pt.rows_pad, dtype=b.dtype),
+                           (ROW_AXIS,), to="varying")
+        xc = self.vcycle_shard(levels, lu, piv, coarse_take, xc, bc,
+                               level + 1)
+        x = x + spmv_shard(Pmat, xc)            # prolongation append
+        x = self._relax(A, RX, x, b)
+        return x
+
+    def solve_shard(self, levels, lu, piv, coarse_take, x, b):
+        """Iterated V-cycles to tolerance (par_multilevel.hpp:461-540)."""
+        zero_tol = 1e-16
+        max_iter = self.max_iterations
+        b_norm = jnp.sqrt(dot_shard(b, b))
+
+        def rel_norm(r):
+            n = jnp.sqrt(dot_shard(r, r))
+            return jnp.where(jnp.abs(b_norm) > zero_tol, n / b_norm, n)
+
+        r_norm = rel_norm(b - spmv_shard(levels[0].A, x))
+        res_hist = jnp.full(max_iter + 1, -1.0, dtype=b.dtype
+                            ).at[0].set(r_norm)
+
+        def cond(state):
+            x, r_norm, k, res = state
+            return (r_norm > self.solve_tol) & (k < max_iter)
+
+        def body(state):
+            x, r_norm, k, res = state
+            x = self.vcycle_shard(levels, lu, piv, coarse_take, x, b)
+            r_norm = rel_norm(b - spmv_shard(levels[0].A, x))
+            k = k + 1
+            res = res.at[k].set(r_norm)
+            return x, r_norm, k, res
+
+        x, r_norm, k, res = jax.lax.while_loop(
+            cond, body, (x, r_norm, jnp.array(0), res_hist))
+        return x, res, k
+
+    # --- global entry ----------------------------------------------------------
+    def solve(self, x, b) -> SolveResult:
+        """x, b: sharded [S, R] device vectors (see vectors())."""
+        if self._solve_jit is None:
+            mesh = self.mesh
+
+            def run(levels, lu, piv, coarse_take, x, b):
+                def bodyfn(levels, lu, piv, coarse_take, x, b):
+                    levels = jax.tree.map(lambda l: l[0], levels)
+                    ct = coarse_take[0]
+                    xo, res, k = self.solve_shard(levels, lu, piv, ct,
+                                                  x[0], b[0])
+                    return xo[None], res, k
+
+                in_specs = (dpar.leaf_specs(levels), P(), P(),
+                            P(ROW_AXIS, None), P(ROW_AXIS, None),
+                            P(ROW_AXIS, None))
+                return jax.shard_map(
+                    bodyfn, mesh=mesh, in_specs=in_specs,
+                    out_specs=(P(ROW_AXIS, None), P(), P()))(
+                        levels, lu, piv, coarse_take, x, b)
+
+            self._solve_jit = jax.jit(run)
+        x, res, k = self._solve_jit(self.levels, self.lu, self.piv,
+                                    self.coarse_take, x, b)
+        return SolveResult(x, res, k)
+
+    # --- vector helpers ---------------------------------------------------------
+    def vector(self, v: np.ndarray) -> jnp.ndarray:
+        return dpar.device_put_vector(v, self.row_bounds, self.rows_pad,
+                                      self.mesh, dtype=self.dtype)
+
+    def host(self, v: jnp.ndarray) -> np.ndarray:
+        return dpar.host_vector(np.asarray(v), self.row_bounds)

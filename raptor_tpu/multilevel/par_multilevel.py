@@ -1,0 +1,156 @@
+"""AMG hierarchy setup drivers (host) — the equivalent of
+``ParMultilevel`` (multilevel/par_multilevel.hpp:69-661) and
+``ParRugeStubenSolver`` (ruge_stuben/par_ruge_stuben_solver.hpp:12-177).
+
+Setup runs on the host over the global matrix (TPU-first split: irregular
+graph algorithms at setup time on host, static padded device plans for the
+jitted solve phase — see raptor_tpu.multilevel.device_hierarchy). Given the
+same weights, the reference's parallel setup reproduces these results.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from raptor_tpu.core.matrix import CSRMatrix
+from raptor_tpu.core.par_matrix import ParCSRMatrix
+from raptor_tpu.core.types import (
+    CFState, CoarsenType, InterpType, RelaxType, StrengthType)
+from raptor_tpu.multilevel.level import Level
+from raptor_tpu.ruge_stuben import cf_splitting as cf
+from raptor_tpu.ruge_stuben.interpolation import par_interpolation
+from raptor_tpu.ruge_stuben.strength import strength
+from raptor_tpu.utils.glibc_rand import form_rand_weights
+
+
+class ParMultilevel:
+    """Base hierarchy driver. Knob defaults match par_multilevel.hpp:69-94."""
+
+    def __init__(self, strong_threshold: float = 0.0,
+                 strength_type: StrengthType = StrengthType.Classical,
+                 relax_type: RelaxType = RelaxType.SOR):
+        self.strong_threshold = strong_threshold
+        self.strength_type = strength_type
+        self.relax_type = relax_type
+        self.num_smooth_sweeps = 1
+        self.relax_weight = 1.0
+        self.max_coarse = 50
+        self.max_levels = 25
+        self.tap_amg = -1
+        self.weights: Optional[np.ndarray] = None
+        self.solve_tol = 1e-07
+        self.max_iterations = 100
+        self.num_variables = 1
+        self.levels: List[Level] = []
+        self.coarse_lu = None  # set by duplicate_coarse
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+    def setup(self, af: ParCSRMatrix) -> None:
+        self.setup_helper(af)
+
+    def setup_helper(self, af: ParCSRMatrix) -> None:
+        """par_multilevel.hpp:120-206."""
+        self.levels = [Level(A=af.copy())]
+        if self.weights is None:
+            # reference: per-rank srand(2448422 + first_local_row); the
+            # global equivalent is the single-rank stream
+            self.weights = form_rand_weights(af.global_num_rows, 0)
+        while (self.levels[-1].A.global_num_rows > self.max_coarse
+               and (self.max_levels == -1
+                    or len(self.levels) < self.max_levels)):
+            self.extend_hierarchy()
+        self.duplicate_coarse()
+
+    def extend_hierarchy(self) -> None:
+        raise NotImplementedError
+
+    def duplicate_coarse(self) -> None:
+        """Dense LU of the coarsest operator (par_multilevel.hpp:223-333);
+        on device the factors are replicated to every shard."""
+        import scipy.linalg
+        ac = self.levels[-1].A.global_csr.to_dense()
+        self.coarse_lu = scipy.linalg.lu_factor(ac)
+
+    def print_hierarchy(self) -> str:
+        """(par_multilevel.hpp:542-565)."""
+        lines = ["level     rows      nnz   nnz/row"]
+        for i, lvl in enumerate(self.levels):
+            n = lvl.A.global_num_rows
+            nnz = lvl.A.nnz
+            lines.append(f"{i:5d} {n:8d} {nnz:8d} {nnz / max(1, n):9.2f}")
+        return "\n".join(lines)
+
+
+class ParRugeStubenSolver(ParMultilevel):
+    """ruge_stuben/par_ruge_stuben_solver.hpp:12-177."""
+
+    def __init__(self, strong_threshold: float = 0.0,
+                 coarsen_type: CoarsenType = CoarsenType.RS,
+                 interp_type: InterpType = InterpType.Direct,
+                 strength_type: StrengthType = StrengthType.Classical,
+                 relax_type: RelaxType = RelaxType.SOR):
+        super().__init__(strong_threshold, strength_type, relax_type)
+        self.coarsen_type = coarsen_type
+        self.interp_type = interp_type
+        self.interp_filter = 0.3  # only used by HMIS/PMIS + Extended
+        self.variables: Optional[np.ndarray] = None
+
+    def extend_hierarchy(self) -> None:
+        """par_ruge_stuben_solver.hpp:56-177: S -> split -> P -> RAP."""
+        level_ctr = len(self.levels) - 1
+        a = self.levels[level_ctr].A
+        n = a.global_num_rows
+
+        s = strength(a, self.strength_type, self.strong_threshold,
+                     self.num_variables, self.variables)
+        w = self.weights[:n]
+
+        ct = self.coarsen_type
+        if ct == CoarsenType.RS:
+            # reference: split_rs for levels < 3, then Falgout (:76-86)
+            if level_ctr < 3:
+                states = cf.split_rs_entry(s)
+            else:
+                states = cf.split_falgout(s, w)
+        elif ct == CoarsenType.CLJP:
+            states = cf.split_cljp(s, w)
+        elif ct == CoarsenType.Falgout:
+            states = cf.split_falgout(s, w)
+        elif ct == CoarsenType.PMIS:
+            states = cf.split_pmis(s, w)
+        elif ct == CoarsenType.HMIS:
+            states = cf.split_hmis(s, w)
+        else:
+            states = cf.split_falgout(s, w)
+
+        it = self.interp_type
+        if it == InterpType.Direct:
+            p = par_interpolation(a, s, states, "direct")
+        elif it == InterpType.ModClassical:
+            p = par_interpolation(a, s, states, "mod_classical",
+                                  self.num_variables, self.variables)
+        elif it == InterpType.Extended:
+            from raptor_tpu.ruge_stuben.interpolation import filter_interp
+            p = par_interpolation(a, s, states, "extended",
+                                  self.num_variables, self.variables)
+            if ct in (CoarsenType.PMIS, CoarsenType.HMIS):
+                p = ParCSRMatrix(filter_interp(p.global_csr,
+                                               self.interp_filter),
+                                 p.partition)
+        else:
+            p = par_interpolation(a, s, states, "direct")
+
+        self.levels[level_ctr].P = p
+        if self.num_variables > 1:
+            self.variables = self.variables[
+                np.asarray(states) == CFState.Selected]
+
+        ap = a.multiply(p)
+        ac = p.transpose().multiply(ap)  # AP->mult_T(P) = P^T (A P)
+        ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+        self.levels.append(Level(A=ac))

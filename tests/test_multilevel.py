@@ -1,0 +1,82 @@
+"""End-to-end AMG: the reference README example configuration
+(examples/example.cpp: 2-D rotated aniso diffusion, CLJP + ModClassical +
+SOR, theta=0.25), solved on the sharded device hierarchy."""
+
+import numpy as np
+import pytest
+
+from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+from raptor_tpu.device import par as dpar
+from raptor_tpu.gallery.stencils import diffusion_stencil_2d, par_stencil_grid
+from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+
+def _setup(n_shards, grid=(25, 25), coarsen=CoarsenType.CLJP,
+           interp=InterpType.ModClassical, relax=RelaxType.SOR):
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), grid,
+                         n_shards)
+    ml = ParRugeStubenSolver(0.25, coarsen, interp, relax_type=relax)
+    ml.setup(A)
+    return A, ml
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_amg_solve_converges(n_shards):
+    A, ml = _setup(n_shards)
+    mesh = dpar.make_mesh(n_shards)
+    dh = DeviceHierarchy(ml, mesh)
+
+    bh = A.mult(np.ones(A.global_num_rows))
+    x = dh.vector(np.zeros_like(bh))
+    b = dh.vector(bh)
+    result = dh.solve(x, b)
+    iters = int(result.n_iters)
+    assert iters < ml.max_iterations, "did not converge"
+    rel = float(result.res[iters])
+    assert rel < ml.solve_tol
+
+    # true residual agrees with the recorded one
+    xh = dh.host(result.x)
+    true_rel = np.linalg.norm(bh - A.mult(xh)) / np.linalg.norm(bh)
+    assert true_rel < 10 * ml.solve_tol
+    # AMG should be fast on this problem
+    assert iters <= 30, iters
+
+
+@pytest.mark.parametrize("coarsen,interp", [
+    (CoarsenType.RS, InterpType.Direct),
+    (CoarsenType.Falgout, InterpType.ModClassical),
+    (CoarsenType.PMIS, InterpType.Direct),
+    (CoarsenType.HMIS, InterpType.Direct),
+])
+def test_amg_variants_converge(coarsen, interp):
+    A, ml = _setup(4, coarsen=coarsen, interp=interp)
+    mesh = dpar.make_mesh(4)
+    dh = DeviceHierarchy(ml, mesh)
+    bh = A.mult(np.ones(A.global_num_rows))
+    result = dh.solve(dh.vector(np.zeros_like(bh)), dh.vector(bh))
+    iters = int(result.n_iters)
+    assert iters < ml.max_iterations
+    assert float(result.res[iters]) < ml.solve_tol
+
+
+@pytest.mark.parametrize("relax", [RelaxType.Jacobi, RelaxType.SSOR])
+def test_amg_relax_variants(relax):
+    A, ml = _setup(4, relax=relax)
+    if relax == RelaxType.Jacobi:
+        ml.relax_weight = 2.0 / 3.0
+    mesh = dpar.make_mesh(4)
+    dh = DeviceHierarchy(ml, mesh)
+    bh = A.mult(np.ones(A.global_num_rows))
+    result = dh.solve(dh.vector(np.zeros_like(bh)), dh.vector(bh))
+    assert int(result.n_iters) < ml.max_iterations
+
+
+def test_hierarchy_shape():
+    _, ml = _setup(1, grid=(50, 50))
+    assert ml.num_levels >= 3
+    assert ml.levels[-1].A.global_num_rows <= ml.max_coarse
+    # coarsening must actually coarsen
+    sizes = [l.A.global_num_rows for l in ml.levels]
+    assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1))
