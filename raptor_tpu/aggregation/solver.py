@@ -1,0 +1,69 @@
+"""Smoothed-aggregation AMG solver
+(aggregation/par_smoothed_aggregation_solver.hpp:14-150)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raptor_tpu.aggregation.aggregate import aggregate
+from raptor_tpu.aggregation.candidates import fit_candidates
+from raptor_tpu.aggregation.mis import mis2
+from raptor_tpu.aggregation.prolongation import jacobi_prolongation
+from raptor_tpu.core.par_matrix import ParCSRMatrix
+from raptor_tpu.core.partition import Partition
+from raptor_tpu.core.types import AggType, ProlongType, RelaxType, StrengthType
+from raptor_tpu.multilevel.level import Level
+from raptor_tpu.multilevel.par_multilevel import ParMultilevel
+from raptor_tpu.ruge_stuben.strength import strength
+
+
+class ParSmoothedAggregationSolver(ParMultilevel):
+    def __init__(self, strong_threshold: float = 0.0,
+                 agg_type: AggType = AggType.MIS,
+                 prolong_type: ProlongType = ProlongType.JacobiProlongation,
+                 strength_type: StrengthType = StrengthType.Symmetric,
+                 relax_type: RelaxType = RelaxType.SOR,
+                 prolong_smooth_steps: int = 1,
+                 prolong_weight: float = 4.0 / 3.0):
+        super().__init__(strong_threshold, strength_type, relax_type)
+        self.agg_type = agg_type
+        self.prolong_type = prolong_type
+        self.num_candidates = 1
+        self.interp_tol = 1e-10
+        self.prolong_smooth_steps = prolong_smooth_steps
+        self.prolong_weight = prolong_weight
+        self.B: np.ndarray = None
+
+    def setup(self, af: ParCSRMatrix) -> None:
+        self.B = np.ones(af.global_num_rows)
+        self.setup_helper(af)
+
+    def extend_hierarchy(self) -> None:
+        level_ctr = len(self.levels) - 1
+        a = self.levels[level_ctr].A
+        n = a.global_num_rows
+        w = self.weights[:n]
+
+        s = strength(a.global_csr, self.strength_type, self.strong_threshold)
+        states = mis2(s, w)
+        n_aggs, aggs = aggregate(a.global_csr, s, states, w)
+        t, r = fit_candidates(n_aggs, aggs, self.B[:n],
+                              self.num_candidates, self.interp_tol)
+        p = jacobi_prolongation(a.global_csr, t, self.prolong_weight,
+                                self.prolong_smooth_steps)
+
+        # coarse cols partitioned by root ownership (roots in row order)
+        row_bounds = a.partition.row_bounds
+        sel = states > 0
+        csum = np.concatenate([[0], np.cumsum(sel)])
+        col_bounds = csum[row_bounds].astype(np.int64)
+        part = Partition(n, p.n_cols, a.partition.n_shards, row_bounds,
+                         col_bounds)
+        pp = ParCSRMatrix(p, part)
+        self.levels[level_ctr].P = pp
+
+        ap = a.multiply(pp)
+        ac = pp.transpose().multiply(ap)
+        ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+        self.levels.append(Level(A=ac))
+        self.B = r[:n_aggs * self.num_candidates]

@@ -82,50 +82,46 @@ def dia_detect(a: CSRMatrix, max_offsets: int) -> np.ndarray:
     return offs
 
 
-def dia_arrays(a: CSRMatrix, offsets: np.ndarray, rows_pad: int,
-               K: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Pack CSR into DIA: offs [K] (padded with 0), vals [K, rows_pad]
-    where vals[k, i] = A[i, i + offs[k]] (0 where absent)."""
-    offs = np.zeros(K, dtype=np.int32)
+def dia_arrays(a: CSRMatrix, offsets: np.ndarray,
+               rows_pad: int) -> np.ndarray:
+    """Pack CSR into DIA vals [K, rows_pad] against the (static) offset set:
+    vals[k, i] = A[i, i + offsets[k]] (0 where absent)."""
+    K = len(offsets)
     vals = np.zeros((K, rows_pad), dtype=np.float64)
     if a.nnz:
         rows = np.repeat(np.arange(a.n_rows), np.diff(a.indptr))
         entry_offs = a.indices - rows
         k_of = np.searchsorted(offsets, entry_offs)
-        offs[:len(offsets)] = offsets
+        assert np.array_equal(np.asarray(offsets)[k_of], entry_offs)
         vals[k_of, rows] = a.data
-    return offs, vals
+    return vals
 
 
-def dia_spmv(offs: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray,
+def dia_spmv(offsets: Tuple[int, ...], vals: jnp.ndarray, x: jnp.ndarray,
              pad: int) -> jnp.ndarray:
-    """b[i] = sum_k vals[k,i] * x[i + offs[k]].
+    """b[i] = sum_k vals[k,i] * x[i + offsets[k]].
 
-    ``pad`` must be >= max |offset| (static). x is zero-padded on both sides
-    and each diagonal becomes one dynamic_slice + fma."""
+    ``offsets`` are STATIC (trace-time) — the per-shard diagonal sets are
+    padded to their union at setup, so every shard runs the same program and
+    every shifted read is a static ``lax.slice`` that XLA fuses into one
+    streaming multiply-accumulate pass (no gathers, no dynamic slices)."""
     R = vals.shape[1]
     x_pad = jnp.pad(x, (pad, pad + max(0, R - x.shape[0])))
-
-    def body(k, b):
-        seg = jax.lax.dynamic_slice(x_pad, (offs[k] + pad,), (R,))
-        return b + vals[k] * seg
-
-    # init derived from x so its varying-axes type matches the body output
-    init = jnp.zeros(R, dtype=x.dtype) + x[0] * 0
-    return jax.lax.fori_loop(0, vals.shape[0], body, init)
+    b = jnp.zeros(R, dtype=x.dtype)
+    for k, off in enumerate(offsets):
+        b = b + vals[k] * jax.lax.slice(x_pad, (off + pad,),
+                                        (off + pad + R,))
+    return b
 
 
-def dia_spmv_T(offs: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray,
+def dia_spmv_T(offsets: Tuple[int, ...], vals: jnp.ndarray, x: jnp.ndarray,
                n_out: int, pad: int) -> jnp.ndarray:
-    """b[i + offs[k]] += vals[k, i] * x[i] — shifted accumulations."""
+    """b[i + offsets[k]] += vals[k, i] * x[i] — static shifted accumulation:
+    each diagonal's contribution is zero-padded into alignment and summed."""
     R = vals.shape[1]
-    buf = jnp.zeros(2 * pad + max(R, n_out), dtype=x.dtype) + x[0] * 0
-
-    def body(k, buf):
+    width = 2 * pad + max(R, n_out)
+    buf = jnp.zeros(width, dtype=x.dtype)
+    for k, off in enumerate(offsets):
         contrib = vals[k] * x[:R]
-        start = offs[k] + pad
-        seg = jax.lax.dynamic_slice(buf, (start,), (R,))
-        return jax.lax.dynamic_update_slice(buf, seg + contrib, (start,))
-
-    buf = jax.lax.fori_loop(0, vals.shape[0], body, buf)
+        buf = buf + jnp.pad(contrib, (off + pad, width - (off + pad) - R))
     return buf[pad:pad + n_out]

@@ -59,11 +59,12 @@ def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
 
 
 _DATA_FIELDS = ["on_cols", "on_vals", "off_cols", "off_vals",
-                "dia_offs", "dia_vals",
+                "dia_vals",
                 "send_idx", "send_mask", "halo_src",
                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
 _META_FIELDS = ["rows_pad", "cols_pad", "halo_pad", "slot", "dia_pad",
-                "on_format", "global_num_rows", "global_num_cols"]
+                "dia_offsets", "on_format", "global_num_rows",
+                "global_num_cols"]
 
 
 @functools.partial(
@@ -84,8 +85,7 @@ class DeviceParCSR:
     on_vals: jnp.ndarray    # [S, W_on, R]
     off_cols: jnp.ndarray   # [S, W_off, R] int32 (halo col ids)
     off_vals: jnp.ndarray   # [S, W_off, R]
-    dia_offs: jnp.ndarray   # [S, K] int32 (dummy [S,1] when ELL)
-    dia_vals: jnp.ndarray   # [S, K, R]
+    dia_vals: jnp.ndarray   # [S, K, R] diagonal values (dummy when ELL)
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
     halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
@@ -98,6 +98,7 @@ class DeviceParCSR:
     halo_pad: int
     slot: int
     dia_pad: int            # max |offset| when DIA
+    dia_offsets: tuple      # static union of diagonal offsets (K,)
     on_format: str          # "ell" | "dia"
     global_num_rows: int
     global_num_cols: int
@@ -129,27 +130,31 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     W_off = max(1, max((int(np.diff(s.off_proc.indptr).max())
                         if s.off_proc.nnz else 0) for s in shards))
 
-    # decide on_proc format (global across shards for SPMD uniformity)
+    # decide on_proc format: DIA when the union of all shards' diagonal
+    # offset sets is small (static across shards for SPMD uniformity)
     shard_offs = [dia_detect(blk.on_proc, MAX_DIA_OFFSETS) for blk in shards]
-    use_dia = (force_format or
-               ("dia" if all(o is not None for o in shard_offs) else "ell"))
+    union = (np.unique(np.concatenate([o for o in shard_offs]))
+             if all(o is not None for o in shard_offs) else None)
+    use_dia = force_format or (
+        "dia" if union is not None and len(union) <= MAX_DIA_OFFSETS
+        else "ell")
 
     if use_dia == "dia":
-        K = max(1, max(len(o) for o in shard_offs))
-        dia_pad = max(1, max((int(np.abs(o).max()) if len(o) else 0)
-                             for o in shard_offs))
+        if len(union) == 0:
+            union = np.zeros(1, dtype=np.int64)
+        K = len(union)
+        dia_offsets = tuple(int(o) for o in union)
+        dia_pad = max(1, int(np.abs(union).max()))
         on_cols = np.zeros((S, 1, R), dtype=np.int32)
         on_vals = np.zeros((S, 1, R), dtype=np.float64)
-        dia_offs = np.zeros((S, K), dtype=np.int32)
         dia_vals = np.zeros((S, K, R), dtype=np.float64)
     else:
         W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
                            if s.on_proc.nnz else 0) for s in shards))
         on_cols = np.zeros((S, W_on, R), dtype=np.int32)
         on_vals = np.zeros((S, W_on, R), dtype=np.float64)
-        dia_offs = np.zeros((S, 1), dtype=np.int32)
         dia_vals = np.zeros((S, 1, R), dtype=np.float64)
-        K, dia_pad = 1, 1
+        dia_pad, dia_offsets = 1, (0,)
 
     off_cols = np.zeros((S, W_off, R), dtype=np.int32)
     off_vals = np.zeros((S, W_off, R), dtype=np.float64)
@@ -157,8 +162,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     col_mask = np.zeros((S, C), dtype=np.float64)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
-            dia_offs[s], dia_vals[s] = dia_arrays(blk.on_proc, shard_offs[s],
-                                                  R, K)
+            dia_vals[s] = dia_arrays(blk.on_proc, union, R)
         else:
             on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
                                                 on_cols.shape[1])
@@ -172,7 +176,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     return DeviceParCSR(
         on_cols=shard_leaf(on_cols), on_vals=shard_leaf(on_vals, dtype),
         off_cols=shard_leaf(off_cols), off_vals=shard_leaf(off_vals, dtype),
-        dia_offs=shard_leaf(dia_offs), dia_vals=shard_leaf(dia_vals, dtype),
+        dia_vals=shard_leaf(dia_vals, dtype),
         send_idx=shard_leaf(plan.send_idx),
         send_mask=shard_leaf(plan.send_mask, dtype),
         halo_src=shard_leaf(plan.halo_src),
@@ -181,7 +185,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         row_mask=shard_leaf(row_mask, dtype),
         col_mask=shard_leaf(col_mask, dtype),
         rows_pad=R, cols_pad=C, halo_pad=plan.halo_pad, slot=plan.slot,
-        dia_pad=dia_pad, on_format=use_dia,
+        dia_pad=dia_pad, dia_offsets=dia_offsets, on_format=use_dia,
         global_num_rows=part.global_num_rows,
         global_num_cols=part.global_num_cols,
     )
@@ -237,13 +241,14 @@ def halo_exchange_T(A: DeviceParCSR, halo_vals: jnp.ndarray,
 def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     """b = A_on x (on_proc block only), format-dispatched."""
     if A.on_format == "dia":
-        return dia_spmv(A.dia_offs, A.dia_vals, x, A.dia_pad)
+        return dia_spmv(A.dia_offsets, A.dia_vals, x, A.dia_pad)
     return ell_spmv(A.on_cols, A.on_vals, x)
 
 
 def on_spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     if A.on_format == "dia":
-        return dia_spmv_T(A.dia_offs, A.dia_vals, x, A.cols_pad, A.dia_pad)
+        return dia_spmv_T(A.dia_offsets, A.dia_vals, x, A.cols_pad,
+                          A.dia_pad)
     return ell_spmv_T(A.on_cols, A.on_vals, x, A.cols_pad)
 
 
