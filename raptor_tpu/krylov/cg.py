@@ -91,22 +91,31 @@ def _cg_shard(A: DeviceParCSR, x, b, tol: float, max_iter: int,
 
 def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
        max_iter: Optional[int] = None, precond=None) -> CGResult:
-    """Global CG solve. ``precond(x0, r)`` if given must be a shard-level
-    function applying one preconditioner cycle (e.g. an AMG V-cycle) —
-    this is PCG (par_cg.cpp:121-239)."""
+    """Global CG solve. ``precond``, if given, is the 4-tuple
+    ``(data, specs, strip, apply)`` from ``DeviceHierarchy.precond_pack()``
+    — this is PCG (par_cg.cpp:121-239)."""
     if max_iter is None:
         max_iter = int(1.3 * A.global_num_rows) + 2
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(A, x0, b):
-        def body(A, x0, b):
+    pdata, pspecs = ((), ())
+    if precond is not None:
+        data, specs, strip, apply = precond
+        pdata, pspecs = (data,), (specs,)
+
+    @jax.jit
+    def run(A, x0, b, *pd):
+        def body(A, x0, b, *pd):
             A = jax.tree.map(lambda l: l[0], A)
-            x, res, k, indef = _cg_shard(A, x0[0], b[0], tol, max_iter,
-                                         precond)
+            pfn = None
+            if precond is not None:
+                d = strip(pd[0])
+                pfn = lambda x0_, r_: apply(d, x0_, r_)
+            x, res, k, indef = _cg_shard(A, x0[0], b[0], tol, max_iter, pfn)
             return x[None], res, k, indef
 
         return jax.shard_map(
-            body, mesh=mesh, in_specs=dpar.leaf_specs((A, x0, b)),
-            out_specs=(P(dpar.ROW_AXIS, None), P(), P(), P()))(A, x0, b)
+            body, mesh=mesh,
+            in_specs=dpar.leaf_specs((A, x0, b)) + pspecs,
+            out_specs=(P(dpar.ROW_AXIS, None), P(), P(), P()))(A, x0, b, *pd)
 
-    return CGResult(*run(A, x0, b))
+    return CGResult(*run(A, x0, b, *pdata))

@@ -181,6 +181,24 @@ class DeviceHierarchy:
                                     self.coarse_take, x, b)
         return SolveResult(x, res, k)
 
+    # --- use as a Krylov preconditioner ----------------------------------------
+    def precond_pack(self):
+        """(data, in_specs, strip, apply) for passing one V-cycle as a
+        preconditioner into the Krylov solvers (PCG par_cg.cpp:121,
+        Pre_BiCGStab par_bicgstab.cpp:240)."""
+        data = (self.levels, self.lu, self.piv, self.coarse_take)
+        specs = (dpar.leaf_specs(self.levels), P(), P(), P(ROW_AXIS, None))
+
+        def strip(d):
+            levels, lu, piv, ct = d
+            return (jax.tree.map(lambda l: l[0], levels), lu, piv, ct[0])
+
+        def apply(d, x0, r):
+            levels, lu, piv, ct = d
+            return self.vcycle_shard(levels, lu, piv, ct, x0, r)
+
+        return data, specs, strip, apply
+
     # --- vector helpers ---------------------------------------------------------
     def vector(self, v: np.ndarray) -> jnp.ndarray:
         return dpar.device_put_vector(v, self.row_bounds, self.rows_pad,
