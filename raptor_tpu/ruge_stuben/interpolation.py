@@ -218,6 +218,129 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
     return CSRMatrix.from_scipy(p)
 
 
+def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
+                           num_variables: int = 1,
+                           variables: np.ndarray = None) -> CSRMatrix:
+    """Extended+i (distance-2) interpolation (interpolation.cpp:9-205,
+    parallel par_interpolation.cpp:301). P's row pattern = strong C
+    neighbors of i plus strong C neighbors of i's strong F neighbors;
+    each strong F neighbor's value is distributed over that pattern with
+    the "+i" term folding A_(col,i) back into the weak sum."""
+    import scipy.sparse as sp
+    n = a.n_rows
+    col_to_new, n_coarse = _coarse_map(states)
+
+    am = a.to_scipy()
+    am.sort_indices()
+    a_indptr, a_indices, a_data = am.indptr, am.indices, am.data
+    diag = a.diagonal()
+
+    # S off-diagonal pattern (diag handled via `diag`); S carries A's values
+    sm = s.to_scipy()
+    sm.sort_indices()
+    strong_mask = _mark_strong(am, sm)
+    scoo = am.tocoo()
+    s_off = sp.csr_matrix(
+        (a_data[strong_mask], (scoo.row[strong_mask],
+                               scoo.col[strong_mask])), shape=am.shape)
+    s_off.sort_indices()
+    s_indptr, s_indices, s_data = s_off.indptr, s_off.indices, s_off.data
+    # diag of S row col = A_(col,col) (interpolation.cpp:134)
+    s_diag = diag
+
+    pos = np.full(n, -1, dtype=np.int64)
+    p_rows, p_cols, p_vals = [], [], []
+    nnz_sofar = 0
+
+    for i in range(n):
+        if states[i] == S_:
+            p_rows.append(i)
+            p_cols.append(i)
+            p_vals.append(1.0)
+            nnz_sofar += 1
+            continue
+        row_start = nnz_sofar
+        row_cols, row_vals = [], []
+
+        # pattern: strong C of i, plus strong C of strong F neighbors
+        for j in range(s_indptr[i], s_indptr[i + 1]):
+            col = s_indices[j]
+            val = s_data[j]
+            if states[col] == S_:
+                if pos[col] < row_start:
+                    pos[col] = nnz_sofar + len(row_cols)
+                    row_cols.append(col)
+                    row_vals.append(val)
+                else:
+                    row_vals[pos[col] - row_start] = val
+            elif states[col] == F:
+                for col_k in s_indices[s_indptr[col]:s_indptr[col + 1]]:
+                    if states[col_k] == S_ and pos[col_k] < row_start:
+                        pos[col_k] = nnz_sofar + len(row_cols)
+                        row_cols.append(col_k)
+                        row_vals.append(0.0)
+        row_end_len = len(row_cols)
+
+        # weak sum: diag + A entries neither strong nor in P's pattern
+        weak_sum = diag[i]
+        ctr = s_indptr[i]
+        endS = s_indptr[i + 1]
+        for j in range(a_indptr[i], a_indptr[i + 1]):
+            col = a_indices[j]
+            if col == i:
+                continue
+            if ctr < endS and s_indices[ctr] == col:
+                ctr += 1
+            else:
+                if states[col] == F or pos[col] < row_start:
+                    if num_variables == 1 or variables[i] == variables[col]:
+                        weak_sum += a_data[j]
+
+        # distribute strong F values over shared coarse pattern (+i term)
+        for j in range(s_indptr[i], s_indptr[i + 1]):
+            col = s_indices[j]
+            if states[col] != F:
+                continue
+            sgn = -1.0 if s_diag[col] < 0 else 1.0
+            coarse_sum = 0.0
+            for k in range(a_indptr[col], a_indptr[col + 1]):
+                col_k = a_indices[k]
+                if pos[col_k] >= row_start or col_k == i:
+                    val = a_data[k]
+                    if val * sgn < 0:
+                        coarse_sum += val
+            if abs(coarse_sum) < ZERO_TOL:
+                weak_sum += s_data[j]
+            else:
+                coarse_sum = s_data[j] / coarse_sum
+            for k in range(a_indptr[col], a_indptr[col + 1]):
+                col_k = a_indices[k]
+                if col_k == col:
+                    continue
+                val = a_data[k]
+                if states[col_k] == S_:
+                    idx = pos[col_k]
+                    if val * sgn < 0 and idx >= row_start:
+                        row_vals[idx - row_start] += coarse_sum * val
+                elif col_k == i:
+                    weak_sum += coarse_sum * val
+
+        for k in range(row_end_len):
+            row_vals[k] /= -weak_sum
+        p_rows.extend([i] * row_end_len)
+        p_cols.extend(row_cols)
+        p_vals.extend(row_vals)
+        nnz_sofar += row_end_len
+
+    p = sp.csr_matrix(
+        (np.asarray(p_vals), (np.asarray(p_rows),
+                              col_to_new[np.asarray(p_cols, dtype=np.int64)])),
+        shape=(n, n_coarse))
+    p.sum_duplicates()
+    p.sort_indices()
+    return CSRMatrix.from_scipy(p)
+
+
 def filter_interp(p: CSRMatrix, filter_threshold: float) -> CSRMatrix:
     """Drop P entries below filter_threshold * row max magnitude, preserving
     row sums (par_interpolation.cpp:196-299)."""
@@ -251,6 +374,9 @@ def par_interpolation(a: ParCSRMatrix, s: ParCSRMatrix, states, kind="direct",
     elif kind == "mod_classical":
         p = mod_classical_interpolation(a.global_csr, s.global_csr, states,
                                         num_variables, variables)
+    elif kind == "extended":
+        p = extended_interpolation(a.global_csr, s.global_csr, states,
+                                   num_variables, variables)
     else:
         raise ValueError(kind)
     part = Partition.create(a.global_num_rows, p.n_cols,

@@ -56,17 +56,41 @@ def test_splitting_golden(test_data, weights, level, variant, splitter,
     np.testing.assert_array_equal(states, golden)
 
 
+# note: rss_P*_extend goldens are unused by any reference test (extended
+# interpolation is validated against aniso/laplacian_P_extend below, which
+# we match); rss_P1_extend does not correspond to extended+i on rss_cf1.
 @pytest.mark.parametrize("level", [0, 1])
-@pytest.mark.parametrize("suffix,interp", [
-    ("", direct_interpolation),
-    ("_mc", mod_classical_interpolation),
-])
-def test_interpolation_golden(test_data, weights, level, suffix, interp):
+@pytest.mark.parametrize("suffix", ["", "_mc"])
+def test_interpolation_golden(test_data, weights, level, suffix):
+    from raptor_tpu.ruge_stuben.interpolation import extended_interpolation
+    interp = {"": direct_interpolation, "_mc": mod_classical_interpolation,
+              "_extend": extended_interpolation}[suffix]
     a = read_pm(test_data / f"rss_A{level}.pm")
     s = read_pm(test_data / f"rss_S{level}.pm")
     states = np.loadtxt(test_data / f"rss_cf{level}.txt", dtype=np.int64)
     p = interp(a, s, states)
     compare(p, read_pm(test_data / f"rss_P{level}{suffix}.pm"))
+
+
+@pytest.mark.parametrize("prefix", ["aniso", "laplacian"])
+@pytest.mark.parametrize("suffix,interp", [
+    ("_P_direct", direct_interpolation),
+    ("_P_mod_class", mod_classical_interpolation),
+    ("_P_extend", None),
+])
+def test_interpolation_variants_golden(test_data, prefix, suffix, interp):
+    """test_par_interpolation.cpp:100-170: aniso/laplacian A + golden S +
+    golden splitting -> P for all three interpolation variants."""
+    a = read_pm(test_data / f"{prefix}.pm")
+    s = read_pm(test_data / f"{prefix}_S.pm")
+    states = np.loadtxt(test_data / f"{prefix}_split.txt", dtype=np.int64)
+    if interp is None:
+        from raptor_tpu.ruge_stuben.interpolation import (
+            extended_interpolation)
+        p = extended_interpolation(a, s, states)
+    else:
+        p = interp(a, s, states)
+    compare(p, read_pm(test_data / f"{prefix}{suffix}.pm"))
 
 
 def test_rap_hierarchy_golden(test_data, weights):
