@@ -50,11 +50,25 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (ROW_AXIS,))
 
 
+def make_mesh2(n_hosts: int, n_local: int) -> Mesh:
+    """2-D (host, local) mesh for topology-aware comm (TAPComm equivalent:
+    ICI within 'local', DCN across 'host')."""
+    devs = jax.devices()
+    n = n_hosts * n_local
+    return Mesh(np.array(devs[:n]).reshape(n_hosts, n_local),
+                ("host", "local"))
+
+
+def _leading_axes(mesh: Mesh):
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
+
+
 def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
     """Place a [S, ...] stacked host array with the leading axis sharded
-    over the mesh row axis."""
+    over all mesh axes (flattened shard order)."""
     arr = jnp.asarray(x, dtype=dtype)
-    spec = P(ROW_AXIS, *([None] * (arr.ndim - 1)))
+    spec = P(_leading_axes(mesh), *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
 
 
@@ -201,9 +215,7 @@ def device_put_vector(x: np.ndarray, bounds: np.ndarray, pad: int,
     for s in range(S):
         n = int(bounds[s + 1] - bounds[s])
         out[s, :n] = x[bounds[s]:bounds[s + 1]]
-    arr = jnp.asarray(out, dtype=dtype)
-    return jax.device_put(
-        arr, jax.sharding.NamedSharding(mesh, P(ROW_AXIS, None)))
+    return _shard_leading(out, mesh, dtype)
 
 def host_vector(x: jnp.ndarray, bounds: np.ndarray) -> np.ndarray:
     """Sharded padded [S, pad] -> global host vector."""
