@@ -1,0 +1,71 @@
+"""Galerkin-product sparsification (multilevel/par_sparsify.cpp:7-186,
+arXiv:1512.04629): drop small Ac entries outside the minimal pattern
+M = (AP)^T I + (AI)^T P, folding dropped values into the diagonal so row
+sums are preserved."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from raptor_tpu.core.matrix import CSRMatrix
+from raptor_tpu.core.par_matrix import ParCSRMatrix
+from raptor_tpu.core.partition import Partition
+from raptor_tpu.core.types import CFState
+
+
+def injection_matrix(states: np.ndarray, partition=None) -> CSRMatrix:
+    """I[i, coarse(i)] = 1 for C points (test_par_sparsify.cpp:96-113)."""
+    n = len(states)
+    sel = np.asarray(states) == CFState.Selected
+    coarse_idx = np.cumsum(sel) - 1
+    rows = np.nonzero(sel)[0]
+    m = sp.csr_matrix((np.ones(len(rows)), (rows, coarse_idx[rows])),
+                      shape=(n, int(sel.sum())))
+    return CSRMatrix.from_scipy(m)
+
+
+def sparsify(a: ParCSRMatrix, p: ParCSRMatrix, i_mat: CSRMatrix,
+             ap: ParCSRMatrix, ac: ParCSRMatrix,
+             theta: float) -> ParCSRMatrix:
+    """Returns the sparsified coarse operator."""
+    isp = i_mat.to_scipy()
+    m1 = ap.global_csr.to_scipy().T @ isp
+    ai = a.global_csr.to_scipy() @ isp
+    m2 = ai.T @ p.global_csr.to_scipy()
+    m_pat = (m1 + m2).tocsr()
+    m_pat.sum_duplicates()
+
+    acm = ac.global_csr.to_scipy().tocsr()
+    acm.sort_indices()
+    n = acm.shape[0]
+    indptr, indices, data = acm.indptr, acm.indices, acm.data
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    offd = indices != rows
+
+    # per-row off-diagonal max magnitude
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, rows[offd], np.abs(data[offd]))
+
+    # membership in the minimal pattern
+    m_bool = m_pat.copy()
+    m_bool.data = np.ones_like(m_bool.data)
+    in_m = np.zeros(len(indices), dtype=bool)
+    mb = m_bool.tocsr()
+    for r in range(n):
+        s, e = indptr[r], indptr[r + 1]
+        mr = mb.indices[mb.indptr[r]:mb.indptr[r + 1]]
+        in_m[s:e] = np.isin(indices[s:e], mr)
+
+    keep = (~offd) | in_m | (np.abs(data) >= theta * row_max[rows])
+    dropped = ~keep
+    # fold dropped values into the diagonal (row-sum preserving)
+    diag_add = np.zeros(n)
+    np.add.at(diag_add, rows[dropped], data[dropped])
+
+    out = sp.csr_matrix((data[keep], (rows[keep], indices[keep])),
+                        shape=acm.shape)
+    out = (out + sp.diags(diag_add)).tocsr()
+    out.sum_duplicates()
+    out.sort_indices()
+    return ParCSRMatrix(CSRMatrix.from_scipy(out), ac.partition)

@@ -1,0 +1,56 @@
+"""Aux subsystems: comm modeling, timers, config system."""
+
+import numpy as np
+
+from raptor_tpu.comm.plan import build_comm_plan
+from raptor_tpu.comm.tap import build_tap_plan
+from raptor_tpu.gallery.stencils import laplace_stencil_27pt, par_stencil_grid
+from raptor_tpu.profiling.comm_model import model_comm_plan, model_tap_plan
+from raptor_tpu.profiling.timers import Profiler
+from raptor_tpu.utils.config import AMGConfig
+
+
+def test_comm_model():
+    A = par_stencil_grid(laplace_stencil_27pt(), (10, 10, 10), 8)
+    plan = build_comm_plan(A)
+    stats = model_comm_plan(plan, shards_per_host=4)
+    assert sum(stats.n_msgs.values()) > 0
+    assert stats.inter_host_bytes > 0
+    tap = build_tap_plan(A, 2, 4)
+    tap_stats = model_tap_plan(tap)
+    # TAP never increases inter-host traffic
+    assert tap_stats.inter_host_bytes <= stats.inter_host_bytes
+    assert "comm model" in str(stats)
+
+
+def test_profiler():
+    p = Profiler()
+    with p.phase("setup"):
+        sum(range(1000))
+    with p.phase("setup"):
+        pass
+    assert p.counts["setup"] == 2
+    assert "setup" in p.report()
+
+
+def test_config_roundtrip_and_build():
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.gallery.stencils import diffusion_stencil_2d
+
+    cfg = AMGConfig(method="ruge_stuben", strong_threshold=0.25,
+                    coarsen_type=CoarsenType.CLJP,
+                    interp_type=InterpType.ModClassical,
+                    relax_type=RelaxType.SSOR, max_iterations=42)
+    d = cfg.to_dict()
+    cfg2 = AMGConfig.from_dict(d)
+    assert cfg2 == cfg
+
+    ml = cfg.build()
+    assert ml.max_iterations == 42
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (20, 20), 2)
+    ml.setup(A)
+    assert ml.num_levels >= 2
+
+    sa = AMGConfig(method="smoothed_agg", strong_threshold=0.25).build()
+    sa.setup(A)
+    assert sa.num_levels >= 2

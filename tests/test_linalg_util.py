@@ -1,0 +1,94 @@
+"""Diagonal scaling, repartitioning, and sparsification tests
+(util/tests/test_par_scale.cpp, test_repartition.cpp,
+multilevel/tests/test_par_sparsify.cpp equivalents)."""
+
+import numpy as np
+
+from raptor_tpu.core.matrix import compare
+from raptor_tpu.core.types import StrengthType
+from raptor_tpu.gallery.io import read_pm
+from raptor_tpu.gallery.stencils import diffusion_stencil_2d, par_stencil_grid
+from raptor_tpu.linalg.diag_scale import (
+    diagonally_scale, diagonally_unscale, row_scale)
+from raptor_tpu.linalg.repartition import (
+    make_contiguous, partition_graph, repartition_matrix)
+from raptor_tpu.linalg.sparsify import injection_matrix, sparsify
+
+
+def _aniso(n_shards=4, grid=(25, 25)):
+    return par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), grid,
+                            n_shards)
+
+
+def test_row_scale():
+    A = _aniso()
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(A.global_num_rows)
+    As, bs = row_scale(A, b)
+    # scaled system has unit diagonal and equivalent solutions
+    np.testing.assert_allclose(As.diagonal(), 1.0)
+    x = np.linalg.solve(A.global_csr.to_dense(), b)
+    xs = np.linalg.solve(As.global_csr.to_dense(), bs)
+    np.testing.assert_allclose(x, xs, atol=1e-8)
+
+
+def test_diagonally_scale_roundtrip():
+    A = _aniso()
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(A.global_num_rows)
+    As, bs, scales = diagonally_scale(A, b)
+    np.testing.assert_allclose(np.abs(As.diagonal()), 1.0)
+    xs = np.linalg.solve(As.global_csr.to_dense(), bs)
+    x = diagonally_unscale(xs, scales)
+    np.testing.assert_allclose(A.mult(x), b, atol=1e-8)
+
+
+def test_repartition_preserves_spmv():
+    A = _aniso()
+    proc = partition_graph(A, 4)
+    assert set(np.unique(proc)) <= set(range(4))
+    An, perm = repartition_matrix(A, proc)
+    x = np.random.default_rng(2).standard_normal(A.global_num_cols)
+    # permuted operator acts like the original under the permutation
+    np.testing.assert_allclose(An.mult(x[perm]), A.mult(x)[perm], atol=1e-12)
+    # contiguity: each shard's rows map to one part
+    for s in range(4):
+        r0, r1 = An.partition.row_bounds[s], An.partition.row_bounds[s + 1]
+        assert np.all(proc[perm[r0:r1]] == s)
+
+
+def test_make_contiguous_identity():
+    A = _aniso()
+    proc = np.repeat(np.arange(4), A.global_num_rows // 4 + 1)[
+        :A.global_num_rows]
+    An, perm = make_contiguous(A, proc)
+    np.testing.assert_array_equal(perm, np.arange(A.global_num_rows))
+    compare(An.global_csr, A.global_csr, atol=0.0)
+
+
+def test_sparsify_row_sums_preserved(test_data):
+    from raptor_tpu.ruge_stuben.cf_splitting import split_cljp
+    from raptor_tpu.ruge_stuben.interpolation import par_interpolation
+    from raptor_tpu.ruge_stuben.strength import strength
+    from raptor_tpu.core.par_matrix import par_matrix_from_scipy
+
+    weights = np.loadtxt(test_data / "weights.txt")
+    A = par_matrix_from_scipy(read_pm(test_data / "rss_A0.pm").to_scipy(), 4)
+    s = strength(A.global_csr, StrengthType.Classical, 0.25)
+    states = split_cljp(s, weights[:A.global_num_rows])
+    from raptor_tpu.core.par_matrix import ParCSRMatrix
+    P = par_interpolation(A, ParCSRMatrix(s, A.partition), states,
+                          "mod_classical")
+    AP = A.multiply(P)
+    Ac = P.transpose().multiply(AP)
+    I = injection_matrix(states)
+
+    Ac_sp = sparsify(A, P, I, AP, Ac, 0.1)
+    # row sums preserved exactly; nnz reduced
+    np.testing.assert_allclose(
+        np.asarray(Ac_sp.global_csr.to_scipy().sum(axis=1)).ravel(),
+        np.asarray(Ac.global_csr.to_scipy().sum(axis=1)).ravel(), atol=1e-12)
+    assert Ac_sp.nnz < Ac.nnz
+    # minimal pattern M is kept: Ac_sp must still be usable in a solve
+    # (diagonal intact)
+    assert np.all(Ac_sp.diagonal() != 0)
