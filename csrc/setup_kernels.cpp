@@ -1,0 +1,366 @@
+// Native setup-phase kernels for raptor_tpu.
+//
+// The reference implements its AMG setup in C++ (ruge_stuben/cf_splitting.cpp,
+// aggregation/mis.cpp, aggregation/aggregate.cpp); these are the same
+// sequential graph algorithms, exposed over a C ABI for ctypes. They must stay
+// bit-identical to the Python implementations in
+// raptor_tpu/ruge_stuben/cf_splitting.py and raptor_tpu/aggregation/ —
+// tests/test_native.py asserts equality on the golden matrices.
+//
+// All CSR inputs are diagonal-stripped, sorted, int64 indices / double values.
+// State constants follow core/types.hpp:29-35 (Selected=1, Unselected=0,
+// Unassigned=-1, NewSelection=3, TmpSelection=4, NewUnselection=2).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+using i64 = int64_t;
+
+namespace {
+constexpr i64 UNASSIGNED = -1;
+constexpr i64 SELECTED = 1;
+constexpr i64 UNSELECTED = 0;
+constexpr i64 NEW_SELECTION = 3;
+constexpr i64 NEW_UNSELECTION = 2;
+constexpr i64 TMP_SELECTION = 4;
+}
+
+extern "C" {
+
+// Classical RS first pass with bucket-queue ordering
+// (cf_splitting.cpp:92-232 semantics).
+void rs_first_pass(i64 n,
+                   const i64* indptr, const i64* indices,
+                   const i64* col_ptr, const i64* col_indices,
+                   i64* weights, i64* states) {
+    std::vector<i64> weight_sizes(n + 1, 0);
+    for (i64 i = 0; i < n; i++) weight_sizes[weights[i]]++;
+    std::vector<i64> weight_ptr(n + 1, 0);
+    for (i64 i = 0; i < n; i++) weight_ptr[i + 1] = weight_ptr[i] + weight_sizes[i];
+    std::fill(weight_sizes.begin(), weight_sizes.end(), 0);
+    std::vector<i64> widx_to_col(n), col_to_widx(n);
+    for (i64 i = 0; i < n; i++) {
+        i64 w = weights[i];
+        i64 idx = weight_ptr[w] + weight_sizes[w]++;
+        widx_to_col[idx] = i;
+        col_to_widx[i] = idx;
+    }
+
+    auto swap_pos = [&](i64 old_pos, i64 new_pos) {
+        i64 a = widx_to_col[old_pos], b = widx_to_col[new_pos];
+        col_to_widx[a] = new_pos;
+        col_to_widx[b] = old_pos;
+        widx_to_col[old_pos] = b;
+        widx_to_col[new_pos] = a;
+    };
+
+    for (i64 i = n - 1; i >= 0; i--) {
+        i64 col = widx_to_col[i];
+        i64 w = weights[col];
+        weight_sizes[w]--;
+        if (states[col] != UNASSIGNED) continue;
+        states[col] = SELECTED;
+        for (i64 j = col_ptr[col]; j < col_ptr[col + 1]; j++) {
+            i64 idx = col_indices[j];
+            if (states[idx] != UNASSIGNED) continue;
+            states[idx] = UNSELECTED;
+            for (i64 k = indptr[idx]; k < indptr[idx + 1]; k++) {
+                i64 idx_k = indices[k];
+                if (states[idx_k] != UNASSIGNED) continue;
+                i64 wk = weights[idx_k];
+                if (wk >= n - 1) continue;
+                i64 old_pos = col_to_widx[idx_k];
+                i64 new_pos = weight_ptr[wk] + weight_sizes[wk] - 1;
+                swap_pos(old_pos, new_pos);
+                weight_sizes[wk] -= 1;
+                weight_sizes[wk + 1] += 1;
+                weight_ptr[wk + 1] = new_pos;
+                weights[idx_k]++;
+            }
+        }
+        for (i64 j = indptr[col]; j < indptr[col + 1]; j++) {
+            i64 idx = indices[j];
+            if (states[idx] != UNASSIGNED) continue;
+            i64 w2 = weights[idx];
+            if (w2 == 0) continue;
+            i64 old_pos = col_to_widx[idx];
+            i64 new_pos = weight_ptr[w2];
+            swap_pos(old_pos, new_pos);
+            weight_sizes[w2] -= 1;
+            weight_sizes[w2 - 1] += 1;
+            weight_ptr[w2] += 1;
+            weight_ptr[w2 - 1] = weight_ptr[w2] - weight_sizes[w2 - 1];
+            weights[idx]--;
+        }
+    }
+}
+
+// RS second pass (cf_splitting.cpp:234-284). Uses the FULL (diag-included)
+// pattern.
+void rs_second_pass(i64 n, const i64* indptr, const i64* indices,
+                    i64* states) {
+    std::vector<i64> row_coarse(n, -1);
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] == SELECTED) continue;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 col = indices[j];
+            if (states[col] == SELECTED) row_coarse[col] = i;
+        }
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 col = indices[j];
+            if (states[col] != UNSELECTED) continue;
+            i64 sk = indptr[col], ek = indptr[col + 1];
+            if (sk == ek) continue;
+            bool connection = false;
+            for (i64 k = sk; k < ek; k++) {
+                if (row_coarse[indices[k]] == i) { connection = true; break; }
+            }
+            if (!connection) {
+                row_coarse[col] = i;
+                states[col] = SELECTED;
+            }
+        }
+    }
+}
+
+static i64 select_independent_set(
+        const i64* indptr, const i64* indices,
+        const i64* col_ptr, const i64* col_indices,
+        const std::vector<i64>& unassigned, i64 n_unassigned,
+        i64* states, const double* weights, i64* new_coarse_list) {
+    i64 n_new = 0;
+    for (i64 ii = 0; ii < n_unassigned; ii++) {
+        i64 u = unassigned[ii];
+        double w = weights[u];
+        bool blocked = false;
+        for (i64 j = indptr[u]; j < indptr[u + 1]; j++)
+            if (weights[indices[j]] > w) { blocked = true; break; }
+        if (blocked) continue;
+        for (i64 j = col_ptr[u]; j < col_ptr[u + 1]; j++)
+            if (weights[col_indices[j]] > w) { blocked = true; break; }
+        if (blocked) continue;
+        states[u] = NEW_SELECTION;
+        new_coarse_list[n_new++] = u;
+    }
+    return n_new;
+}
+
+static i64 update_states(std::vector<i64>& unassigned, i64 n_unassigned,
+                         i64* states, double* weights) {
+    i64 ctr = 0;
+    for (i64 ii = 0; ii < n_unassigned; ii++) {
+        i64 u = unassigned[ii];
+        if (states[u] == NEW_SELECTION) {
+            weights[u] = 0.0;
+            states[u] = SELECTED;
+        } else if (weights[u] < 1.0) {
+            weights[u] = 0.0;
+            states[u] = UNSELECTED;
+        } else {
+            unassigned[ctr++] = u;
+        }
+    }
+    return ctr;
+}
+
+// CLJP main loop (cf_splitting.cpp:502-577). weights holds rand + indegree.
+void cljp_main_loop(i64 n, i64 nnz,
+                    const i64* indptr, const i64* indices,
+                    const i64* col_ptr, const i64* col_indices,
+                    i64* states, double* weights) {
+    std::vector<i64> edgemark(nnz, 1);
+    std::vector<i64> c_dep_cache(n, 0);
+    std::vector<i64> unassigned;
+    unassigned.reserve(n);
+    for (i64 i = 0; i < n; i++)
+        if (states[i] == UNASSIGNED) unassigned.push_back(i);
+    std::vector<i64> new_coarse(n);
+    i64 remaining = (i64)unassigned.size();
+
+    while (remaining) {
+        i64 n_new = select_independent_set(indptr, indices, col_ptr,
+                                           col_indices, unassigned, remaining,
+                                           states, weights, new_coarse.data());
+        for (i64 ci = 0; ci < n_new; ci++) {
+            i64 c = new_coarse[ci];
+            for (i64 j = indptr[c]; j < indptr[c + 1]; j++) {
+                i64 idx = indices[j];
+                if (states[idx] == UNASSIGNED && edgemark[j]) {
+                    edgemark[j] = 0;
+                    weights[idx] -= 1;
+                }
+            }
+        }
+        for (i64 ci = 0; ci < n_new; ci++) {
+            i64 c = new_coarse[ci];
+            for (i64 j = col_ptr[c]; j < col_ptr[c + 1]; j++) {
+                i64 idx = col_indices[j];
+                if (states[idx] == UNASSIGNED) c_dep_cache[idx] = c;
+            }
+            for (i64 j = col_ptr[c]; j < col_ptr[c + 1]; j++) {
+                i64 idx = col_indices[j];
+                if (states[idx] == SELECTED) continue;
+                for (i64 k = indptr[idx]; k < indptr[idx + 1]; k++) {
+                    i64 idx_k = indices[k];
+                    if (states[idx_k] == UNASSIGNED && edgemark[k]
+                            && c_dep_cache[idx_k] == c) {
+                        edgemark[k] = 0;
+                        weights[idx_k] -= 1;
+                    }
+                }
+            }
+        }
+        remaining = update_states(unassigned, remaining, states, weights);
+    }
+}
+
+// PMIS main loop (cf_splitting.cpp:578-665).
+void pmis_main_loop(i64 n,
+                    const i64* indptr, const i64* indices,
+                    const i64* col_ptr, const i64* col_indices,
+                    i64* states, double* weights) {
+    std::vector<i64> unassigned;
+    unassigned.reserve(n);
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] != UNASSIGNED) continue;
+        if (weights[i] < 1) states[i] = UNSELECTED;
+        else unassigned.push_back(i);
+    }
+    std::vector<i64> new_coarse(n);
+    i64 remaining = (i64)unassigned.size();
+    while (remaining) {
+        i64 n_new = select_independent_set(indptr, indices, col_ptr,
+                                           col_indices, unassigned, remaining,
+                                           states, weights, new_coarse.data());
+        for (i64 ci = 0; ci < n_new; ci++) {
+            i64 c = new_coarse[ci];
+            for (i64 j = col_ptr[c]; j < col_ptr[c + 1]; j++) {
+                i64 row = col_indices[j];
+                if (states[row] == UNASSIGNED) {
+                    states[row] = UNSELECTED;
+                    weights[row] = 0;
+                }
+            }
+        }
+        remaining = update_states(unassigned, remaining, states, weights);
+    }
+}
+
+// MIS(2) (aggregation/mis.cpp:8-220). S pattern WITH diagonal, sorted.
+void mis2(i64 n,
+          const i64* indptr, const i64* indices,
+          const i64* cindptr, const i64* cindices,
+          const double* r, i64* states) {
+    for (i64 i = 0; i < n; i++) states[i] = UNASSIGNED;
+    // D: v -> col where r[v] > r[col]
+    std::vector<i64> dptr(n + 1, 0), dind;
+    dind.reserve(indptr[n]);
+    for (i64 v = 0; v < n; v++) {
+        for (i64 j = indptr[v]; j < indptr[v + 1]; j++) {
+            i64 c = indices[j];
+            if (r[v] > r[c]) dind.push_back(c);
+        }
+        dptr[v + 1] = (i64)dind.size();
+    }
+    std::vector<i64> V(n);
+    for (i64 i = 0; i < n; i++) V[i] = i;
+    std::vector<i64> C(n, 0), marked;
+    i64 remaining = n;
+    while (remaining) {
+        for (i64 ii = 0; ii < remaining; ii++) {
+            i64 v = V[ii];
+            bool found = false;
+            for (i64 j = dptr[v]; j < dptr[v + 1]; j++) {
+                i64 w = dind[j];
+                if (states[w] == UNASSIGNED || states[w] > SELECTED) {
+                    found = true; break;
+                }
+            }
+            if (!found) states[v] = TMP_SELECTION;
+        }
+        for (i64 ii = 0; ii < remaining; ii++) {
+            i64 v = V[ii];
+            if (states[v] != TMP_SELECTION) continue;
+            bool found = false;
+            for (i64 j = indptr[v]; j < indptr[v + 1] && !found; j++) {
+                i64 w = indices[j];
+                for (i64 k = indptr[w]; k < indptr[w + 1]; k++) {
+                    i64 u = indices[k];
+                    if (states[u] > SELECTED && r[u] > r[v]) {
+                        found = true; break;
+                    }
+                }
+            }
+            if (!found) states[v] = NEW_SELECTION;
+        }
+        marked.clear();
+        for (i64 ii = 0; ii < remaining; ii++) {
+            i64 v = V[ii];
+            if (states[v] != NEW_SELECTION) continue;
+            for (i64 j = cindptr[v]; j < cindptr[v + 1]; j++) {
+                i64 w = cindices[j];
+                if (!C[w]) { C[w] = 1; marked.push_back(w); }
+            }
+        }
+        for (i64 ii = 0; ii < remaining; ii++) {
+            i64 v = V[ii];
+            if (states[v] == NEW_SELECTION) continue;
+            bool found = false;
+            for (i64 j = indptr[v]; j < indptr[v + 1]; j++) {
+                i64 w = indices[j];
+                if (states[w] == NEW_SELECTION || C[w]) { found = true; break; }
+            }
+            if (found) states[v] = NEW_UNSELECTION;
+        }
+        for (i64 w : marked) C[w] = 0;
+        i64 ctr = 0;
+        for (i64 ii = 0; ii < remaining; ii++) {
+            i64 v = V[ii];
+            if (states[v] == NEW_SELECTION) states[v] = SELECTED;
+            else if (states[v] == NEW_UNSELECTION) states[v] = UNSELECTED;
+            else V[ctr++] = v;
+        }
+        remaining = ctr;
+    }
+}
+
+// Aggregation (aggregation/aggregate.cpp:6-95). S/A sorted, full pattern.
+i64 aggregate(i64 n,
+              const i64* s_indptr, const i64* s_indices,
+              const i64* a_indptr, const i64* a_indices, const double* a_data,
+              const i64* states, const double* r, i64* aggregates) {
+    for (i64 i = 0; i < n; i++) aggregates[i] = -1;
+    i64 n_aggs = 0;
+    for (i64 i = 0; i < n; i++)
+        if (states[i] > 0) aggregates[i] = n_aggs++;
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] > 0) continue;
+        for (i64 j = s_indptr[i]; j < s_indptr[i + 1]; j++) {
+            i64 col = s_indices[j];
+            if (states[col] > 0) { aggregates[i] = aggregates[col]; break; }
+        }
+    }
+    for (i64 i = 0; i < n; i++) {
+        if (aggregates[i] >= 0) continue;
+        double max_val = 0.0;
+        i64 max_agg = -1;
+        i64 ctr = a_indptr[i];
+        for (i64 j = s_indptr[i]; j < s_indptr[i + 1]; j++) {
+            i64 col = s_indices[j];
+            while (a_indices[ctr] != col) ctr++;
+            double val = (a_data[ctr] < 0 ? -a_data[ctr] : a_data[ctr])
+                         + r[col];
+            if (val > max_val && aggregates[col] >= 0) {
+                max_val = val;
+                max_agg = aggregates[col];
+            }
+        }
+        aggregates[i] = -(max_agg + 1);
+    }
+    for (i64 i = 0; i < n; i++)
+        if (aggregates[i] < 0) aggregates[i] = -(aggregates[i] + 1);
+    return n_aggs;
+}
+
+}  // extern "C"

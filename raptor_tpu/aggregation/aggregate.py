@@ -19,6 +19,16 @@ def aggregate(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
     sm.sort_indices(), am.sort_indices()
 
     aggregates = np.full(n, -1, dtype=np.int64)
+
+    from raptor_tpu import native
+    if native.available():
+        n_aggs = native.aggregate(
+            sm.indptr, sm.indices, am.indptr, am.indices,
+            np.ascontiguousarray(am.data, dtype=np.float64),
+            np.ascontiguousarray(states, dtype=np.int64),
+            np.ascontiguousarray(r), aggregates)
+        return int(n_aggs), aggregates
+
     roots = np.nonzero(states > 0)[0]
     n_aggs = len(roots)
     aggregates[roots] = np.arange(n_aggs)

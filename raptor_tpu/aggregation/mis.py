@@ -28,6 +28,15 @@ def mis2(s: CSRMatrix, rand_vals: np.ndarray) -> np.ndarray:
     r = np.asarray(rand_vals, dtype=np.float64)[:n]
 
     states = np.full(n, U, dtype=np.int64)
+
+    from raptor_tpu import native
+    if native.available():
+        csc = m.tocsc()
+        csc.sort_indices()
+        native.mis2(m.indptr, m.indices, csc.indptr, csc.indices,
+                    np.ascontiguousarray(r), states)
+        return states
+
     # directed graph D: v -> col where r[v] > r[col] (mis.cpp:47-67)
     rows = np.repeat(np.arange(n), np.diff(indptr))
     dmask = r[rows] > r[indices]

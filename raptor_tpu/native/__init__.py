@@ -1,0 +1,134 @@
+"""Native C++ setup kernels (ctypes bindings).
+
+The reference's setup phase is C++ (cf_splitting.cpp, mis.cpp,
+aggregate.cpp); csrc/setup_kernels.cpp provides the same sequential graph
+algorithms behind a C ABI, compiled on first use with g++ -O3. The Python
+implementations remain the reference oracle and the fallback
+(RAPTOR_TPU_NATIVE=0 disables native)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_lib = None
+_lock = threading.Lock()
+_SRC = pathlib.Path(__file__).resolve().parents[2] / "csrc" / \
+    "setup_kernels.cpp"
+_SO = pathlib.Path(__file__).resolve().parent / "_setup_kernels.so"
+
+I64 = ctypes.POINTER(ctypes.c_int64)
+F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def load():
+    global _lib
+    if os.environ.get("RAPTOR_TPU_NATIVE", "1") == "0":
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+        lib.rs_first_pass.argtypes = [ctypes.c_int64] + [I64] * 6
+        lib.rs_second_pass.argtypes = [ctypes.c_int64] + [I64] * 3
+        lib.cljp_main_loop.argtypes = ([ctypes.c_int64] * 2 + [I64] * 5
+                                       + [F64])
+        lib.pmis_main_loop.argtypes = [ctypes.c_int64] + [I64] * 5 + [F64]
+        lib.mis2.argtypes = [ctypes.c_int64] + [I64] * 4 + [F64, I64]
+        lib.aggregate.argtypes = ([ctypes.c_int64] + [I64] * 4
+                                  + [F64, I64, F64, I64])
+        lib.aggregate.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def _p(a: np.ndarray, typ):
+    return a.ctypes.data_as(typ)
+
+
+def _c(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def rs_first_pass(indptr, indices, col_ptr, col_indices, weights, states):
+    lib = load()
+    n = len(weights)
+    indptr, indices = _c(indptr), _c(indices)
+    col_ptr, col_indices = _c(col_ptr), _c(col_indices)
+    lib.rs_first_pass(n, _p(indptr, I64), _p(indices, I64),
+                      _p(col_ptr, I64), _p(col_indices, I64),
+                      _p(weights, I64), _p(states, I64))
+
+
+def rs_second_pass(indptr, indices, states):
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    lib.rs_second_pass(len(indptr) - 1, _p(indptr, I64), _p(indices, I64),
+                       _p(states, I64))
+
+
+def cljp_main_loop(indptr, indices, col_ptr, col_indices, states, weights):
+    lib = load()
+    n = len(states)
+    indptr, indices = _c(indptr), _c(indices)
+    col_ptr, col_indices = _c(col_ptr), _c(col_indices)
+    lib.cljp_main_loop(n, len(indices), _p(indptr, I64), _p(indices, I64),
+                       _p(col_ptr, I64), _p(col_indices, I64),
+                       _p(states, I64), _p(weights, F64))
+
+
+def pmis_main_loop(indptr, indices, col_ptr, col_indices, states, weights):
+    lib = load()
+    n = len(states)
+    indptr, indices = _c(indptr), _c(indices)
+    col_ptr, col_indices = _c(col_ptr), _c(col_indices)
+    lib.pmis_main_loop(n, _p(indptr, I64), _p(indices, I64),
+                       _p(col_ptr, I64), _p(col_indices, I64),
+                       _p(states, I64), _p(weights, F64))
+
+
+def mis2(indptr, indices, cindptr, cindices, r, states):
+    lib = load()
+    n = len(states)
+    indptr, indices = _c(indptr), _c(indices)
+    cindptr, cindices = _c(cindptr), _c(cindices)
+    lib.mis2(n, _p(indptr, I64), _p(indices, I64), _p(cindptr, I64),
+             _p(cindices, I64), _p(r, F64), _p(states, I64))
+
+
+def aggregate(s_indptr, s_indices, a_indptr, a_indices, a_data, states, r,
+              aggregates):
+    lib = load()
+    n = len(states)
+    s_indptr, s_indices = _c(s_indptr), _c(s_indices)
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    return lib.aggregate(n, _p(s_indptr, I64), _p(s_indices, I64),
+                         _p(a_indptr, I64), _p(a_indices, I64),
+                         _p(a_data, F64), _p(states, I64), _p(r, F64),
+                         _p(aggregates, I64))

@@ -157,6 +157,13 @@ def split_rs(s: CSRMatrix, states=None, second_pass: bool = True):
     col_ptr, col_indices = _transpose_pattern(indptr, indices, s.n_rows,
                                               s.n_cols)
     weights = np.diff(col_ptr).astype(np.int64)
+    from raptor_tpu import native
+    if native.available():
+        native.rs_first_pass(indptr, indices, col_ptr, col_indices,
+                             weights, states)
+        if second_pass:
+            native.rs_second_pass(s.indptr, s.indices, states)
+        return states
     rs_first_pass(indptr, indices, col_ptr, col_indices, weights, states)
     if second_pass:
         rs_second_pass(s, states)
@@ -203,10 +210,17 @@ def cljp_main_loop(s: CSRMatrix, states, rand_vals):
     indptr, indices = _strip_diag(s)
     col_ptr, col_indices = _transpose_pattern(indptr, indices, n, s.n_cols)
     nnz = len(indices)
+    weights = np.ascontiguousarray(rand_vals[:n], dtype=np.float64).copy()
+    np.add.at(weights, indices, 1.0)  # in-degree of strong graph
+
+    from raptor_tpu import native
+    if native.available():
+        native.cljp_main_loop(indptr, indices, col_ptr, col_indices,
+                              states, weights)
+        return states
+
     edgemark = np.ones(nnz, dtype=np.int64)
     c_dep_cache = np.zeros(n, dtype=np.int64)
-    weights = np.asarray(rand_vals, dtype=np.float64).copy()
-    np.add.at(weights, indices, 1.0)  # in-degree of strong graph
 
     unassigned = [i for i in range(n) if states[i] == U]
     new_coarse_list = np.zeros(n, dtype=np.int64)
@@ -244,8 +258,14 @@ def pmis_main_loop(s: CSRMatrix, states, rand_vals):
     n = s.n_rows
     indptr, indices = _strip_diag(s)
     col_ptr, col_indices = _transpose_pattern(indptr, indices, n, s.n_cols)
-    weights = np.asarray(rand_vals, dtype=np.float64).copy()
+    weights = np.ascontiguousarray(rand_vals[:n], dtype=np.float64).copy()
     np.add.at(weights, indices, 1.0)
+
+    from raptor_tpu import native
+    if native.available():
+        native.pmis_main_loop(indptr, indices, col_ptr, col_indices,
+                              states, weights)
+        return states
 
     unassigned = []
     for i in range(n):
