@@ -1,0 +1,85 @@
+"""Pallas TPU kernels for the hot solve-phase ops.
+
+``dia_spmv_pallas``: single-pass DIA SpMV. XLA compiles the K static-offset
+shift+fma sweeps as K separate passes over HBM (measured ~5x over the
+traffic bound); this kernel streams the diagonal values once, holds the
+padded x window in VMEM, and accumulates all K diagonals in registers —
+one HBM pass over vals, one window read, one output write.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_CANDIDATES = (65536, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256,
+                     128)
+
+
+def _pick_block(R: int, K: int, pad: int, itemsize: int) -> int:
+    vmem_budget = 8 * 1024 * 1024  # leave headroom for double buffering
+    for blk in _BLOCK_CANDIDATES:
+        if R % blk:
+            continue
+        need = (K * blk + (blk + 2 * pad)) * itemsize * 2
+        if need <= vmem_budget:
+            return blk
+    return 0
+
+
+def dia_spmv_pallas(offsets: Tuple[int, ...], vals: jnp.ndarray,
+                    x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """b[i] = sum_k vals[k, i] * x[i + offsets[k]]. Returns None-equivalent
+    (caller falls back) when no block size fits."""
+    K, R = vals.shape
+    blk = _pick_block(R, K, pad, vals.dtype.itemsize)
+    if blk == 0:
+        return None
+
+    x_pad = jnp.pad(x, (pad, pad + max(0, R - x.shape[0])))
+    win = blk + 2 * pad
+
+    def kernel(xpad_ref, vals_ref, out_ref, xwin, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            xpad_ref.at[pl.ds(i * blk, win)], xwin, sem)
+        cp.start()
+        cp.wait()
+        acc = vals_ref[0, :] * xwin[pl.ds(offsets[0] + pad, blk)]
+        for k in range(1, K):
+            acc += vals_ref[k, :] * xwin[pl.ds(offsets[k] + pad, blk)]
+        out_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(R // blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((K, blk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R,), vals.dtype,
+                                       vma=jax.typeof(vals).vma),
+        scratch_shapes=[
+            pltpu.VMEM((win,), vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * R,
+            bytes_accessed=(K * R + 2 * R) * vals.dtype.itemsize,
+            transcendentals=0),
+    )(x_pad, vals)
+
+
+def use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -253,6 +253,12 @@ def halo_exchange_T(A: DeviceParCSR, halo_vals: jnp.ndarray,
 def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     """b = A_on x (on_proc block only), format-dispatched."""
     if A.on_format == "dia":
+        from raptor_tpu.device.pallas_kernels import (
+            dia_spmv_pallas, use_pallas)
+        if use_pallas():
+            out = dia_spmv_pallas(A.dia_offsets, A.dia_vals, x, A.dia_pad)
+            if out is not None:
+                return out
         return dia_spmv(A.dia_offsets, A.dia_vals, x, A.dia_pad)
     return ell_spmv(A.on_cols, A.on_vals, x)
 
