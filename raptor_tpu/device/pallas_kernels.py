@@ -38,11 +38,13 @@ def dia_spmv_pallas(offsets: Tuple[int, ...], vals: jnp.ndarray,
     (caller falls back) when no block size fits."""
     K, R = vals.shape
     blk = _pick_block(R, K, pad, vals.dtype.itemsize)
-    if blk == 0:
+    if blk < 1024:  # 1-D HBM DMA slices must align to the (1024,) tiling
         return None
 
-    x_pad = jnp.pad(x, (pad, pad + max(0, R - x.shape[0])))
-    win = blk + 2 * pad
+    # window length must be a multiple of the 1024-element 1-D tiling
+    halo2 = ((2 * pad + 1023) // 1024) * 1024
+    win = blk + halo2
+    x_pad = jnp.pad(x, (pad, halo2 - pad + max(0, R - x.shape[0])))
 
     def kernel(xpad_ref, vals_ref, out_ref, xwin, sem):
         i = pl.program_id(0)
