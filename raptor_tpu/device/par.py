@@ -39,6 +39,30 @@ from raptor_tpu.device.formats import (
 
 ROW_AXIS = "rows"
 
+# Communication axes used by the shard-level collectives. Read at TRACE time
+# (inside shard_map bodies); wrappers tracing over non-default meshes (e.g.
+# the 2-D (host, local) TAP mesh) activate use_comm_axes around the first
+# call of their jitted function.
+_COMM_AXES = ROW_AXIS
+
+
+def comm_axes():
+    return _COMM_AXES
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def use_comm_axes(axes):
+    global _COMM_AXES
+    old = _COMM_AXES
+    _COMM_AXES = axes
+    try:
+        yield
+    finally:
+        _COMM_AXES = old
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -231,8 +255,8 @@ def halo_exchange(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
 
     Reference: ParComm::communicate (core/comm_pkg.hpp:631-652)."""
     send = x[A.send_idx]  # [S, Q]
-    recv = jax.lax.all_to_all(send, ROW_AXIS, split_axis=0, concat_axis=0,
-                              tiled=True)
+    recv = jax.lax.all_to_all(send, comm_axes(), split_axis=0,
+                              concat_axis=0, tiled=True)
     return recv.reshape(-1)[A.halo_src]
 
 
@@ -243,7 +267,7 @@ def halo_exchange_T(A: DeviceParCSR, halo_vals: jnp.ndarray,
 
     Reference: ParComm::communicate_T (core/comm_pkg.hpp:756-800)."""
     buf = halo_vals[A.slot_to_halo] * A.recv_mask  # [S, Q]
-    back = jax.lax.all_to_all(buf, ROW_AXIS, split_axis=0, concat_axis=0,
+    back = jax.lax.all_to_all(buf, comm_axes(), split_axis=0, concat_axis=0,
                               tiled=True)
     back = back * A.send_mask
     return jnp.zeros(n_out, dtype=halo_vals.dtype).at[
@@ -293,7 +317,7 @@ def residual_shard(A: DeviceParCSR, x: jnp.ndarray,
 
 def dot_shard(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Global inner product (par_vector.cpp:101): local dot + psum."""
-    return jax.lax.psum(jnp.vdot(x, y), ROW_AXIS)
+    return jax.lax.psum(jnp.vdot(x, y), comm_axes())
 
 
 def norm_shard(x: jnp.ndarray) -> jnp.ndarray:
@@ -302,10 +326,10 @@ def norm_shard(x: jnp.ndarray) -> jnp.ndarray:
 
 # --- jitted global entry points ----------------------------------------------
 
-def leaf_specs(tree):
-    """P(ROW_AXIS, None, ...) spec for every array leaf of a pytree."""
+def leaf_specs(tree, axes=ROW_AXIS):
+    """P(axes, None, ...) spec for every array leaf of a pytree."""
     return jax.tree.map(
-        lambda l: P(ROW_AXIS, *([None] * (jnp.ndim(l) - 1))), tree)
+        lambda l: P(axes, *([None] * (jnp.ndim(l) - 1))), tree)
 
 
 def run_sharded(mesh: Mesh, shard_fn, args, out_specs):

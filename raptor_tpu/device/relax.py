@@ -184,11 +184,18 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
 
 # --- shard-level smoother kernels ---------------------------------------------
 
+def _halo(A, x, T=None):
+    if T is not None:
+        from raptor_tpu.comm.tap import tap_halo_exchange
+        return tap_halo_exchange(T, x)
+    return halo_exchange(A, x)
+
+
 def jacobi_shard(A: DeviceParCSR, RX: DeviceRelax, x, b, num_sweeps: int,
-                 omega: float):
+                 omega: float, T=None):
     """Hybrid Jacobi (jacobi_helper, par_relax.cpp:121-172)."""
     def sweep(_, x):
-        dist = halo_exchange(A, x)
+        dist = _halo(A, x, T)
         row_sum = (ell_spmv(RX.l_cols, RX.l_vals, x)
                    + ell_spmv(RX.u_cols, RX.u_vals, x)
                    + ell_spmv(A.off_cols, A.off_vals, dist))
@@ -241,19 +248,19 @@ def sor_backward_shard(A: DeviceParCSR, RX: DeviceRelax, x, y, dist, omega):
                       RX.n_bwd_levels, backward_form=True)
 
 
-def sor_shard(A, RX, x, b, num_sweeps: int, omega: float):
+def sor_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
     """sor_helper (par_relax.cpp:174-186)."""
     def sweep(_, x):
-        dist = halo_exchange(A, x)
+        dist = _halo(A, x, T)
         return sor_forward_shard(A, RX, x, b, dist, omega)
     return jax.lax.fori_loop(0, num_sweeps, sweep, x)
 
 
-def ssor_shard(A, RX, x, b, num_sweeps: int, omega: float):
+def ssor_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
     """ssor_helper (par_relax.cpp:189-200): one halo exchange, then
     forward + backward sweeps with the same frozen halo."""
     def sweep(_, x):
-        dist = halo_exchange(A, x)
+        dist = _halo(A, x, T)
         x = sor_forward_shard(A, RX, x, b, dist, omega)
         x = sor_backward_shard(A, RX, x, b, dist, omega)
         return x

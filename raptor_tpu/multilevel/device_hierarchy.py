@@ -37,6 +37,10 @@ class DeviceLevel(NamedTuple):
     RX: DeviceRelax
     P: Optional[DeviceParCSR]    # None on the coarsest level
     Pt: Optional[DeviceParCSR]
+    # topology-aware exchange plans (None unless tap_amg <= level)
+    TA: Optional[object] = None
+    TP: Optional[object] = None
+    TPt: Optional[object] = None
 
 
 class SolveResult(NamedTuple):
@@ -57,19 +61,40 @@ class DeviceHierarchy:
         self.solve_tol = ml.solve_tol
         self.max_iterations = ml.max_iterations
 
+        # topology-aware comm for levels >= tap_amg (reference knob
+        # par_multilevel.hpp:88; needs a 2-D (host, local) mesh)
+        self.tap_amg = getattr(ml, "tap_amg", -1)
+        if self.tap_amg >= 0:
+            assert len(mesh.axis_names) == 2, \
+                "tap_amg needs a 2-D (host, local) mesh (make_mesh2)"
+            H, L = mesh.devices.shape
         levels = []
         for i, lvl in enumerate(ml.levels):
+            tap_level = 0 <= self.tap_amg <= i
             dA = device_put_matrix(lvl.A, mesh, dtype=dtype,
                                    lane_pad=lane_pad)
             dRX = build_relax(lvl.A, mesh, dA, dtype=dtype)
+            TA = TP = TPt = None
+            if tap_level:
+                from raptor_tpu.comm.tap import build_tap_plan, device_put_tap
+                TA = device_put_tap(build_tap_plan(lvl.A, H, L), mesh,
+                                    dtype=dtype)
             if lvl.P is not None:
                 dP = device_put_matrix(lvl.P, mesh, dtype=dtype,
                                        lane_pad=lane_pad)
-                dPt = device_put_matrix(lvl.P.transpose(), mesh, dtype=dtype,
+                pt = lvl.P.transpose()
+                dPt = device_put_matrix(pt, mesh, dtype=dtype,
                                         lane_pad=lane_pad)
+                if tap_level:
+                    from raptor_tpu.comm.tap import (
+                        build_tap_plan, device_put_tap)
+                    TP = device_put_tap(build_tap_plan(lvl.P, H, L), mesh,
+                                        dtype=dtype)
+                    TPt = device_put_tap(build_tap_plan(pt, H, L), mesh,
+                                         dtype=dtype)
             else:
                 dP = dPt = None
-            levels.append(DeviceLevel(dA, dRX, dP, dPt))
+            levels.append(DeviceLevel(dA, dRX, dP, dPt, TA, TP, TPt))
         self.levels: Tuple[DeviceLevel, ...] = tuple(levels)
 
         # redundant coarse LU, replicated on every shard
@@ -94,14 +119,21 @@ class DeviceHierarchy:
         self._solve_jit = None
 
     # --- shard-level building blocks ------------------------------------------
-    def _relax(self, A, RX, x, b):
+    def _relax(self, A, RX, x, b, T=None):
         return RELAX_FNS[self.relax_kind](A, RX, x, b,
                                           self.num_smooth_sweeps,
-                                          self.relax_weight)
+                                          self.relax_weight, T)
+
+    @staticmethod
+    def _spmv(A, T, x):
+        if T is not None:
+            from raptor_tpu.device.tap_ops import tap_spmv_shard
+            return tap_spmv_shard(A, T, x)
+        return spmv_shard(A, x)
 
     def _coarse_solve(self, lu, piv, coarse_take, row_mask, b):
         """all_gather + replicated dense solve (par_multilevel.hpp:347-369)."""
-        ball = jax.lax.all_gather(b, ROW_AXIS)          # [S, Rc]
+        ball = jax.lax.all_gather(b, dpar.comm_axes())  # [S, Rc]
         bvec = ball.reshape(-1)[self.gather_idx]        # [n_c]
         y = jax.scipy.linalg.lu_solve((lu, piv), bvec)
         return y[coarse_take] * row_mask
@@ -109,19 +141,22 @@ class DeviceHierarchy:
     def vcycle_shard(self, levels, lu, piv, coarse_take, x, b,
                      level: int = 0):
         """One V-cycle on shard-local vectors (par_multilevel.hpp:335-459)."""
-        A, RX, Pmat, Pt = levels[level]
+        A, RX, Pmat, Pt, TA, TP, TPt = levels[level]
         if level == len(levels) - 1:
             return self._coarse_solve(lu, piv, coarse_take, A.row_mask, b)
-        x = self._relax(A, RX, x, b)
-        r = b - spmv_shard(A, x)
-        bc = spmv_shard(Pt, r)                  # restriction
+        x = self._relax(A, RX, x, b, TA)
+        r = b - self._spmv(A, TA, x)
+        bc = self._spmv(Pt, TPt, r)             # restriction
         # mark the zero initial guess as mesh-varying so loop carries type-check
+        from raptor_tpu.device.par import comm_axes
+        ax = comm_axes()
+        ax = (ax,) if isinstance(ax, str) else ax
         xc = jax.lax.pcast(jnp.zeros(Pt.rows_pad, dtype=b.dtype),
-                           (ROW_AXIS,), to="varying")
+                           ax, to="varying")
         xc = self.vcycle_shard(levels, lu, piv, coarse_take, xc, bc,
                                level + 1)
-        x = x + spmv_shard(Pmat, xc)            # prolongation append
-        x = self._relax(A, RX, x, b)
+        x = x + self._spmv(Pmat, TP, xc)        # prolongation append
+        x = self._relax(A, RX, x, b, TA)
         return x
 
     def solve_shard(self, levels, lu, piv, coarse_take, x, b):
@@ -134,7 +169,7 @@ class DeviceHierarchy:
             n = jnp.sqrt(dot_shard(r, r))
             return jnp.where(jnp.abs(b_norm) > zero_tol, n / b_norm, n)
 
-        r_norm = rel_norm(b - spmv_shard(levels[0].A, x))
+        r_norm = rel_norm(b - self._spmv(levels[0].A, levels[0].TA, x))
         res_hist = jnp.full(max_iter + 1, -1.0, dtype=b.dtype
                             ).at[0].set(r_norm)
 
@@ -145,7 +180,7 @@ class DeviceHierarchy:
         def body(state):
             x, r_norm, k, res = state
             x = self.vcycle_shard(levels, lu, piv, coarse_take, x, b)
-            r_norm = rel_norm(b - spmv_shard(levels[0].A, x))
+            r_norm = rel_norm(b - self._spmv(levels[0].A, levels[0].TA, x))
             k = k + 1
             res = res.at[k].set(r_norm)
             return x, r_norm, k, res
@@ -159,6 +194,7 @@ class DeviceHierarchy:
         """x, b: sharded [S, R] device vectors (see vectors())."""
         if self._solve_jit is None:
             mesh = self.mesh
+            ax = dpar._leading_axes(mesh)
 
             def run(levels, lu, piv, coarse_take, x, b):
                 def bodyfn(levels, lu, piv, coarse_take, x, b):
@@ -168,17 +204,17 @@ class DeviceHierarchy:
                                                   x[0], b[0])
                     return xo[None], res, k
 
-                in_specs = (dpar.leaf_specs(levels), P(), P(),
-                            P(ROW_AXIS, None), P(ROW_AXIS, None),
-                            P(ROW_AXIS, None))
+                in_specs = (dpar.leaf_specs(levels, ax), P(), P(),
+                            P(ax, None), P(ax, None), P(ax, None))
                 return jax.shard_map(
                     bodyfn, mesh=mesh, in_specs=in_specs,
-                    out_specs=(P(ROW_AXIS, None), P(), P()))(
+                    out_specs=(P(ax, None), P(), P()))(
                         levels, lu, piv, coarse_take, x, b)
 
             self._solve_jit = jax.jit(run)
-        x, res, k = self._solve_jit(self.levels, self.lu, self.piv,
-                                    self.coarse_take, x, b)
+        with dpar.use_comm_axes(dpar._leading_axes(self.mesh)):
+            x, res, k = self._solve_jit(self.levels, self.lu, self.piv,
+                                        self.coarse_take, x, b)
         return SolveResult(x, res, k)
 
     # --- use as a Krylov preconditioner ----------------------------------------
@@ -186,8 +222,9 @@ class DeviceHierarchy:
         """(data, in_specs, strip, apply) for passing one V-cycle as a
         preconditioner into the Krylov solvers (PCG par_cg.cpp:121,
         Pre_BiCGStab par_bicgstab.cpp:240)."""
+        ax = dpar._leading_axes(self.mesh)
         data = (self.levels, self.lu, self.piv, self.coarse_take)
-        specs = (dpar.leaf_specs(self.levels), P(), P(), P(ROW_AXIS, None))
+        specs = (dpar.leaf_specs(self.levels, ax), P(), P(), P(ax, None))
 
         def strip(d):
             levels, lu, piv, ct = d

@@ -1,0 +1,41 @@
+"""TAP-enabled AMG (tap_amg knob): node-aware exchange through the whole
+V-cycle must reproduce the plain-comm solve exactly
+(ruge_stuben/tests/test_tap_ruge_stuben.cpp pattern)."""
+
+import numpy as np
+
+from raptor_tpu.core.types import CoarsenType, InterpType
+from raptor_tpu.device import par as dpar
+from raptor_tpu.gallery.stencils import diffusion_stencil_2d, par_stencil_grid
+from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+
+def test_tap_amg_matches_plain():
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (25, 25), 8)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP, InterpType.ModClassical)
+    ml.setup(A)
+    bh = A.mult(np.ones(A.global_num_rows))
+
+    # plain comm on a 1-D mesh
+    mesh1 = dpar.make_mesh(8)
+    dh1 = DeviceHierarchy(ml, mesh1)
+    r1 = dh1.solve(dh1.vector(np.zeros_like(bh)), dh1.vector(bh))
+
+    # TAP comm from level 0 on a 2x4 (host, local) mesh
+    ml.tap_amg = 0
+    mesh2 = dpar.make_mesh2(2, 4)
+    dh2 = DeviceHierarchy(ml, mesh2)
+    r2 = dh2.solve(dh2.vector(np.zeros_like(bh)), dh2.vector(bh))
+
+    assert int(r1.n_iters) == int(r2.n_iters)
+    n = int(r1.n_iters) + 1
+    np.testing.assert_allclose(np.asarray(r1.res[:n]),
+                               np.asarray(r2.res[:n]), rtol=1e-12)
+    np.testing.assert_allclose(dh1.host(r1.x), dh2.host(r2.x), atol=1e-10)
+
+    # tap from level 1 only (mixed plain/TAP hierarchy)
+    ml.tap_amg = 1
+    dh3 = DeviceHierarchy(ml, mesh2)
+    r3 = dh3.solve(dh3.vector(np.zeros_like(bh)), dh3.vector(bh))
+    assert int(r3.n_iters) == int(r1.n_iters)
