@@ -43,6 +43,10 @@ class RelaxType(enum.Enum):
     Jacobi = 0
     SOR = 1
     SSOR = 2
+    # TPU-native additions: multicolor Gauss-Seidel (a few fully-parallel
+    # color steps instead of sequential wavefronts; not in the reference)
+    MCSOR = 3
+    MCSSOR = 4
 
 
 # CF-splitting state constants (reference: core/types.hpp:29-35).

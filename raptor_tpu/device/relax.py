@@ -48,6 +48,27 @@ def _split_ldu(a: CSRMatrix) -> Tuple[np.ndarray, CSRMatrix, CSRMatrix]:
     return diag, CSRMatrix.from_scipy(lower), CSRMatrix.from_scipy(upper)
 
 
+def _greedy_coloring(a: CSRMatrix) -> np.ndarray:
+    """Greedy graph coloring of the symmetrized on_proc pattern (smallest
+    available color in row order). Stencil blocks need only a few colors —
+    the multicolor GS sweep is then a handful of fully-parallel steps."""
+    import scipy.sparse as sp
+    m = a.to_scipy()
+    sym = (m + m.T).tocsr()
+    sym.sort_indices()
+    n = a.n_rows
+    colors = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        nb = sym.indices[sym.indptr[i]:sym.indptr[i + 1]]
+        used = set(colors[nb[nb < i]].tolist()) | (
+            set(colors[nb].tolist()) - {-1})
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = c
+    return colors
+
+
 def _level_schedule(tri: CSRMatrix, reverse: bool) -> List[np.ndarray]:
     """Group rows into dependency levels of a triangular solve.
 
@@ -73,8 +94,9 @@ def _level_schedule(tri: CSRMatrix, reverse: bool) -> List[np.ndarray]:
     data_fields=["diag", "inv_diag", "has_diag", "u_cols", "u_vals",
                  "l_cols", "l_vals",
                  "fwd_rows", "fwd_mask", "fwd_cols", "fwd_vals",
-                 "bwd_rows", "bwd_mask", "bwd_cols", "bwd_vals"],
-    meta_fields=["n_fwd_levels", "n_bwd_levels"],
+                 "bwd_rows", "bwd_mask", "bwd_cols", "bwd_vals",
+                 "color_mask"],
+    meta_fields=["n_fwd_levels", "n_bwd_levels", "n_colors"],
 )
 @dataclasses.dataclass
 class DeviceRelax:
@@ -96,8 +118,11 @@ class DeviceRelax:
     bwd_mask: jnp.ndarray
     bwd_cols: jnp.ndarray
     bwd_vals: jnp.ndarray
+    # greedy graph coloring for multicolor GS: [S, NC, R] one-hot per color
+    color_mask: jnp.ndarray
     n_fwd_levels: int
     n_bwd_levels: int
+    n_colors: int
 
 
 def _schedule_arrays(tri: CSRMatrix, levels: List[np.ndarray],
@@ -126,11 +151,14 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
     R = dA.rows_pad
 
     per_shard = []
+    colorings = []
     for blk in shards:
         diag, low, up = _split_ldu(blk.on_proc)
         fl = _level_schedule(low, reverse=False)
         bl = _level_schedule(up, reverse=True)
         per_shard.append((diag, low, up, fl, bl))
+        colorings.append(_greedy_coloring(blk.on_proc))
+    NC = max(1, max(int(c.max()) + 1 if len(c) else 1 for c in colorings))
 
     NLf = max(len(p[3]) for p in per_shard)
     NLb = max(len(p[4]) for p in per_shard)
@@ -155,6 +183,9 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
     b_mask = np.zeros((S, NLb, Mb))
     b_cols = np.zeros((S, NLb, Mb, Wu), dtype=np.int32)
     b_vals = np.zeros((S, NLb, Mb, Wu))
+    color_mask = np.zeros((S, NC, R))
+    for s_i, c in enumerate(colorings):
+        color_mask[s_i, c, np.arange(len(c))] = 1.0
 
     for s, (diag, low, up, fl, bl) in enumerate(per_shard):
         n = len(diag)
@@ -178,7 +209,8 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
         fwd_cols=puti(f_cols), fwd_vals=put(f_vals),
         bwd_rows=puti(b_rows), bwd_mask=put(b_mask),
         bwd_cols=puti(b_cols), bwd_vals=put(b_vals),
-        n_fwd_levels=NLf, n_bwd_levels=NLb,
+        color_mask=put(color_mask),
+        n_fwd_levels=NLf, n_bwd_levels=NLb, n_colors=NC,
     )
 
 
@@ -267,10 +299,47 @@ def ssor_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
     return jax.lax.fori_loop(0, num_sweeps, sweep, x)
 
 
+def _mc_color_step(A, RX, x, b, dist, omega, c):
+    """Update rows of color c with the latest x (standard multicolor GS)."""
+    from raptor_tpu.device.par import on_spmv_shard
+    row_sum = (on_spmv_shard(A, x) - RX.diag * x
+               + ell_spmv(A.off_cols, A.off_vals, dist))
+    upd = (1.0 - omega) * x + omega * (b - row_sum) * RX.inv_diag
+    m = RX.color_mask[c] * RX.has_diag
+    return jnp.where(m > 0, upd, x)
+
+
+def mc_sor_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
+    """Multicolor Gauss-Seidel (TPU-native; n_colors fully-parallel steps
+    per sweep instead of the sequential wavefront schedule)."""
+    def sweep(_, x):
+        dist = _halo(A, x, T)
+        return jax.lax.fori_loop(
+            0, RX.n_colors,
+            lambda c, x: _mc_color_step(A, RX, x, b, dist, omega, c), x)
+    return jax.lax.fori_loop(0, num_sweeps, sweep, x)
+
+
+def mc_ssor_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
+    def sweep(_, x):
+        dist = _halo(A, x, T)
+        x = jax.lax.fori_loop(
+            0, RX.n_colors,
+            lambda c, x: _mc_color_step(A, RX, x, b, dist, omega, c), x)
+        x = jax.lax.fori_loop(
+            0, RX.n_colors,
+            lambda c, x: _mc_color_step(A, RX, x, b, dist, omega,
+                                        RX.n_colors - 1 - c), x)
+        return x
+    return jax.lax.fori_loop(0, num_sweeps, sweep, x)
+
+
 RELAX_FNS = {
     "jacobi": jacobi_shard,
     "sor": sor_shard,
     "ssor": ssor_shard,
+    "mc_sor": mc_sor_shard,
+    "mc_ssor": mc_ssor_shard,
 }
 
 

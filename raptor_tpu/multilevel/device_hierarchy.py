@@ -29,7 +29,8 @@ from raptor_tpu.device.relax import (
 from raptor_tpu.multilevel.par_multilevel import ParMultilevel
 
 RELAX_NAME = {RelaxType.Jacobi: "jacobi", RelaxType.SOR: "sor",
-              RelaxType.SSOR: "ssor"}
+              RelaxType.SSOR: "ssor", RelaxType.MCSOR: "mc_sor",
+              RelaxType.MCSSOR: "mc_ssor"}
 
 
 class DeviceLevel(NamedTuple):
