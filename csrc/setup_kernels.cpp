@@ -364,3 +364,194 @@ i64 aggregate(i64 n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Mark A's entry positions that appear in S's off-diagonal pattern
+// (both CSR, sorted; S pattern subset of A pattern).
+void mark_strong(i64 n,
+                 const i64* a_indptr, const i64* a_indices,
+                 const i64* s_indptr, const i64* s_indices,
+                 i64* strong) {
+    for (i64 i = 0; i < n; i++) {
+        i64 aj = a_indptr[i];
+        for (i64 sj = s_indptr[i]; sj < s_indptr[i + 1]; sj++) {
+            i64 sc = s_indices[sj];
+            if (sc == i) continue;
+            while (a_indices[aj] != sc) aj++;
+            strong[aj] = 1;
+        }
+    }
+}
+
+// Modified classical interpolation (interpolation.cpp:206-441 semantics;
+// bit-identical to the Python implementation in
+// raptor_tpu/ruge_stuben/interpolation.py). Outputs triplets with ORIGINAL
+// column ids; caller maps to coarse indices. Buffers sized >= a_nnz + n.
+i64 mod_classical_interp(i64 n,
+                         const i64* a_indptr, const i64* a_indices,
+                         const double* a_data,
+                         const i64* strong, const i64* states,
+                         const i64* variables, i64 num_variables,
+                         i64* out_rows, i64* out_cols, double* out_vals) {
+    const double ZERO_TOL = 1e-16;
+    std::vector<double> weak_sums(n, 0.0);
+    std::vector<double> sign(n, 1.0);
+    for (i64 i = 0; i < n; i++) {
+        double diag = 0.0;
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++)
+            if (a_indices[j] == i) { diag = a_data[j]; break; }
+        weak_sums[i] = diag;
+        if (diag < 0) sign[i] = -1.0;
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 c = a_indices[j];
+            if (c == i || strong[j]) continue;
+            if (num_variables == 1 || variables[i] == variables[c])
+                weak_sums[i] += a_data[j];
+        }
+    }
+
+    std::vector<i64> pos(n, -1), stamp(n, -1);
+    i64 nnz = 0;
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] == SELECTED) {
+            out_rows[nnz] = i; out_cols[nnz] = i; out_vals[nnz++] = 1.0;
+            continue;
+        }
+        i64 row_start = nnz;
+        // strong-C entries seed the row pattern with A's values
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 c = a_indices[j];
+            if (!strong[j] || states[c] != SELECTED) continue;
+            pos[c] = nnz; stamp[c] = i;
+            out_rows[nnz] = i; out_cols[nnz] = c; out_vals[nnz++] = a_data[j];
+        }
+        double weak_sum = weak_sums[i];
+        double sgn = sign[i];
+        // distribute strong-F values over shared coarse entries
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 col = a_indices[j];
+            if (!strong[j] || states[col] != UNSELECTED) continue;
+            double cs = 0.0;
+            for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                i64 ck = a_indices[k];
+                if (ck == col || states[ck] != SELECTED) continue;
+                double v = a_data[k];
+                if (stamp[ck] == i && v * sgn < 0) cs += v;
+            }
+            if (cs < ZERO_TOL && cs > -ZERO_TOL) {
+                weak_sum += a_data[j];
+            } else {
+                double ratio = a_data[j] / cs;
+                for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                    i64 ck = a_indices[k];
+                    if (ck == col || states[ck] != SELECTED) continue;
+                    double v = a_data[k];
+                    if (stamp[ck] == i && v * sgn < 0)
+                        out_vals[pos[ck]] += ratio * v;
+                }
+            }
+        }
+        for (i64 t = row_start; t < nnz; t++) out_vals[t] /= -weak_sum;
+    }
+    return nnz;
+}
+
+// Extended+i interpolation (interpolation.cpp:9-205 semantics; matches the
+// Python implementation). Buffers sized by the caller (dist-2 pattern).
+i64 extended_interp(i64 n,
+                    const i64* a_indptr, const i64* a_indices,
+                    const double* a_data,
+                    const i64* strong, const i64* states,
+                    const i64* variables, i64 num_variables,
+                    i64* out_rows, i64* out_cols, double* out_vals) {
+    const double ZERO_TOL = 1e-16;
+    std::vector<double> diag(n, 0.0);
+    for (i64 i = 0; i < n; i++)
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++)
+            if (a_indices[j] == i) { diag[i] = a_data[j]; break; }
+
+    std::vector<i64> pos(n, -1), stamp(n, -1);
+    i64 nnz = 0;
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] == SELECTED) {
+            out_rows[nnz] = i; out_cols[nnz] = i; out_vals[nnz++] = 1.0;
+            continue;
+        }
+        i64 row_start = nnz;
+        // pattern: strong C of i, plus strong C of strong F neighbors
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 col = a_indices[j];
+            if (!strong[j]) continue;
+            if (states[col] == SELECTED) {
+                if (stamp[col] != i) {
+                    pos[col] = nnz; stamp[col] = i;
+                    out_rows[nnz] = i; out_cols[nnz] = col;
+                    out_vals[nnz++] = a_data[j];
+                } else {
+                    out_vals[pos[col]] = a_data[j];
+                }
+            } else if (states[col] == UNSELECTED) {
+                // strong entries of row col (need the strong[] flags of that
+                // row: scan A row col against its own strong flags)
+                for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                    i64 ck = a_indices[k];
+                    if (!strong[k] || states[ck] != SELECTED) continue;
+                    if (stamp[ck] != i) {
+                        pos[ck] = nnz; stamp[ck] = i;
+                        out_rows[nnz] = i; out_cols[nnz] = ck;
+                        out_vals[nnz++] = 0.0;
+                    }
+                }
+            }
+        }
+        i64 row_end = nnz;
+        // weak sum: diag + entries neither strong nor in the pattern
+        double weak_sum = diag[i];
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 col = a_indices[j];
+            if (col == i || strong[j]) continue;
+            if (states[col] == UNSELECTED || stamp[col] != i) {
+                if (num_variables == 1 || variables[i] == variables[col])
+                    weak_sum += a_data[j];
+            }
+        }
+        // distribute strong-F values (+i term)
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 col = a_indices[j];
+            if (!strong[j] || states[col] != UNSELECTED) continue;
+            double sgn = diag[col] < 0 ? -1.0 : 1.0;
+            double cs = 0.0;
+            for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                i64 ck = a_indices[k];
+                if ((stamp[ck] == i && pos[ck] >= row_start) || ck == i) {
+                    double v = a_data[k];
+                    if (v * sgn < 0) cs += v;
+                }
+            }
+            double coarse_sum;
+            if (cs < ZERO_TOL && cs > -ZERO_TOL) {
+                weak_sum += a_data[j];
+                coarse_sum = cs;  // reference keeps the tiny raw value
+            } else {
+                coarse_sum = a_data[j] / cs;
+            }
+            for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                i64 ck = a_indices[k];
+                if (ck == col) continue;
+                double v = a_data[k];
+                if (states[ck] == SELECTED) {
+                    if (v * sgn < 0 && stamp[ck] == i)
+                        out_vals[pos[ck]] += coarse_sum * v;
+                } else if (ck == i) {
+                    weak_sum += coarse_sum * v;
+                }
+            }
+        }
+        for (i64 t = row_start; t < row_end; t++)
+            out_vals[t] /= -weak_sum;
+    }
+    return nnz;
+}
+
+}  // extern "C"

@@ -1,7 +1,7 @@
 """AMG setup + solve benchmark (examples/benchmark_setup.cpp,
 benchmark_solve.cpp, benchmark_amg.cpp equivalents).
 
-Run: python examples/benchmark_amg.py [grid_n] [n_shards] [f32|f64]
+Run: python examples/benchmark_amg.py [grid_n] [n_shards] [f32|f64] [relax]
 """
 
 import sys
@@ -32,8 +32,10 @@ def main():
                              n_shards)
         b = A.mult(np.ones(A.global_num_rows))
 
+    relax = (RelaxType[sys.argv[4]] if len(sys.argv) > 4
+             else RelaxType.SOR)
     ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP, InterpType.ModClassical,
-                             relax_type=RelaxType.SOR)
+                             relax_type=relax)
     if dtype == jnp.float32:
         ml.solve_tol = 1e-5
     with prof.phase("setup(host)"):

@@ -52,7 +52,11 @@ class SolveResult(NamedTuple):
 
 class DeviceHierarchy:
     def __init__(self, ml: ParMultilevel, mesh, dtype=jnp.float64,
-                 lane_pad: int = 1):
+                 lane_pad: int = None):
+        if lane_pad is None:
+            # 128-lane alignment on TPU enables the Pallas DIA kernel and
+            # clean tiling; 1 keeps CPU-mesh tests small
+            lane_pad = 128 if jax.devices()[0].platform == "tpu" else 1
         self.mesh = mesh
         self.dtype = dtype
         self.ml = ml

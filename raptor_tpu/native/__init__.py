@@ -64,6 +64,13 @@ def load():
         lib.aggregate.argtypes = ([ctypes.c_int64] + [I64] * 4
                                   + [F64, I64, F64, I64])
         lib.aggregate.restype = ctypes.c_int64
+        lib.mark_strong.argtypes = [ctypes.c_int64] + [I64] * 5
+        interp_args = ([ctypes.c_int64, I64, I64, F64, I64, I64, I64,
+                        ctypes.c_int64, I64, I64, F64])
+        lib.mod_classical_interp.argtypes = interp_args
+        lib.mod_classical_interp.restype = ctypes.c_int64
+        lib.extended_interp.argtypes = interp_args
+        lib.extended_interp.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -132,3 +139,48 @@ def aggregate(s_indptr, s_indices, a_indptr, a_indices, a_data, states, r,
                          _p(a_indptr, I64), _p(a_indices, I64),
                          _p(a_data, F64), _p(states, I64), _p(r, F64),
                          _p(aggregates, I64))
+
+
+def mark_strong(a_indptr, a_indices, s_indptr, s_indices, n):
+    lib = load()
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    s_indptr, s_indices = _c(s_indptr), _c(s_indices)
+    strong = np.zeros(len(a_indices), dtype=np.int64)
+    lib.mark_strong(n, _p(a_indptr, I64), _p(a_indices, I64),
+                    _p(s_indptr, I64), _p(s_indices, I64), _p(strong, I64))
+    return strong
+
+
+def _interp(fn, a_indptr, a_indices, a_data, strong, states, variables,
+            num_variables, bound):
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    a_data = np.ascontiguousarray(a_data, dtype=np.float64)
+    strong, states = _c(strong), _c(states)
+    n = len(a_indptr) - 1
+    if variables is None:
+        variables = np.zeros(1, dtype=np.int64)
+        num_variables = 1
+    else:
+        variables = _c(variables)
+    rows = np.zeros(bound, dtype=np.int64)
+    cols = np.zeros(bound, dtype=np.int64)
+    vals = np.zeros(bound, dtype=np.float64)
+    nnz = fn(n, _p(a_indptr, I64), _p(a_indices, I64), _p(a_data, F64),
+             _p(strong, I64), _p(states, I64), _p(variables, I64),
+             num_variables, _p(rows, I64), _p(cols, I64), _p(vals, F64))
+    return rows[:nnz], cols[:nnz], vals[:nnz]
+
+
+def mod_classical_interp(a_indptr, a_indices, a_data, strong, states,
+                         variables, num_variables):
+    lib = load()
+    bound = len(a_indices) + len(a_indptr)
+    return _interp(lib.mod_classical_interp, a_indptr, a_indices, a_data,
+                   strong, states, variables, num_variables, bound)
+
+
+def extended_interp(a_indptr, a_indices, a_data, strong, states,
+                    variables, num_variables, bound):
+    lib = load()
+    return _interp(lib.extended_interp, a_indptr, a_indices, a_data,
+                   strong, states, variables, num_variables, bound)

@@ -31,6 +31,10 @@ def _coarse_map(states):
 def _mark_strong(am, sm) -> np.ndarray:
     """Boolean mask over A's data positions that appear in S's pattern
     (both CSR, sorted indices). S's pattern must be a subset of A's."""
+    from raptor_tpu import native
+    if native.available():
+        return native.mark_strong(am.indptr, am.indices, sm.indptr,
+                                  sm.indices, am.shape[0]).astype(bool)
     strong_mask = np.zeros(len(am.indices), dtype=bool)
     for i in range(am.shape[0]):
         srow = sm.indices[sm.indptr[i]:sm.indptr[i + 1]]
@@ -133,6 +137,18 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
     # SS: strong & Selected; SU: strong & Unselected; NS: weak & Selected.
     # weak_sum[i] = diag + weak same-variable entries.
     strong_mask = _mark_strong(am, sm)
+
+    from raptor_tpu import native
+    if native.available():
+        import scipy.sparse as sp
+        rows, cols, vals = native.mod_classical_interp(
+            am.indptr, am.indices, am.data, strong_mask.astype(np.int64),
+            np.asarray(states, dtype=np.int64), variables, num_variables)
+        p = sp.csr_matrix((vals, (rows, col_to_new[cols])),
+                          shape=(n, n_coarse))
+        p.sum_duplicates()
+        p.sort_indices()
+        return CSRMatrix.from_scipy(p)
 
     rows_all = np.repeat(np.arange(n), np.diff(a_indptr))
     is_diag = a_indices == rows_all
@@ -239,6 +255,26 @@ def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
     sm = s.to_scipy()
     sm.sort_indices()
     strong_mask = _mark_strong(am, sm)
+
+    from raptor_tpu import native
+    if native.available():
+        sm_strong = strong_mask.astype(np.int64)
+        # dist-2 pattern bound: C rows + per-F-row (own strong + strong of
+        # strong-F neighbors)
+        rows_all = np.repeat(np.arange(n), np.diff(a_indptr))
+        s_cnt = np.bincount(rows_all[strong_mask], minlength=n)
+        strong_f = strong_mask & (states[a_indices] == F)
+        bound = int(n + s_cnt.sum() + s_cnt[a_indices[strong_f]].sum()) + 1
+        rows, cols, vals = native.extended_interp(
+            a_indptr, a_indices, a_data, sm_strong,
+            np.asarray(states, dtype=np.int64), variables, num_variables,
+            bound)
+        p = sp.csr_matrix((vals, (rows, col_to_new[cols])),
+                          shape=(n, n_coarse))
+        p.sum_duplicates()
+        p.sort_indices()
+        return CSRMatrix.from_scipy(p)
+
     scoo = am.tocoo()
     s_off = sp.csr_matrix(
         (a_data[strong_mask], (scoo.row[strong_mask],
