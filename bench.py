@@ -6,11 +6,14 @@ the SpMV is chained inside one jitted fori_loop and timed by the delta
 between a long and a short chain, synchronized by a scalar fetch (plain
 block_until_ready does not wait for remote completion on the axon relay).
 
+The 128^3 grid makes the diagonal values array (27 x 2M x 4B = 226 MB)
+far larger than VMEM, so the measurement reflects steady-state HBM
+streaming, not VMEM residency.
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 denominator is this chip's own streaming roofline, calibrated live with a
-same-footprint elementwise pass: SpMV in DIA form moves ~8 bytes/nnz
-(4B diagonal value + amortized x/b traffic in f32), so
-roofline = measured_stream_bandwidth / 8.
+same-footprint elementwise pass: DIA SpMV moves ~4 bytes/nnz of matrix
+values (+ amortized x/b traffic), so roofline = stream_bandwidth / 4.
 """
 
 import json
@@ -20,12 +23,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+N_LO, N_HI = 2, 102
+REPS = 5
+
 
 def _timed(fn, *args) -> float:
-    """Seconds for one call, synchronized via scalar fetch."""
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return time.perf_counter() - t0
+    """Best-of-REPS seconds for one call, synchronized via scalar fetch."""
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _per_iter(chain, *args) -> float:
+    # compile both chain lengths first
+    float(chain(*args, N_LO))
+    float(chain(*args, N_HI))
+    t_lo = _timed(chain, *args, N_LO)
+    t_hi = _timed(chain, *args, N_HI)
+    return max(1e-9, (t_hi - t_lo) / (N_HI - N_LO))
 
 
 def main():
@@ -34,7 +52,7 @@ def main():
         laplace_stencil_27pt, par_stencil_grid)
 
     n_dev = len(jax.devices())
-    grid = (64, 64, 64)
+    grid = (128, 128, 128)
     A = par_stencil_grid(laplace_stencil_27pt(), grid, n_dev)
     mesh = dpar.make_mesh(n_dev)
     dA = dpar.device_put_matrix(A, mesh, dtype=jnp.float32, lane_pad=128)
@@ -49,22 +67,15 @@ def main():
             return b / jnp.max(jnp.abs(b))
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
-    chain = jax.jit(chain_fn, static_argnums=2)
-    N_LO, N_HI = 2, 202
-    # compile both variants
-    _timed(chain, dA, x, N_LO)
-    _timed(chain, dA, x, N_HI)
-    t_lo = min(_timed(chain, dA, x, N_LO) for _ in range(2))
-    t_hi = min(_timed(chain, dA, x, N_HI) for _ in range(2))
-    per_spmv = max(1e-9, (t_hi - t_lo) / (N_HI - N_LO))
+    per_spmv = _per_iter(jax.jit(chain_fn, static_argnums=2), dA, x)
     nnz_s = A.nnz / per_spmv
 
-    # live stream-bandwidth calibration with the same footprint
+    # live stream-bandwidth calibration with the same value-array footprint
     K = len(dA.dia_offsets)
+    R = dA.rows_pad
     vals = jnp.asarray(
-        np.random.default_rng(1).random((K, dA.rows_pad)), jnp.float32)
-    xv = jnp.asarray(np.random.default_rng(2).random(dA.rows_pad),
-                     jnp.float32)
+        np.random.default_rng(1).random((K, R)), jnp.float32)
+    xv = jnp.asarray(np.random.default_rng(2).random(R), jnp.float32)
 
     def stream_fn(vals, xv, n):
         def body(_, xv):
@@ -72,17 +83,12 @@ def main():
             return y / jnp.max(jnp.abs(y))
         return jnp.sum(jax.lax.fori_loop(0, n, body, xv))
 
-    stream = jax.jit(stream_fn, static_argnums=2)
-    _timed(stream, vals, xv, N_LO)
-    _timed(stream, vals, xv, N_HI)
-    s_lo = min(_timed(stream, vals, xv, N_LO) for _ in range(2))
-    s_hi = min(_timed(stream, vals, xv, N_HI) for _ in range(2))
-    per_stream = max(1e-9, (s_hi - s_lo) / (N_HI - N_LO))
-    stream_bw = vals.size * 4 / per_stream          # B/s
-    roofline_nnz_s = stream_bw / 8.0
+    per_stream = _per_iter(jax.jit(stream_fn, static_argnums=2), vals, xv)
+    stream_bw = vals.size * vals.dtype.itemsize / per_stream   # B/s
+    roofline_nnz_s = stream_bw / 4.0
 
     print(json.dumps({
-        "metric": "spmv_nnz_per_s_laplacian27_64cubed_f32",
+        "metric": "spmv_nnz_per_s_laplacian27_128cubed_f32",
         "value": nnz_s,
         "unit": "nnz/s",
         "vs_baseline": nnz_s / roofline_nnz_s,

@@ -11,6 +11,7 @@
 // State constants follow core/types.hpp:29-35 (Selected=1, Unselected=0,
 // Unassigned=-1, NewSelection=3, TmpSelection=4, NewUnselection=2).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -552,6 +553,97 @@ i64 extended_interp(i64 n,
             out_vals[t] /= -weak_sum;
     }
     return nnz;
+}
+
+// glibc rand() TYPE_3 additive generator, bit-exact
+// (see raptor_tpu/utils/glibc_rand.py; reference seeds srand(2448422+row),
+// multilevel/par_multilevel.hpp:209-219). Writes n doubles rand()/RAND_MAX.
+void glibc_rand_doubles(i64 seed, i64 n, double* out) {
+    uint32_t r[34];
+    seed &= 0xFFFFFFFFu;
+    if (seed == 0) seed = 1;
+    int32_t word = (int32_t)seed;
+    r[0] = (uint32_t)word;
+    for (int i = 1; i < 31; i++) {
+        // Schrage's method on signed int32, matching glibc exactly
+        int32_t hi = word / 127773;
+        int32_t lo = word % 127773;
+        word = 16807 * lo - 2836 * hi;
+        if (word < 0) word += 2147483647;
+        r[i] = (uint32_t)word;
+    }
+    for (int i = 31; i < 34; i++) r[i] = r[i - 31];
+    // sliding window: value k appended = window[-31] + window[-3]
+    std::vector<uint32_t> ring(34 + 310 + (size_t)n);
+    std::memcpy(ring.data(), r, sizeof(r));
+    for (i64 k = 0; k < 310 + n; k++) {
+        uint32_t val = ring[3 + (size_t)k] + ring[31 + (size_t)k];
+        ring[34 + (size_t)k] = val;
+        if (k >= 310) out[k - 310] = (double)(val >> 1) / 2147483647.0;
+    }
+}
+
+// Gustavson SpGEMM with dense accumulator (util/linalg/matmult.cpp:90-157
+// semantics): per output row, accumulate a_ik * b_kj in k-ascending order
+// (bitwise-identical to the scipy path previously used), emit columns
+// sorted ascending, dropping |c_ij| <= zero_tol.
+//
+// Two-call protocol (output nnz is data-dependent): spgemm_compute fills
+// internal buffers and c_indptr, returns nnz; spgemm_fetch copies out.
+namespace {
+thread_local std::vector<i64> g_c_indices;
+thread_local std::vector<double> g_c_data;
+}
+
+i64 spgemm_compute(i64 n_rows, i64 n_cols_b,
+                   const i64* a_indptr, const i64* a_indices,
+                   const double* a_data,
+                   const i64* b_indptr, const i64* b_indices,
+                   const double* b_data,
+                   double zero_tol, i64* c_indptr) {
+    g_c_indices.clear();
+    g_c_data.clear();
+    std::vector<double> sums(n_cols_b, 0.0);
+    std::vector<i64> stamp(n_cols_b, -1);
+    std::vector<i64> touched;
+    touched.reserve(256);
+    c_indptr[0] = 0;
+    for (i64 i = 0; i < n_rows; i++) {
+        touched.clear();
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 k = a_indices[j];
+            double av = a_data[j];
+            for (i64 t = b_indptr[k]; t < b_indptr[k + 1]; t++) {
+                i64 c = b_indices[t];
+                if (stamp[c] != i) {
+                    stamp[c] = i;
+                    sums[c] = 0.0;
+                    touched.push_back(c);
+                }
+                sums[c] += av * b_data[t];
+            }
+        }
+        std::sort(touched.begin(), touched.end());
+        for (i64 c : touched) {
+            double v = sums[c];
+            if (v > zero_tol || v < -zero_tol) {
+                g_c_indices.push_back(c);
+                g_c_data.push_back(v);
+            }
+        }
+        c_indptr[i + 1] = (i64)g_c_indices.size();
+    }
+    return (i64)g_c_indices.size();
+}
+
+void spgemm_fetch(i64* c_indices, double* c_data) {
+    std::memcpy(c_indices, g_c_indices.data(),
+                g_c_indices.size() * sizeof(i64));
+    std::memcpy(c_data, g_c_data.data(), g_c_data.size() * sizeof(double));
+    g_c_indices.clear();
+    g_c_indices.shrink_to_fit();
+    g_c_data.clear();
+    g_c_data.shrink_to_fit();
 }
 
 }  // extern "C"

@@ -6,11 +6,20 @@ theta = 0.25).
 Run:  python examples/example.py [grid_n] [n_shards]
 """
 
+import os
 import sys
 
 import numpy as np
 
 import jax
+
+# the reference is double-precision throughout (core/types.hpp data_t);
+# enable x64 before any jax array is created
+jax.config.update("jax_enable_x64", True)
+# honor JAX_PLATFORMS=cpu even when the TPU plugin's sitecustomize
+# force-set the platform list (same override as tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
 
 from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
 from raptor_tpu.device import par as dpar

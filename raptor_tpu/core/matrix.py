@@ -58,6 +58,10 @@ class CSRMatrix:
     def nnz(self) -> int:
         return len(self.indices)
 
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
     def copy(self) -> "CSRMatrix":
         return CSRMatrix(self.n_rows, self.n_cols, self.indptr.copy(),
                          self.indices.copy(), self.data.copy())
@@ -66,11 +70,10 @@ class CSRMatrix:
     def sort(self) -> "CSRMatrix":
         """Sort column indices within each row (matrix.cpp:650-846).
         In-place; returns self."""
-        for i in range(self.n_rows):
-            s, e = self.indptr[i], self.indptr[i + 1]
-            order = np.argsort(self.indices[s:e], kind="stable")
-            self.indices[s:e] = self.indices[s:e][order]
-            self.data[s:e] = self.data[s:e][order]
+        rows = np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
+        order = np.lexsort((self.indices, rows))
+        self.indices = self.indices[order]
+        self.data = self.data[order]
         return self
 
     def canonicalize(self, drop_tol: Optional[float] = None) -> "CSRMatrix":
@@ -87,11 +90,9 @@ class CSRMatrix:
     def drop(self, tol: float = ZERO_TOL) -> "CSRMatrix":
         """Remove entries with |v| <= tol, keeping order."""
         keep = np.abs(self.data) > tol
-        counts = np.zeros(self.n_rows, dtype=np.int64)
-        rows = np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
-        np.add.at(counts, rows[keep], 1)
-        indptr = np.zeros(self.n_rows + 1, dtype=np.int64)
-        np.cumsum(counts, out=indptr[1:])
+        kept_before = np.concatenate(
+            ([0], np.cumsum(keep, dtype=np.int64)))
+        indptr = kept_before[self.indptr]
         return CSRMatrix(self.n_rows, self.n_cols, indptr,
                          self.indices[keep], self.data[keep])
 
@@ -112,7 +113,17 @@ class CSRMatrix:
 
     def multiply(self, other: "CSRMatrix") -> "CSRMatrix":
         """C = A B with |c_ij| <= zero_tol dropped, matching the reference's
-        Gustavson accumulator drop rule (util/linalg/matmult.cpp:90-157)."""
+        Gustavson accumulator drop rule (util/linalg/matmult.cpp:90-157).
+        Native Gustavson kernel accumulates in the same k-ascending order as
+        the scipy fallback, so both paths are bitwise identical."""
+        from raptor_tpu import native
+        if native.available():
+            indptr, indices, data = native.spgemm(
+                self.n_rows, other.n_cols, self.indptr, self.indices,
+                self.data, other.indptr, other.indices, other.data,
+                ZERO_TOL)
+            return CSRMatrix(self.n_rows, other.n_cols, indptr, indices,
+                             data)
         c = (self.to_scipy() @ other.to_scipy()).tocsr()
         c.sum_duplicates()
         c.sort_indices()
@@ -129,7 +140,21 @@ class CSRMatrix:
         return CSRMatrix.from_scipy(c)
 
     def diagonal(self) -> np.ndarray:
-        return self.to_scipy().diagonal()
+        rows = np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
+        on_diag = self.indices == rows
+        diag = np.zeros(min(self.n_rows, self.n_cols))
+        diag[self.indices[on_diag]] = self.data[on_diag]
+        return diag
+
+    def row_ids(self) -> np.ndarray:
+        """COO-style row id per stored entry (CSR order)."""
+        return np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
+
+    def filter_entries(self, keep: np.ndarray) -> "CSRMatrix":
+        """New CSR keeping only entries where ``keep`` (aligned with data)."""
+        kept_before = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+        return CSRMatrix(self.n_rows, self.n_cols, kept_before[self.indptr],
+                         self.indices[keep], self.data[keep])
 
     def row_slice(self, start: int, stop: int) -> "CSRMatrix":
         m = self.to_scipy()[start:stop]

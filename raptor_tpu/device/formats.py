@@ -62,6 +62,60 @@ def ell_spmv_T(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray,
         contrib.reshape(-1))
 
 
+# --- boundary-compacted off_proc block ----------------------------------------
+#
+# Off-proc (halo) entries only exist on the shard-boundary rows — a surface,
+# not a volume. Storing the off block ELL over ALL rows makes its SpMV a
+# full-R gather (TPU gathers are ~100x slower than streaming ops), which
+# would dominate the whole solve. Instead the off block is compacted to the
+# B boundary rows: gather/scatter cost scales with the halo surface.
+
+def ell_boundary_arrays(a: CSRMatrix, width: int, b_pad: int,
+                        rows_pad: int):
+    """Pack a CSR block into boundary-compacted ELL.
+
+    Returns (rows [b_pad] int32, cols [width, b_pad] int32,
+    vals [width, b_pad]). Row padding slots hold ``rows_pad`` (out of
+    bounds: scatter-dropped, and their vals are 0 so clamped gathers
+    contribute nothing)."""
+    row_nnz = np.diff(a.indptr)
+    brows = np.nonzero(row_nnz)[0]
+    rows = np.full(b_pad, rows_pad, dtype=np.int32)
+    cols = np.zeros((width, b_pad), dtype=np.int32)
+    vals = np.zeros((width, b_pad), dtype=np.float64)
+    if len(brows):
+        rows[:len(brows)] = brows
+        bn = row_nnz[brows]
+        rpos = np.repeat(np.arange(len(brows)), bn)
+        pos = np.arange(a.nnz) - np.repeat(a.indptr[brows], bn)
+        cols[pos, rpos] = a.indices
+        vals[pos, rpos] = a.data
+    return rows, cols, vals
+
+
+def off_spmv(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
+             halo: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """b = A_off @ halo over boundary rows only; returns a full [n_rows]
+    vector (zeros elsewhere)."""
+    out = jnp.zeros(n_rows, dtype=halo.dtype)
+    if cols.size == 0:
+        return out
+    contrib = (vals * halo[cols]).sum(axis=0)           # [B]
+    return out.at[rows].add(contrib)                    # OOB pads dropped
+
+
+def off_spmv_T(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
+               x: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """halo_contrib = A_off^T x: gather x at boundary rows, scatter-add at
+    halo cols."""
+    if cols.size == 0:
+        return jnp.zeros(n_out, dtype=x.dtype)
+    xb = x[rows]                                        # clamped pads * 0
+    contrib = vals * xb[None, :]
+    return jnp.zeros(n_out, dtype=x.dtype).at[cols.reshape(-1)].add(
+        contrib.reshape(-1))
+
+
 # --- DIA (diagonal) format -----------------------------------------------------
 #
 # XLA's generic gather is catastrophically slow on TPU (~1000x an elementwise

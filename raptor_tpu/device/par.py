@@ -34,8 +34,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from raptor_tpu.comm.plan import CommPlan, build_comm_plan
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.device.formats import (
-    dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays, ell_spmv,
-    ell_spmv_T)
+    dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays,
+    ell_boundary_arrays, ell_spmv, ell_spmv_T, off_spmv, off_spmv_T)
 
 ROW_AXIS = "rows"
 
@@ -96,7 +96,7 @@ def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
     return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
 
 
-_DATA_FIELDS = ["on_cols", "on_vals", "off_cols", "off_vals",
+_DATA_FIELDS = ["on_cols", "on_vals", "off_rows", "off_cols", "off_vals",
                 "dia_vals",
                 "send_idx", "send_mask", "halo_src",
                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
@@ -121,8 +121,10 @@ class DeviceParCSR:
 
     on_cols: jnp.ndarray    # [S, W_on, R] int32 (dummy [S,1,R] when DIA)
     on_vals: jnp.ndarray    # [S, W_on, R]
-    off_cols: jnp.ndarray   # [S, W_off, R] int32 (halo col ids)
-    off_vals: jnp.ndarray   # [S, W_off, R]
+    # off_proc block, boundary-compacted: only the B rows with off entries
+    off_rows: jnp.ndarray   # [S, B] int32 local row ids (pad = rows_pad)
+    off_cols: jnp.ndarray   # [S, W_off, B] int32 (halo col ids)
+    off_vals: jnp.ndarray   # [S, W_off, B]
     dia_vals: jnp.ndarray   # [S, K, R] diagonal values (dummy when ELL)
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
@@ -165,8 +167,12 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
 
     R = _round_up(max(1, part.max_local_rows), lane_pad)
     C = _round_up(max(1, part.max_local_cols), lane_pad)
-    W_off = max(1, max((int(np.diff(s.off_proc.indptr).max())
-                        if s.off_proc.nnz else 0) for s in shards))
+    W_off = max((int(np.diff(s.off_proc.indptr).max())
+                 if s.off_proc.nnz else 0) for s in shards)
+    # boundary row count (rows with >= 1 off_proc entry), uniform pad
+    B = max(int(np.count_nonzero(np.diff(s.off_proc.indptr)))
+            for s in shards)
+    B = _round_up(B, lane_pad) if B else 0
 
     # decide on_proc format: DIA when the union of all shards' diagonal
     # offset sets is small (static across shards for SPMD uniformity)
@@ -194,8 +200,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         dia_vals = np.zeros((S, 1, R), dtype=np.float64)
         dia_pad, dia_offsets = 1, (0,)
 
-    off_cols = np.zeros((S, W_off, R), dtype=np.int32)
-    off_vals = np.zeros((S, W_off, R), dtype=np.float64)
+    off_rows = np.full((S, B), R, dtype=np.int32)
+    off_cols = np.zeros((S, W_off, B), dtype=np.int32)
+    off_vals = np.zeros((S, W_off, B), dtype=np.float64)
     row_mask = np.zeros((S, R), dtype=np.float64)
     col_mask = np.zeros((S, C), dtype=np.float64)
     for s, blk in enumerate(shards):
@@ -204,7 +211,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         else:
             on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
                                                 on_cols.shape[1])
-        off_cols[s], off_vals[s] = ell_arrays(blk.off_proc, R, W_off)
+        if B:
+            off_rows[s], off_cols[s], off_vals[s] = ell_boundary_arrays(
+                blk.off_proc, W_off, B, R)
         row_mask[s, :blk.local_num_rows] = 1.0
         col_mask[s, :blk.on_proc_num_cols] = 1.0
 
@@ -213,6 +222,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
 
     return DeviceParCSR(
         on_cols=shard_leaf(on_cols), on_vals=shard_leaf(on_vals, dtype),
+        off_rows=shard_leaf(off_rows),
         off_cols=shard_leaf(off_cols), off_vals=shard_leaf(off_vals, dtype),
         dia_vals=shard_leaf(dia_vals, dtype),
         send_idx=shard_leaf(plan.send_idx),
@@ -298,14 +308,15 @@ def spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     """b = A x on one shard; x [C] local cols -> b [R] local rows."""
     halo = halo_exchange(A, x)
     b = on_spmv_shard(A, x)
-    b = b + ell_spmv(A.off_cols, A.off_vals, halo)
+    b = b + off_spmv(A.off_rows, A.off_cols, A.off_vals, halo, A.rows_pad)
     return b
 
 
 def spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     """b = A^T x on one shard; x [R] local rows -> b [C] local cols."""
     out = on_spmv_T_shard(A, x)
-    halo_contrib = ell_spmv_T(A.off_cols, A.off_vals, x, A.halo_pad)
+    halo_contrib = off_spmv_T(A.off_rows, A.off_cols, A.off_vals, x,
+                              A.halo_pad)
     return out + halo_exchange_T(A, halo_contrib, A.cols_pad)
 
 

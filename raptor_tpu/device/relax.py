@@ -34,7 +34,7 @@ from raptor_tpu.core.matrix import CSRMatrix
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.core.types import ZERO_TOL
 from raptor_tpu.device import par as dpar
-from raptor_tpu.device.formats import ell_arrays, ell_spmv
+from raptor_tpu.device.formats import ell_arrays, ell_spmv, off_spmv
 from raptor_tpu.device.par import DeviceParCSR, halo_exchange
 
 
@@ -230,7 +230,8 @@ def jacobi_shard(A: DeviceParCSR, RX: DeviceRelax, x, b, num_sweeps: int,
         dist = _halo(A, x, T)
         row_sum = (ell_spmv(RX.l_cols, RX.l_vals, x)
                    + ell_spmv(RX.u_cols, RX.u_vals, x)
-                   + ell_spmv(A.off_cols, A.off_vals, dist))
+                   + off_spmv(A.off_rows, A.off_cols, A.off_vals, dist,
+                              A.rows_pad))
         x_new = (1.0 - omega) * x + omega * (b - row_sum) * RX.inv_diag
         return jnp.where(RX.has_diag > 0, x_new, x)
     return jax.lax.fori_loop(0, num_sweeps, sweep, x)
@@ -264,7 +265,8 @@ def sor_forward_shard(A: DeviceParCSR, RX: DeviceRelax, x, y, dist, omega):
     """SOR_forward (par_relax.cpp:44-83): (D + wL) x_new = c, with the
     reference's non-standard c = x + w*(y - x - U x - off dist)."""
     c = x + omega * (y - x - ell_spmv(RX.u_cols, RX.u_vals, x)
-                     - ell_spmv(A.off_cols, A.off_vals, dist))
+                     - off_spmv(A.off_rows, A.off_cols, A.off_vals, dist,
+                                A.rows_pad))
     return _tri_sweep(x, c, omega, RX.fwd_rows, RX.fwd_mask, RX.fwd_cols,
                       RX.fwd_vals, RX.inv_diag, RX.has_diag, RX.n_fwd_levels)
 
@@ -274,7 +276,8 @@ def sor_backward_shard(A: DeviceParCSR, RX: DeviceRelax, x, y, dist, omega):
     x[i] = (1-w)x[i] + w(y[i] - Lx - off - U x_new)/a_ii."""
     c = (1.0 - omega) * x + omega * (
         y - ell_spmv(RX.l_cols, RX.l_vals, x)
-        - ell_spmv(A.off_cols, A.off_vals, dist)) * RX.inv_diag
+        - off_spmv(A.off_rows, A.off_cols, A.off_vals, dist,
+                   A.rows_pad)) * RX.inv_diag
     return _tri_sweep(x, c, omega, RX.bwd_rows, RX.bwd_mask, RX.bwd_cols,
                       RX.bwd_vals, RX.inv_diag, RX.has_diag,
                       RX.n_bwd_levels, backward_form=True)
@@ -303,7 +306,8 @@ def _mc_color_step(A, RX, x, b, dist, omega, c):
     """Update rows of color c with the latest x (standard multicolor GS)."""
     from raptor_tpu.device.par import on_spmv_shard
     row_sum = (on_spmv_shard(A, x) - RX.diag * x
-               + ell_spmv(A.off_cols, A.off_vals, dist))
+               + off_spmv(A.off_rows, A.off_cols, A.off_vals, dist,
+                          A.rows_pad))
     upd = (1.0 - omega) * x + omega * (b - row_sum) * RX.inv_diag
     m = RX.color_mask[c] * RX.has_diag
     return jnp.where(m > 0, upd, x)

@@ -11,19 +11,21 @@ from jax.sharding import PartitionSpec as P
 
 from raptor_tpu.comm.tap import (
     DeviceTAP, HOST_AXIS, LOCAL_AXIS, tap_halo_exchange, tap_halo_exchange_T)
-from raptor_tpu.device.formats import ell_spmv, ell_spmv_T
+from raptor_tpu.device.formats import off_spmv, off_spmv_T
 from raptor_tpu.device.par import (
     DeviceParCSR, on_spmv_shard, on_spmv_T_shard)
 
 
 def tap_spmv_shard(A: DeviceParCSR, T: DeviceTAP, x: jnp.ndarray):
     halo = tap_halo_exchange(T, x)
-    return on_spmv_shard(A, x) + ell_spmv(A.off_cols, A.off_vals, halo)
+    return on_spmv_shard(A, x) + off_spmv(A.off_rows, A.off_cols,
+                                          A.off_vals, halo, A.rows_pad)
 
 
 def tap_spmv_T_shard(A: DeviceParCSR, T: DeviceTAP, x: jnp.ndarray):
     out = on_spmv_T_shard(A, x)
-    halo_contrib = ell_spmv_T(A.off_cols, A.off_vals, x, A.halo_pad)
+    halo_contrib = off_spmv_T(A.off_rows, A.off_cols, A.off_vals, x,
+                              A.halo_pad)
     return out + tap_halo_exchange_T(T, halo_contrib, A.cols_pad)
 
 

@@ -29,8 +29,10 @@ F64 = ctypes.POINTER(ctypes.c_double)
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             str(_SRC), "-o", str(_SO)],
+            # -ffp-contract=off: no FMA contraction, so float accumulation
+            # is bitwise identical to the NumPy/scipy fallback paths.
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+             "-fPIC", str(_SRC), "-o", str(_SO)],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -71,6 +73,13 @@ def load():
         lib.mod_classical_interp.restype = ctypes.c_int64
         lib.extended_interp.argtypes = interp_args
         lib.extended_interp.restype = ctypes.c_int64
+        lib.glibc_rand_doubles.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                           F64]
+        lib.spgemm_compute.argtypes = ([ctypes.c_int64, ctypes.c_int64,
+                                        I64, I64, F64, I64, I64, F64,
+                                        ctypes.c_double, I64])
+        lib.spgemm_compute.restype = ctypes.c_int64
+        lib.spgemm_fetch.argtypes = [I64, F64]
         _lib = lib
         return _lib
 
@@ -184,3 +193,30 @@ def extended_interp(a_indptr, a_indices, a_data, strong, states,
     lib = load()
     return _interp(lib.extended_interp, a_indptr, a_indices, a_data,
                    strong, states, variables, num_variables, bound)
+
+
+def glibc_rand_doubles(seed: int, n: int) -> np.ndarray:
+    lib = load()
+    out = np.empty(n, dtype=np.float64)
+    lib.glibc_rand_doubles(seed, n, _p(out, F64))
+    return out
+
+
+def spgemm(n_rows, n_cols_b, a_indptr, a_indices, a_data,
+           b_indptr, b_indices, b_data, zero_tol):
+    """C = A @ B (CSR), sorted cols, |c| <= zero_tol dropped.
+    Returns (indptr, indices, data)."""
+    lib = load()
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    b_indptr, b_indices = _c(b_indptr), _c(b_indices)
+    a_data = np.ascontiguousarray(a_data, dtype=np.float64)
+    b_data = np.ascontiguousarray(b_data, dtype=np.float64)
+    c_indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    nnz = lib.spgemm_compute(
+        n_rows, n_cols_b, _p(a_indptr, I64), _p(a_indices, I64),
+        _p(a_data, F64), _p(b_indptr, I64), _p(b_indices, I64),
+        _p(b_data, F64), zero_tol, _p(c_indptr, I64))
+    c_indices = np.empty(nnz, dtype=np.int64)
+    c_data = np.empty(nnz, dtype=np.float64)
+    lib.spgemm_fetch(_p(c_indices, I64), _p(c_data, F64))
+    return c_indptr, c_indices, c_data

@@ -53,34 +53,29 @@ def direct_interpolation(a: CSRMatrix, s: CSRMatrix,
     over strong coarse cols, alpha = (sum all neg off-diag)/(sum strong neg
     coarse), beta likewise for pos (if no strong pos, pos sum folds into the
     diagonal instead)."""
-    import scipy.sparse as sp
     n = a.n_rows
     col_to_new, n_coarse = _coarse_map(states)
     diag = a.diagonal()
 
-    am = a.to_scipy()
-
     # The reference re-reads A's values on S's pattern (the golden S files
     # may carry strength values, interpolation.cpp:458-478): mark A's
     # positions that are strong.
-    strong_mask = _mark_strong(am, s.to_scipy())
+    strong_mask = _mark_strong(a, s)
 
-    acoo = am.tocoo()
-    rows_all, cols_all, data_all = acoo.row, acoo.col, acoo.data
+    rows_all, cols_all, data_all = a.row_ids(), a.indices, a.data
     offd = rows_all != cols_all
     neg = data_all < 0
-    sum_all_neg = np.zeros(n)
-    sum_all_pos = np.zeros(n)
-    np.add.at(sum_all_neg, rows_all[offd & neg], data_all[offd & neg])
-    np.add.at(sum_all_pos, rows_all[offd & ~neg], data_all[offd & ~neg])
+
+    def _rowsum(mask):
+        return np.bincount(rows_all[mask], weights=data_all[mask],
+                           minlength=n)
+
+    sum_all_neg = _rowsum(offd & neg)
+    sum_all_pos = _rowsum(offd & ~neg)
 
     s_coarse = strong_mask & offd & (states[cols_all] == S_)
-    sum_strong_neg = np.zeros(n)
-    sum_strong_pos = np.zeros(n)
-    np.add.at(sum_strong_neg, rows_all[s_coarse & neg],
-              data_all[s_coarse & neg])
-    np.add.at(sum_strong_pos, rows_all[s_coarse & ~neg],
-              data_all[s_coarse & ~neg])
+    sum_strong_neg = _rowsum(s_coarse & neg)
+    sum_strong_pos = _rowsum(s_coarse & ~neg)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         alpha = sum_all_neg / sum_strong_neg
@@ -108,11 +103,13 @@ def direct_interpolation(a: CSRMatrix, s: CSRMatrix,
     all_cols = np.concatenate([col_to_new[p_cols], col_to_new[c_rows]])
     all_vals = np.concatenate([p_vals, np.ones(len(c_rows))])
 
-    p = sp.csr_matrix((all_vals, (all_rows, all_cols)),
-                      shape=(n, n_coarse))
-    p.sum_duplicates()
-    p.sort_indices()
-    return CSRMatrix.from_scipy(p)
+    # no duplicate (row, col) pairs: p entries come from distinct A
+    # positions of F rows, c entries are identity rows of C points
+    order = np.lexsort((all_cols, all_rows))
+    indptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(all_rows, minlength=n),
+                        dtype=np.int64)))
+    return CSRMatrix(n, n_coarse, indptr, all_cols[order], all_vals[order])
 
 
 def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,

@@ -57,4 +57,7 @@ class GlibcRand:
 
 def form_rand_weights(local_n: int, first_n: int) -> np.ndarray:
     """form_rand_weights (par_multilevel.hpp:209-219)."""
+    from raptor_tpu import native
+    if native.available():
+        return native.glibc_rand_doubles(2448422 + first_n, local_n)
     return GlibcRand(2448422 + first_n).random_doubles(local_n)
