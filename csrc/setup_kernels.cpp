@@ -636,6 +636,53 @@ i64 spgemm_compute(i64 n_rows, i64 n_cols_b,
     return (i64)g_c_indices.size();
 }
 
+// Greedy graph coloring in row order (smallest available color), over a
+// symmetrized CSR pattern. Matches raptor_tpu/device/relax.py
+// _greedy_coloring: only already-colored neighbors constrain the choice.
+// Returns the number of colors.
+i64 greedy_coloring(i64 n, const i64* indptr, const i64* indices,
+                    i64* colors) {
+    std::vector<i64> mark(n, -1);
+    i64 n_colors = 0;
+    for (i64 i = 0; i < n; i++) {
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = colors[indices[j]];
+            if (c >= 0) mark[c] = i;
+        }
+        i64 c = 0;
+        while (mark[c] == i) c++;
+        colors[i] = c;
+        if (c + 1 > n_colors) n_colors = c + 1;
+    }
+    return n_colors;
+}
+
+// Dependency levels of a triangular solve (relax.py _level_schedule):
+// level[i] = 1 + max(level of cols in row i), 0 for empty rows. Forward
+// walks rows ascending (lower tri), reverse descending (upper tri).
+void level_schedule(i64 n, const i64* indptr, const i64* indices,
+                    i64 reverse, i64* level) {
+    if (!reverse) {
+        for (i64 i = 0; i < n; i++) {
+            i64 m = -1;
+            for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+                i64 l = level[indices[j]];
+                if (l > m) m = l;
+            }
+            level[i] = indptr[i + 1] > indptr[i] ? m + 1 : 0;
+        }
+    } else {
+        for (i64 i = n - 1; i >= 0; i--) {
+            i64 m = -1;
+            for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+                i64 l = level[indices[j]];
+                if (l > m) m = l;
+            }
+            level[i] = indptr[i + 1] > indptr[i] ? m + 1 : 0;
+        }
+    }
+}
+
 void spgemm_fetch(i64* c_indices, double* c_data) {
     std::memcpy(c_indices, g_c_indices.data(),
                 g_c_indices.size() * sizeof(i64));

@@ -4,6 +4,11 @@ benchmark_solve.cpp, benchmark_amg.cpp equivalents).
 Run: python examples/benchmark_amg.py [grid_n] [n_shards] [f32|f64] [relax]
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import sys
 import time
 
@@ -25,6 +30,8 @@ def main():
     n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else len(jax.devices())
     dtype = jnp.float32 if (len(sys.argv) > 3 and sys.argv[3] == "f32") \
         else jnp.float64
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
 
     prof = Profiler()
     with prof.phase("assemble"):

@@ -4,6 +4,11 @@ benchmark_tap_spmv.cpp equivalents).
 Run: python examples/benchmark_spmv.py [grid_n] [iters]
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import sys
 import time
 

@@ -6,6 +6,11 @@ theta = 0.25).
 Run:  python examples/example.py [grid_n] [n_shards]
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import os
 import sys
 

@@ -275,7 +275,10 @@ def device_put_tap(plan: TAPPlanHost, mesh, dtype=jnp.float64) -> DeviceTAP:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def put(x, dt=None):
-        arr = jnp.asarray(x, dtype=dt)
+        # convert in NumPy: on-device converts compile one program/shape
+        x = np.asarray(x)
+        arr = np.asarray(x, dtype=jax.dtypes.canonicalize_dtype(
+            dt if dt is not None else x.dtype))
         spec = P((HOST_AXIS, LOCAL_AXIS), *([None] * (arr.ndim - 1)))
         return jax.device_put(arr, NamedSharding(mesh, spec))
 

@@ -179,3 +179,173 @@ def dia_spmv_T(offsets: Tuple[int, ...], vals: jnp.ndarray, x: jnp.ndarray,
         contrib = vals[k] * x[:R]
         buf = buf + jnp.pad(contrib, (off + pad, width - (off + pad) - R))
     return buf[pad:pad + n_out]
+
+
+# --- BDIA (block-diagonal + lane gather) format --------------------------------
+#
+# Coarse Galerkin operators (and any banded-but-irregular matrix) have
+# entries clustered around the diagonal, but at too many distinct col-row
+# offsets for DIA. BDIA quantizes the offset to the 128-lane block:
+# an entry (r, c) lives in plane (d, slot) with d = c//128 - r//128, and
+# stores only its lane l = c % 128. SpMV is then, per plane, a sublane
+# SHIFT of the [*, 128]-shaped x (static slice, like DIA) followed by an
+# in-sublane LANE GATHER (the TPU's native dynamic_gather / 128-wide
+# shuffle) and an fma — all streaming VPU work, no general gathers.
+# This is the TPU-native CSR for quasi-banded sparsity; entries of rows
+# needing more than the plane budget do not exist for AMG hierarchies
+# (the packer rejects such matrices and the caller keeps ELL).
+
+LANE = 128
+
+
+def _bdia_d_slot(a: CSRMatrix):
+    """Per-entry (d, slot) in CSR order: d = block offset, slot = occurrence
+    index among a row's entries sharing d (consecutive in sorted CSR)."""
+    rows = np.repeat(np.arange(a.n_rows), np.diff(a.indptr))
+    d = a.indices // LANE - rows // LANE
+    r128 = max(1, (a.n_rows + LANE - 1) // LANE)
+    c128 = max(1, (a.n_cols + LANE - 1) // LANE)
+    key = rows * np.int64(r128 + c128 + 3) + (d + r128)
+    new = np.concatenate(([True], key[1:] != key[:-1]))
+    run_id = np.cumsum(new) - 1
+    run_start = np.nonzero(new)[0]
+    slot = np.arange(len(key)) - run_start[run_id]
+    return rows, d, slot
+
+
+def bdia_plane_counts(a: CSRMatrix):
+    """All (d, slot) planes of a matrix with their entry counts:
+    returns (planes [(d, slot), ...], counts np.ndarray)."""
+    if a.nnz == 0:
+        return [], np.zeros(0, dtype=np.int64)
+    _, d, slot = _bdia_d_slot(a)
+    span = np.int64(slot.max() + 2)
+    key = d.astype(np.int64) * span + slot
+    uniq, counts = np.unique(key, return_counts=True)
+    dq = np.floor_divide(uniq, span)
+    planes = [(int(dv), int(s)) for dv, s in zip(dq, uniq - dq * span)]
+    return planes, counts
+
+
+def bdia_plane_spec(a: CSRMatrix, max_planes: int):
+    """Per-matrix plane spec [(d, slot), ...] or None if over budget."""
+    planes, _ = bdia_plane_counts(a)
+    # planes valid only if slot sets are dense per d (0..max); they are by
+    # construction (slot k implies k-1 exists for some row)
+    if len(planes) > max_planes:
+        return None
+    return planes
+
+
+def select_planes(all_counts: dict, max_planes: int, a128: int,
+                  min_fill: float = 0.0015):
+    """Keep planes worth a streaming pass: count >= min_fill * plane
+    capacity, ranked by count, capped. A plane (d, s) is only kept if
+    (d, s-1) is kept (slot density needed by the packer's slot indexing).
+
+    Returns the kept plane list sorted by (d, slot)."""
+    cap = max(1.0, min_fill * a128 * LANE)
+    ranked = sorted(all_counts.items(), key=lambda kv: -kv[1])
+    kept = set()
+    for (dv, s), cnt in ranked:
+        if len(kept) >= max_planes:
+            break
+        if cnt < cap:
+            break
+        kept.add((dv, s))
+    # enforce slot-prefix density: (d, s) kept => (d, s-1) kept
+    changed = True
+    while changed:
+        changed = False
+        for (dv, s) in list(kept):
+            if s > 0 and (dv, s - 1) not in kept:
+                kept.discard((dv, s))
+                changed = True
+    return sorted(kept)
+
+
+def bdia_split_rest(a: CSRMatrix, kept) -> CSRMatrix:
+    """CSR of the entries NOT covered by the kept planes (the 'rest',
+    handled by the compacted-gather path)."""
+    if a.nnz == 0:
+        return CSRMatrix.empty(a.n_rows, a.n_cols)
+    _, d, slot = _bdia_d_slot(a)
+    kept_set = set(kept)
+    # vectorized membership: key-based
+    span = np.int64(max((s for _, s in kept), default=0) + 2 + slot.max())
+    kk = np.array(sorted(dv * span + s for dv, s in kept_set),
+                  dtype=np.int64)
+    ek = d.astype(np.int64) * span + slot
+    pos = np.searchsorted(kk, ek)
+    pos = np.clip(pos, 0, max(0, len(kk) - 1))
+    in_plane = (len(kk) > 0) & (kk[pos] == ek) if len(kk) else \
+        np.zeros(len(ek), dtype=bool)
+    return a.filter_entries(~in_plane)
+
+
+def merge_plane_specs(specs):
+    """Union of per-shard specs (SPMD uniformity): per d, max slot count."""
+    agg = {}
+    for spec in specs:
+        per_d = {}
+        for dv, s in spec:
+            per_d[dv] = max(per_d.get(dv, 0), s + 1)
+        for dv, cnt in per_d.items():
+            agg[dv] = max(agg.get(dv, 0), cnt)
+    out = []
+    for dv in sorted(agg):
+        for s in range(agg[dv]):
+            out.append((dv, s))
+    return out
+
+
+def bdia_arrays(a: CSRMatrix, plane_spec, a_pad: int):
+    """Pack CSR into BDIA planes.
+
+    Returns (idx [P, a_pad, 128] int32 lane ids, vals [P, a_pad, 128]).
+    a_pad >= ceil(n_rows/128), in 128-row blocks. Padding slots keep
+    idx 0 / val 0."""
+    P = len(plane_spec)
+    idx = np.zeros((P, a_pad, LANE), dtype=np.int32)
+    vals = np.zeros((P, a_pad, LANE), dtype=np.float64)
+    if a.nnz == 0 or P == 0:
+        return idx, vals
+    rows, d, slot = _bdia_d_slot(a)
+    # plane lookup: planes sorted by key; entries outside the spec are
+    # skipped (they live in the 'rest' CSR, see bdia_split_rest)
+    span = np.int64(max(s for _, s in plane_spec) + 2 + int(slot.max()))
+    plane_keys = np.array([dv * span + s for dv, s in plane_spec],
+                          dtype=np.int64)
+    order = np.argsort(plane_keys)
+    skeys = plane_keys[order]
+    entry_keys = d.astype(np.int64) * span + slot
+    pos = np.clip(np.searchsorted(skeys, entry_keys), 0, len(skeys) - 1)
+    in_spec = skeys[pos] == entry_keys
+    rows, pos = rows[in_spec], pos[in_spec]
+    a_data = a.data[in_spec]
+    a_cols = a.indices[in_spec]
+    p_ids = order[pos]
+    i = rows // LANE
+    j = rows % LANE
+    idx[p_ids, i, j] = a_cols % LANE
+    vals[p_ids, i, j] = a_data
+    return idx, vals
+
+
+def bdia_spmv(d_offsets: Tuple[int, ...], idx: jnp.ndarray,
+              vals: jnp.ndarray, x: jnp.ndarray, padb: int,
+              rows_pad: int) -> jnp.ndarray:
+    """XLA reference/fallback: per plane, static sublane shift of
+    x.reshape(-1, 128) + lane gather + fma. Used on CPU and whenever the
+    Pallas kernel is unavailable; the Pallas version streams planes through
+    VMEM with the same semantics."""
+    P, A_pad, _ = idx.shape
+    C128 = -(-x.shape[0] // LANE)
+    x2 = jnp.pad(x, (0, C128 * LANE - x.shape[0])).reshape(C128, LANE)
+    S_pad = max(A_pad, C128) + 2 * padb
+    xp = jnp.pad(x2, ((padb, S_pad - C128 - padb), (0, 0)))
+    out = jnp.zeros((A_pad, LANE), dtype=x.dtype)
+    for p, d in enumerate(d_offsets):
+        w = jax.lax.slice(xp, (padb + d, 0), (padb + d + A_pad, LANE))
+        out = out + vals[p] * jnp.take_along_axis(w, idx[p], axis=1)
+    return out.reshape(-1)[:rows_pad]

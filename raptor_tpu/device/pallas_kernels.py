@@ -80,7 +80,85 @@ def dia_spmv_pallas(offsets: Tuple[int, ...], vals: jnp.ndarray,
     )(x_pad, vals)
 
 
+def bdia_pick_block(a_pad: int, P: int, padb: int, itemsize: int) -> int:
+    """Sublane block size for the BDIA kernel (A dim must divide)."""
+    vmem_budget = 8 * 1024 * 1024
+    for ba in (256, 128, 64, 32, 16, 8):
+        if a_pad % ba:
+            continue
+        need = (2 * P * ba * 128 + (ba + 2 * padb) * 128) * itemsize * 2
+        if need <= vmem_budget:
+            return ba
+    return 0
+
+
+def bdia_spmv_pallas(d_offsets, idx: jnp.ndarray, vals: jnp.ndarray,
+                     x: jnp.ndarray, padb: int, ba: int,
+                     rows_pad: int) -> jnp.ndarray:
+    """BDIA SpMV: per plane, sublane shift + lane gather (tpu.dynamic_gather,
+    the VPU's native 128-wide shuffle) + fma. One streaming pass over the
+    plane arrays; x window resident in VMEM per grid step.
+
+    Returns None when no block size fits (caller falls back to the XLA
+    path in formats.bdia_spmv)."""
+    P, A_pad, L = idx.shape
+    if ba == 0 or A_pad % ba or x.shape[0] % L:
+        return None
+    # DMA window length (ba + 2*padb sublanes) must be a multiple of the
+    # 8-sublane f32 tile: a partial-tile HBM->VMEM copy faults the chip
+    padb = -(-padb // 4) * 4
+    C128 = x.shape[0] // L
+    S_pad = max(A_pad, C128) + 2 * padb
+    x2 = jnp.pad(x.reshape(C128, L),
+                 ((padb, S_pad - C128 - padb), (0, 0)))
+    win = ba + 2 * padb
+
+    def kernel(xpad_ref, idx_ref, val_ref, out_ref, xwin, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            xpad_ref.at[pl.ds(i * ba, win)], xwin, sem)
+        cp.start()
+        cp.wait()
+        acc = val_ref[0] * jnp.take_along_axis(
+            xwin[pl.ds(padb + d_offsets[0], ba)], idx_ref[0], axis=1)
+        for p in range(1, P):
+            w = xwin[pl.ds(padb + d_offsets[p], ba)]
+            acc += val_ref[p] * jnp.take_along_axis(w, idx_ref[p], axis=1)
+        out_ref[:] = acc
+
+    out2 = pl.pallas_call(
+        kernel,
+        grid=(A_pad // ba,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((P, ba, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, ba, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ba, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A_pad, L), vals.dtype,
+                                       vma=jax.typeof(vals).vma),
+        scratch_shapes=[
+            pltpu.VMEM((win, L), vals.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * A_pad * L,
+            bytes_accessed=(2 * P * A_pad * L + 2 * A_pad * L)
+            * vals.dtype.itemsize,
+            transcendentals=0),
+    )(x2, idx, vals)
+    return out2.reshape(-1)[:rows_pad]
+
+
 def use_pallas() -> bool:
+    import os
+    if os.environ.get("RAPTOR_TPU_PALLAS", "1") == "0":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:

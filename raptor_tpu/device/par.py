@@ -34,8 +34,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from raptor_tpu.comm.plan import CommPlan, build_comm_plan
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.device.formats import (
+    bdia_arrays, bdia_plane_counts, bdia_split_rest, bdia_spmv,
     dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays,
-    ell_boundary_arrays, ell_spmv, ell_spmv_T, off_spmv, off_spmv_T)
+    ell_boundary_arrays, ell_spmv, ell_spmv_T, off_spmv, off_spmv_T,
+    select_planes)
 
 ROW_AXIS = "rows"
 
@@ -90,19 +92,27 @@ def _leading_axes(mesh: Mesh):
 
 def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
     """Place a [S, ...] stacked host array with the leading axis sharded
-    over all mesh axes (flattened shard order)."""
-    arr = jnp.asarray(x, dtype=dtype)
+    over all mesh axes (flattened shard order).
+
+    The dtype conversion happens in NumPy: converting on device would
+    compile one convert_element_type program per distinct shape, which is
+    seconds per program through a remote-compile relay."""
+    x = np.asarray(x)
+    target = jax.dtypes.canonicalize_dtype(dtype if dtype is not None
+                                           else x.dtype)
+    arr = np.asarray(x, dtype=target)
     spec = P(_leading_axes(mesh), *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, jax.sharding.NamedSharding(mesh, spec))
 
 
 _DATA_FIELDS = ["on_cols", "on_vals", "off_rows", "off_cols", "off_vals",
-                "dia_vals",
+                "dia_vals", "bd_idx", "bd_vals",
+                "rest_rows", "rest_cols", "rest_vals",
                 "send_idx", "send_mask", "halo_src",
                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
 _META_FIELDS = ["rows_pad", "cols_pad", "halo_pad", "slot", "dia_pad",
-                "dia_offsets", "on_format", "global_num_rows",
-                "global_num_cols"]
+                "dia_offsets", "bd_offsets", "bd_padb", "bd_ba",
+                "on_format", "global_num_rows", "global_num_cols"]
 
 
 @functools.partial(
@@ -126,6 +136,15 @@ class DeviceParCSR:
     off_cols: jnp.ndarray   # [S, W_off, B] int32 (halo col ids)
     off_vals: jnp.ndarray   # [S, W_off, B]
     dia_vals: jnp.ndarray   # [S, K, R] diagonal values (dummy when ELL)
+    # BDIA planes (on_format == "bdia"): block-offset quantized diagonals
+    # with per-entry lane ids — sublane shift + lane gather SpMV
+    bd_idx: jnp.ndarray     # [S, P, A_pad, 128] int32 lane ids
+    bd_vals: jnp.ndarray    # [S, P, A_pad, 128]
+    # bdia 'rest': entries of dropped (near-empty) planes, compacted to
+    # the rows that have them — per-entry gather over local x
+    rest_rows: jnp.ndarray  # [S, Br] int32 (pad = rows_pad)
+    rest_cols: jnp.ndarray  # [S, Wr, Br] int32 local col ids
+    rest_vals: jnp.ndarray  # [S, Wr, Br]
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
     halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
@@ -139,7 +158,10 @@ class DeviceParCSR:
     slot: int
     dia_pad: int            # max |offset| when DIA
     dia_offsets: tuple      # static union of diagonal offsets (K,)
-    on_format: str          # "ell" | "dia"
+    bd_offsets: tuple       # static plane block-offsets (P,)
+    bd_padb: int            # max |block offset|
+    bd_ba: int              # pallas sublane block size (0 = XLA fallback)
+    on_format: str          # "ell" | "dia" | "bdia"
     global_num_rows: int
     global_num_cols: int
 
@@ -149,6 +171,7 @@ class DeviceParCSR:
 
 
 MAX_DIA_OFFSETS = 64
+MAX_BDIA_PLANES = 256
 
 
 def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
@@ -157,8 +180,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     """Build the device plan from a host ParCSRMatrix and shard it.
 
     The on_proc block format is chosen per matrix: DIA when every shard's
-    block has <= MAX_DIA_OFFSETS distinct diagonals (stencil-structured),
-    else transposed-ELL."""
+    block has <= MAX_DIA_OFFSETS distinct diagonals (stencil-structured);
+    else BDIA when the 128-quantized block-offset planes fit the budget
+    (quasi-banded, e.g. coarse Galerkin operators); else transposed-ELL
+    (BDIA keeps the ELL arrays too, for the transpose path)."""
     part = a.partition
     S = part.n_shards
     assert S == mesh.devices.size, (S, mesh.devices.size)
@@ -179,9 +204,66 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     shard_offs = [dia_detect(blk.on_proc, MAX_DIA_OFFSETS) for blk in shards]
     union = (np.unique(np.concatenate([o for o in shard_offs]))
              if all(o is not None for o in shard_offs) else None)
-    use_dia = force_format or (
-        "dia" if union is not None and len(union) <= MAX_DIA_OFFSETS
-        else "ell")
+    A128 = -(-R // 128)
+    use_dia = force_format
+    bd_spec = []
+    if use_dia is None:
+        if union is not None and len(union) <= MAX_DIA_OFFSETS:
+            use_dia = "dia"
+        else:
+            # merge per-shard plane counts, keep the planes dense enough
+            # that a streaming pass beats per-entry gather; the leftover
+            # entries run through the compacted-gather 'rest' path
+            merged = {}
+            for blk in shards:
+                planes, counts = bdia_plane_counts(blk.on_proc)
+                for p, c in zip(planes, counts):
+                    merged[p] = merged.get(p, 0) + int(c)
+            bd_spec = select_planes(merged, MAX_BDIA_PLANES, A128)
+            # worth it only when the planes carry most entries (else the
+            # per-entry 'rest' gather dominates anyway) and the block
+            # window stays modest
+            total = sum(merged.values())
+            kept_nnz = sum(merged[p] for p in bd_spec)
+            pad_ok = (max((abs(d) for d, _ in bd_spec), default=0) <= 256)
+            use_dia = ("bdia" if bd_spec and pad_ok
+                       and kept_nnz >= 0.6 * total else "ell")
+
+    bd_offsets, bd_padb, bd_ba = (), 1, 0
+    rest_shards = [blk.on_proc for blk in shards]
+    if use_dia == "bdia":
+        bd_offsets = tuple(d for d, _ in bd_spec)
+        bd_padb = max(1, max(abs(d) for d in bd_offsets))
+        Pn = len(bd_spec)
+        itemsize = jnp.dtype(dtype).itemsize
+        bd_ba = 0
+        for cand in (256, 128, 64, 32, 16, 8):
+            need = (2 * Pn * cand * 128
+                    + (cand + 2 * bd_padb) * 128) * itemsize * 2
+            if need <= 32 * 1024 * 1024:
+                bd_ba = cand
+                break
+        A_pad = _round_up(A128, bd_ba) if bd_ba else A128
+        bd_idx = np.zeros((S, Pn, A_pad, 128), dtype=np.int32)
+        bd_vals = np.zeros((S, Pn, A_pad, 128), dtype=np.float64)
+        rest_shards = [bdia_split_rest(blk.on_proc, bd_spec)
+                       for blk in shards]
+    else:
+        bd_idx = np.zeros((S, 0, 1, 128), dtype=np.int32)
+        bd_vals = np.zeros((S, 0, 1, 128), dtype=np.float64)
+
+    # bdia 'rest' entries: boundary-compacted local-gather ELL
+    if use_dia == "bdia":
+        Wr = max((int(np.diff(r.indptr).max()) if r.nnz else 0)
+                 for r in rest_shards)
+        Br = max(int(np.count_nonzero(np.diff(r.indptr)))
+                 for r in rest_shards)
+        Br = _round_up(Br, lane_pad) if Br else 0
+    else:
+        Wr = Br = 0
+    rest_rows = np.full((S, Br), R, dtype=np.int32)
+    rest_cols = np.zeros((S, Wr, Br), dtype=np.int32)
+    rest_vals = np.zeros((S, Wr, Br), dtype=np.float64)
 
     if use_dia == "dia":
         if len(union) == 0:
@@ -211,6 +293,13 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         else:
             on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
                                                 on_cols.shape[1])
+            if use_dia == "bdia":
+                bd_idx[s], bd_vals[s] = bdia_arrays(
+                    blk.on_proc, bd_spec, bd_idx.shape[2])
+                if Br:
+                    (rest_rows[s], rest_cols[s],
+                     rest_vals[s]) = ell_boundary_arrays(
+                        rest_shards[s], Wr, Br, R)
         if B:
             off_rows[s], off_cols[s], off_vals[s] = ell_boundary_arrays(
                 blk.off_proc, W_off, B, R)
@@ -225,6 +314,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         off_rows=shard_leaf(off_rows),
         off_cols=shard_leaf(off_cols), off_vals=shard_leaf(off_vals, dtype),
         dia_vals=shard_leaf(dia_vals, dtype),
+        bd_idx=shard_leaf(bd_idx), bd_vals=shard_leaf(bd_vals, dtype),
+        rest_rows=shard_leaf(rest_rows),
+        rest_cols=shard_leaf(rest_cols),
+        rest_vals=shard_leaf(rest_vals, dtype),
         send_idx=shard_leaf(plan.send_idx),
         send_mask=shard_leaf(plan.send_mask, dtype),
         halo_src=shard_leaf(plan.halo_src),
@@ -233,7 +326,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         row_mask=shard_leaf(row_mask, dtype),
         col_mask=shard_leaf(col_mask, dtype),
         rows_pad=R, cols_pad=C, halo_pad=plan.halo_pad, slot=plan.slot,
-        dia_pad=dia_pad, dia_offsets=dia_offsets, on_format=use_dia,
+        dia_pad=dia_pad, dia_offsets=dia_offsets,
+        bd_offsets=bd_offsets, bd_padb=bd_padb, bd_ba=bd_ba,
+        on_format=use_dia,
         global_num_rows=part.global_num_rows,
         global_num_cols=part.global_num_cols,
     )
@@ -294,6 +389,18 @@ def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
             if out is not None:
                 return out
         return dia_spmv(A.dia_offsets, A.dia_vals, x, A.dia_pad)
+    if A.on_format == "bdia":
+        from raptor_tpu.device.pallas_kernels import (
+            bdia_spmv_pallas, use_pallas)
+        out = None
+        if use_pallas():
+            out = bdia_spmv_pallas(A.bd_offsets, A.bd_idx, A.bd_vals, x,
+                                   A.bd_padb, A.bd_ba, A.rows_pad)
+        if out is None:
+            out = bdia_spmv(A.bd_offsets, A.bd_idx, A.bd_vals, x,
+                            A.bd_padb, A.rows_pad)
+        return out + off_spmv(A.rest_rows, A.rest_cols, A.rest_vals, x,
+                              A.rows_pad)
     return ell_spmv(A.on_cols, A.on_vals, x)
 
 

@@ -56,6 +56,9 @@ def _greedy_coloring(a: CSRMatrix) -> np.ndarray:
     m = a.to_scipy()
     sym = (m + m.T).tocsr()
     sym.sort_indices()
+    from raptor_tpu import native
+    if native.available():
+        return native.greedy_coloring(sym.indptr, sym.indices)
     n = a.n_rows
     colors = np.full(n, -1, dtype=np.int64)
     for i in range(n):
@@ -78,15 +81,21 @@ def _level_schedule(tri: CSRMatrix, reverse: bool) -> List[np.ndarray]:
     updated in parallel; the device loops over levels in order.
     """
     n = tri.n_rows
-    level = np.zeros(n, dtype=np.int64)
-    order = range(n - 1, -1, -1) if reverse else range(n)
-    indptr, indices = tri.indptr, tri.indices
-    for i in order:
-        s, e = indptr[i], indptr[i + 1]
-        if e > s:
-            level[i] = level[indices[s:e]].max() + 1
+    from raptor_tpu import native
+    if native.available():
+        level = native.level_schedule(tri.indptr, tri.indices, reverse)
+    else:
+        level = np.zeros(n, dtype=np.int64)
+        order = range(n - 1, -1, -1) if reverse else range(n)
+        indptr, indices = tri.indptr, tri.indices
+        for i in order:
+            s, e = indptr[i], indptr[i + 1]
+            if e > s:
+                level[i] = level[indices[s:e]].max() + 1
     n_levels = int(level.max()) + 1 if n else 1
-    return [np.nonzero(level == l)[0] for l in range(n_levels)]
+    counts = np.bincount(level, minlength=n_levels)
+    order = np.argsort(level, kind="stable")
+    return np.split(order, np.cumsum(counts)[:-1])
 
 
 @functools.partial(
@@ -131,15 +140,15 @@ def _schedule_arrays(tri: CSRMatrix, levels: List[np.ndarray],
     mask = np.zeros((NL, M), dtype=np.float64)
     cols = np.zeros((NL, M, W), dtype=np.int32)
     vals = np.zeros((NL, M, W), dtype=np.float64)
+    # row-major ELL view of tri, gathered per level (vectorized)
+    ec, ev = ell_arrays(tri, tri.n_rows, W)
+    ec, ev = ec.T, ev.T                       # [R, W]
     for l, lv in enumerate(levels):
         m = len(lv)
         rows[l, :m] = lv
         mask[l, :m] = 1.0
-        for k, i in enumerate(lv):
-            s, e = tri.indptr[i], tri.indptr[i + 1]
-            w = e - s
-            cols[l, k, :w] = tri.indices[s:e]
-            vals[l, k, :w] = tri.data[s:e]
+        cols[l, :m] = ec[lv]
+        vals[l, :m] = ev[lv]
     return rows, mask, cols, vals
 
 

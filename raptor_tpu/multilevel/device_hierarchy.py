@@ -104,8 +104,9 @@ class DeviceHierarchy:
 
         # redundant coarse LU, replicated on every shard
         lu, piv = ml.coarse_lu
-        self.lu = jnp.asarray(lu, dtype=dtype)
-        self.piv = jnp.asarray(piv, dtype=jnp.int32)
+        self.lu = jnp.asarray(np.asarray(
+            lu, dtype=jax.dtypes.canonicalize_dtype(dtype)))
+        self.piv = jnp.asarray(np.asarray(piv, dtype=np.int32))
         part_c = ml.levels[-1].A.partition
         S = part_c.n_shards
         Rc = self.levels[-1].A.rows_pad

@@ -80,6 +80,10 @@ def load():
                                         ctypes.c_double, I64])
         lib.spgemm_compute.restype = ctypes.c_int64
         lib.spgemm_fetch.argtypes = [I64, F64]
+        lib.greedy_coloring.argtypes = [ctypes.c_int64, I64, I64, I64]
+        lib.greedy_coloring.restype = ctypes.c_int64
+        lib.level_schedule.argtypes = [ctypes.c_int64, I64, I64,
+                                       ctypes.c_int64, I64]
         _lib = lib
         return _lib
 
@@ -193,6 +197,26 @@ def extended_interp(a_indptr, a_indices, a_data, strong, states,
     lib = load()
     return _interp(lib.extended_interp, a_indptr, a_indices, a_data,
                    strong, states, variables, num_variables, bound)
+
+
+def greedy_coloring(indptr, indices) -> np.ndarray:
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    n = len(indptr) - 1
+    colors = np.full(n, -1, dtype=np.int64)
+    lib.greedy_coloring(n, _p(indptr, I64), _p(indices, I64),
+                        _p(colors, I64))
+    return colors
+
+
+def level_schedule(indptr, indices, reverse: bool) -> np.ndarray:
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    n = len(indptr) - 1
+    level = np.zeros(n, dtype=np.int64)
+    lib.level_schedule(n, _p(indptr, I64), _p(indices, I64),
+                       int(reverse), _p(level, I64))
+    return level
 
 
 def glibc_rand_doubles(seed: int, n: int) -> np.ndarray:
