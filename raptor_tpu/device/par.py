@@ -107,12 +107,13 @@ def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
 
 _DATA_FIELDS = ["on_cols", "on_vals", "off_rows", "off_cols", "off_vals",
                 "dia_vals", "bd_idx", "bd_vals",
-                "rest_rows", "rest_cols", "rest_vals",
+                "rest_rows", "rest_cols", "rest_vals", "emb_idx",
                 "send_idx", "send_mask", "halo_src",
                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
 _META_FIELDS = ["rows_pad", "cols_pad", "halo_pad", "slot", "dia_pad",
                 "dia_offsets", "bd_offsets", "bd_padb", "bd_ba",
-                "on_format", "global_num_rows", "global_num_cols"]
+                "on_format", "embed_kind", "on_rows_pad",
+                "global_num_rows", "global_num_cols"]
 
 
 @functools.partial(
@@ -145,6 +146,9 @@ class DeviceParCSR:
     rest_rows: jnp.ndarray  # [S, Br] int32 (pad = rows_pad)
     rest_cols: jnp.ndarray  # [S, Wr, Br] int32 local col ids
     rest_vals: jnp.ndarray  # [S, Wr, Br]
+    # embedding plan (transfer operators): coarse axis anchored at
+    # fine-aligned slots so the on block formats as DIA/BDIA
+    emb_idx: jnp.ndarray    # [S, C] (cols) / [S, R] (rows) int32
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
     halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
@@ -162,6 +166,8 @@ class DeviceParCSR:
     bd_padb: int            # max |block offset|
     bd_ba: int              # pallas sublane block size (0 = XLA fallback)
     on_format: str          # "ell" | "dia" | "bdia"
+    embed_kind: str         # "none" | "cols" | "rows"
+    on_rows_pad: int        # row space of the PACKED on block
     global_num_rows: int
     global_num_cols: int
 
@@ -174,9 +180,67 @@ MAX_DIA_OFFSETS = 64
 MAX_BDIA_PLANES = 256
 
 
+def _pick_anchors(firsts: np.ndarray, space: int) -> np.ndarray:
+    """Assign each of n items a distinct slot in [0, space), preferring
+    its 'first' position (vectorized; collisions resolved by forward
+    scan). Used to embed coarse indices at fine-aligned positions."""
+    n = len(firsts)
+    anchor = np.full(n, space, dtype=np.int64)
+    taken = np.zeros(space + 1, dtype=bool)
+    order = np.argsort(firsts, kind="stable")
+    # first pass: claim preferred slots (in position order => determinism)
+    pref = firsts[order]
+    free = ~taken[pref]
+    # detect duplicates among preferred slots: keep only first claimant
+    uniq_first = np.concatenate(([True], pref[1:] != pref[:-1]))
+    ok = free & uniq_first
+    anchor[order[ok]] = pref[ok]
+    taken[pref[ok]] = True
+    # collision pass: linear scan forward (rare)
+    for i in order[~ok]:
+        s = int(firsts[i])
+        while s < space and taken[s]:
+            s += 1
+        if s >= space:  # scan backward as last resort
+            s = int(firsts[i]) - 1
+            while s >= 0 and taken[s]:
+                s -= 1
+            assert s >= 0, "embedding space exhausted"
+        anchor[i] = s
+        taken[s] = True
+    return anchor
+
+
+def _remap_cols(blk, anchor: np.ndarray, space: int):
+    """On_proc block with columns moved to their anchor slots."""
+    from raptor_tpu.core.matrix import CSRMatrix
+    out = CSRMatrix(blk.n_rows, space, blk.indptr.copy(),
+                    anchor[blk.indices].astype(np.int64), blk.data.copy())
+    return out.sort()
+
+
+def _remap_rows(blk, anchor: np.ndarray, space: int):
+    """On_proc block with rows moved to their anchor slots."""
+    from raptor_tpu.core.matrix import CSRMatrix
+    row_nnz = np.diff(blk.indptr)
+    counts = np.zeros(space, dtype=np.int64)
+    counts[anchor[:blk.n_rows]] = row_nnz
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    indices = np.zeros(blk.nnz, dtype=np.int64)
+    data = np.zeros(blk.nnz, dtype=np.float64)
+    if blk.nnz:
+        erows = np.repeat(np.arange(blk.n_rows), row_nnz)
+        pos = np.arange(blk.nnz) - np.repeat(blk.indptr[:-1], row_nnz)
+        dest = indptr[anchor[erows]] + pos
+        indices[dest] = blk.indices
+        data[dest] = blk.data
+    return CSRMatrix(space, blk.n_cols, indptr, indices, data)
+
+
 def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                       dtype=jnp.float64, lane_pad: int = 1,
-                      force_format: Optional[str] = None) -> DeviceParCSR:
+                      force_format: Optional[str] = None,
+                      embed: Optional[str] = None) -> DeviceParCSR:
     """Build the device plan from a host ParCSRMatrix and shard it.
 
     The on_proc block format is chosen per matrix: DIA when every shard's
@@ -199,12 +263,52 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             for s in shards)
     B = _round_up(B, lane_pad) if B else 0
 
+    # optional embedding: move a transfer operator's short axis (coarse
+    # cols of P / coarse rows of P^T) to fine-aligned anchor slots so the
+    # block becomes near-banded and formats as DIA/BDIA. Forward SpMV
+    # then costs one small scatter (cols) or gather (rows) plus
+    # streaming planes, instead of a full-length gather.
+    embed_kind = "none"
+    emb_idx = np.zeros((S, 1), dtype=np.int32)
+    fmt_blocks = [blk.on_proc for blk in shards]
+    fmt_R = R
+    if embed == "cols":
+        embed_kind, fmt_R = "cols", R
+        emb_idx = np.full((S, C), R, dtype=np.int32)   # OOB: scatter-drop
+        new_blocks = []
+        for s, blk in enumerate(shards):
+            m = blk.on_proc.to_scipy().tocsc()
+            nc = blk.on_proc.n_cols
+            firsts = np.zeros(nc, dtype=np.int64)
+            ne = np.diff(m.indptr) > 0
+            firsts[ne] = m.indices[m.indptr[:-1][ne]]
+            firsts[~ne] = (np.nonzero(~ne)[0] * max(1, R // max(1, nc)))
+            anchor = _pick_anchors(firsts, R)
+            emb_idx[s, :nc] = anchor
+            new_blocks.append(_remap_cols(blk.on_proc, anchor, R))
+        fmt_blocks = new_blocks
+    elif embed == "rows":
+        embed_kind, fmt_R = "rows", C
+        emb_idx = np.full((S, R), C, dtype=np.int32)   # OOB: gather-clamp
+        new_blocks = []
+        for s, blk in enumerate(shards):
+            bo = blk.on_proc
+            nr = bo.n_rows
+            firsts = np.zeros(nr, dtype=np.int64)
+            ne = np.diff(bo.indptr) > 0
+            firsts[ne] = bo.indices[bo.indptr[:-1][ne]]
+            firsts[~ne] = (np.nonzero(~ne)[0] * max(1, C // max(1, nr)))
+            anchor = _pick_anchors(firsts, C)
+            emb_idx[s, :nr] = anchor
+            new_blocks.append(_remap_rows(bo, anchor, C))
+        fmt_blocks = new_blocks
+
     # decide on_proc format: DIA when the union of all shards' diagonal
     # offset sets is small (static across shards for SPMD uniformity)
-    shard_offs = [dia_detect(blk.on_proc, MAX_DIA_OFFSETS) for blk in shards]
+    shard_offs = [dia_detect(blk, MAX_DIA_OFFSETS) for blk in fmt_blocks]
     union = (np.unique(np.concatenate([o for o in shard_offs]))
              if all(o is not None for o in shard_offs) else None)
-    A128 = -(-R // 128)
+    A128 = -(-fmt_R // 128)
     use_dia = force_format
     bd_spec = []
     if use_dia is None:
@@ -215,8 +319,8 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             # that a streaming pass beats per-entry gather; the leftover
             # entries run through the compacted-gather 'rest' path
             merged = {}
-            for blk in shards:
-                planes, counts = bdia_plane_counts(blk.on_proc)
+            for blk in fmt_blocks:
+                planes, counts = bdia_plane_counts(blk)
                 for p, c in zip(planes, counts):
                     merged[p] = merged.get(p, 0) + int(c)
             bd_spec = select_planes(merged, MAX_BDIA_PLANES, A128)
@@ -228,9 +332,14 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             pad_ok = (max((abs(d) for d, _ in bd_spec), default=0) <= 256)
             use_dia = ("bdia" if bd_spec and pad_ok
                        and kept_nnz >= 0.6 * total else "ell")
+    if use_dia == "ell":
+        # embedding only pays off through DIA/BDIA
+        embed_kind, fmt_R = "none", R
+        fmt_blocks = [blk.on_proc for blk in shards]
+        emb_idx = np.zeros((S, 1), dtype=np.int32)
 
     bd_offsets, bd_padb, bd_ba = (), 1, 0
-    rest_shards = [blk.on_proc for blk in shards]
+    rest_shards = fmt_blocks
     if use_dia == "bdia":
         bd_offsets = tuple(d for d, _ in bd_spec)
         bd_padb = max(1, max(abs(d) for d in bd_offsets))
@@ -246,8 +355,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         A_pad = _round_up(A128, bd_ba) if bd_ba else A128
         bd_idx = np.zeros((S, Pn, A_pad, 128), dtype=np.int32)
         bd_vals = np.zeros((S, Pn, A_pad, 128), dtype=np.float64)
-        rest_shards = [bdia_split_rest(blk.on_proc, bd_spec)
-                       for blk in shards]
+        rest_shards = [bdia_split_rest(blk, bd_spec) for blk in fmt_blocks]
     else:
         bd_idx = np.zeros((S, 0, 1, 128), dtype=np.int32)
         bd_vals = np.zeros((S, 0, 1, 128), dtype=np.float64)
@@ -261,7 +369,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         Br = _round_up(Br, lane_pad) if Br else 0
     else:
         Wr = Br = 0
-    rest_rows = np.full((S, Br), R, dtype=np.int32)
+    rest_rows = np.full((S, Br), fmt_R, dtype=np.int32)
     rest_cols = np.zeros((S, Wr, Br), dtype=np.int32)
     rest_vals = np.zeros((S, Wr, Br), dtype=np.float64)
 
@@ -271,15 +379,22 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         K = len(union)
         dia_offsets = tuple(int(o) for o in union)
         dia_pad = max(1, int(np.abs(union).max()))
-        on_cols = np.zeros((S, 1, R), dtype=np.int32)
-        on_vals = np.zeros((S, 1, R), dtype=np.float64)
-        dia_vals = np.zeros((S, K, R), dtype=np.float64)
+        if embed_kind != "none":
+            # embedded DIA is forward-only: keep real ELL of the ORIGINAL
+            # block for the transpose path
+            W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
+                               if s.on_proc.nnz else 0) for s in shards))
+        else:
+            W_on = 1
+        on_cols = np.zeros((S, W_on, R), dtype=np.int32)
+        on_vals = np.zeros((S, W_on, R), dtype=np.float64)
+        dia_vals = np.zeros((S, K, fmt_R), dtype=np.float64)
     else:
         W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
                            if s.on_proc.nnz else 0) for s in shards))
         on_cols = np.zeros((S, W_on, R), dtype=np.int32)
         on_vals = np.zeros((S, W_on, R), dtype=np.float64)
-        dia_vals = np.zeros((S, 1, R), dtype=np.float64)
+        dia_vals = np.zeros((S, 1, fmt_R), dtype=np.float64)
         dia_pad, dia_offsets = 1, (0,)
 
     off_rows = np.full((S, B), R, dtype=np.int32)
@@ -289,17 +404,20 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     col_mask = np.zeros((S, C), dtype=np.float64)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
-            dia_vals[s] = dia_arrays(blk.on_proc, union, R)
+            dia_vals[s] = dia_arrays(fmt_blocks[s], union, fmt_R)
+            if embed_kind != "none":
+                on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
+                                                    on_cols.shape[1])
         else:
             on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
                                                 on_cols.shape[1])
             if use_dia == "bdia":
                 bd_idx[s], bd_vals[s] = bdia_arrays(
-                    blk.on_proc, bd_spec, bd_idx.shape[2])
+                    fmt_blocks[s], bd_spec, bd_idx.shape[2])
                 if Br:
                     (rest_rows[s], rest_cols[s],
                      rest_vals[s]) = ell_boundary_arrays(
-                        rest_shards[s], Wr, Br, R)
+                        rest_shards[s], Wr, Br, fmt_R)
         if B:
             off_rows[s], off_cols[s], off_vals[s] = ell_boundary_arrays(
                 blk.off_proc, W_off, B, R)
@@ -318,6 +436,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         rest_rows=shard_leaf(rest_rows),
         rest_cols=shard_leaf(rest_cols),
         rest_vals=shard_leaf(rest_vals, dtype),
+        emb_idx=shard_leaf(emb_idx),
         send_idx=shard_leaf(plan.send_idx),
         send_mask=shard_leaf(plan.send_mask, dtype),
         halo_src=shard_leaf(plan.halo_src),
@@ -328,7 +447,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         rows_pad=R, cols_pad=C, halo_pad=plan.halo_pad, slot=plan.slot,
         dia_pad=dia_pad, dia_offsets=dia_offsets,
         bd_offsets=bd_offsets, bd_padb=bd_padb, bd_ba=bd_ba,
-        on_format=use_dia,
+        on_format=use_dia, embed_kind=embed_kind, on_rows_pad=fmt_R,
         global_num_rows=part.global_num_rows,
         global_num_cols=part.global_num_cols,
     )
@@ -380,34 +499,45 @@ def halo_exchange_T(A: DeviceParCSR, halo_vals: jnp.ndarray,
 
 
 def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
-    """b = A_on x (on_proc block only), format-dispatched."""
+    """b = A_on x (on_proc block only), format-dispatched.
+
+    For embedded transfer operators, the coarse axis lives at fine-aligned
+    anchor slots: 'cols' scatters x into the embedded space first, 'rows'
+    compacts the embedded result back down."""
+    if A.embed_kind == "cols":
+        x = jnp.zeros(A.on_rows_pad, dtype=x.dtype).at[A.emb_idx].set(x)
     if A.on_format == "dia":
         from raptor_tpu.device.pallas_kernels import (
             dia_spmv_pallas, use_pallas)
+        out = None
         if use_pallas():
             out = dia_spmv_pallas(A.dia_offsets, A.dia_vals, x, A.dia_pad)
-            if out is not None:
-                return out
-        return dia_spmv(A.dia_offsets, A.dia_vals, x, A.dia_pad)
-    if A.on_format == "bdia":
+        if out is None:
+            out = dia_spmv(A.dia_offsets, A.dia_vals, x, A.dia_pad)
+    elif A.on_format == "bdia":
         from raptor_tpu.device.pallas_kernels import (
             bdia_spmv_pallas, use_pallas)
         out = None
         if use_pallas():
             out = bdia_spmv_pallas(A.bd_offsets, A.bd_idx, A.bd_vals, x,
-                                   A.bd_padb, A.bd_ba, A.rows_pad)
+                                   A.bd_padb, A.bd_ba, A.on_rows_pad)
         if out is None:
             out = bdia_spmv(A.bd_offsets, A.bd_idx, A.bd_vals, x,
-                            A.bd_padb, A.rows_pad)
-        return out + off_spmv(A.rest_rows, A.rest_cols, A.rest_vals, x,
-                              A.rows_pad)
-    return ell_spmv(A.on_cols, A.on_vals, x)
+                            A.bd_padb, A.on_rows_pad)
+        out = out + off_spmv(A.rest_rows, A.rest_cols, A.rest_vals, x,
+                             A.on_rows_pad)
+    else:
+        return ell_spmv(A.on_cols, A.on_vals, x)
+    if A.embed_kind == "rows":
+        out = out[A.emb_idx] * A.row_mask
+    return out
 
 
 def on_spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
-    if A.on_format == "dia":
+    if A.on_format == "dia" and A.embed_kind == "none":
         return dia_spmv_T(A.dia_offsets, A.dia_vals, x, A.cols_pad,
                           A.dia_pad)
+    # bdia / embedded blocks keep the original ELL for the transpose path
     return ell_spmv_T(A.on_cols, A.on_vals, x, A.cols_pad)
 
 

@@ -85,11 +85,14 @@ class DeviceHierarchy:
                 TA = device_put_tap(build_tap_plan(lvl.A, H, L), mesh,
                                     dtype=dtype)
             if lvl.P is not None:
+                # embed the coarse axis at fine-aligned anchors so the
+                # transfer operators format as DIA/BDIA instead of
+                # full-length gather ELL
                 dP = device_put_matrix(lvl.P, mesh, dtype=dtype,
-                                       lane_pad=lane_pad)
+                                       lane_pad=lane_pad, embed="cols")
                 pt = lvl.P.transpose()
                 dPt = device_put_matrix(pt, mesh, dtype=dtype,
-                                        lane_pad=lane_pad)
+                                        lane_pad=lane_pad, embed="rows")
                 if tap_level:
                     from raptor_tpu.comm.tap import (
                         build_tap_plan, device_put_tap)
