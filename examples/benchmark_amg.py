@@ -1,7 +1,7 @@
 """AMG setup + solve benchmark (examples/benchmark_setup.cpp,
 benchmark_solve.cpp, benchmark_amg.cpp equivalents).
 
-Run: python examples/benchmark_amg.py [grid_n] [n_shards] [f32|f64] [relax]
+Run: python examples/benchmark_amg.py [grid_n] [n_shards] [f32|f64] [relax] [sweeps]
 """
 
 import pathlib
@@ -41,8 +41,10 @@ def main():
 
     relax = (RelaxType[sys.argv[4]] if len(sys.argv) > 4
              else RelaxType.SOR)
+    sweeps = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP, InterpType.ModClassical,
                              relax_type=relax)
+    ml.num_smooth_sweeps = sweeps
     if dtype == jnp.float32:
         ml.solve_tol = 1e-5
     with prof.phase("setup(host)"):

@@ -43,10 +43,15 @@ class RelaxType(enum.Enum):
     Jacobi = 0
     SOR = 1
     SSOR = 2
-    # TPU-native additions: multicolor Gauss-Seidel (a few fully-parallel
-    # color steps instead of sequential wavefronts; not in the reference)
+    # TPU-native additions (not in the reference): multicolor Gauss-Seidel
+    # (fully-parallel color steps instead of sequential wavefronts), plus
+    # the standard accelerator AMG smoothers — l1-Jacobi (unconditionally
+    # convergent weighted Jacobi, hypre's GPU default) and Chebyshev
+    # polynomial smoothing (1 SpMV per degree, no color sweeps)
     MCSOR = 3
     MCSSOR = 4
+    L1Jacobi = 5
+    Chebyshev = 6
 
 
 # CF-splitting state constants (reference: core/types.hpp:29-35).

@@ -104,8 +104,9 @@ def _level_schedule(tri: CSRMatrix, reverse: bool) -> List[np.ndarray]:
                  "l_cols", "l_vals",
                  "fwd_rows", "fwd_mask", "fwd_cols", "fwd_vals",
                  "bwd_rows", "bwd_mask", "bwd_cols", "bwd_vals",
-                 "color_mask"],
-    meta_fields=["n_fwd_levels", "n_bwd_levels", "n_colors"],
+                 "color_mask", "inv_l1_diag"],
+    meta_fields=["n_fwd_levels", "n_bwd_levels", "n_colors",
+                 "cheb_lo", "cheb_hi"],
 )
 @dataclasses.dataclass
 class DeviceRelax:
@@ -129,9 +130,15 @@ class DeviceRelax:
     bwd_vals: jnp.ndarray
     # greedy graph coloring for multicolor GS: [S, NC, R] one-hot per color
     color_mask: jnp.ndarray
+    # l1-Jacobi: 1 / (a_ii + sum_{j != i} |a_ij|) over the FULL row
+    # (on_proc + off_proc), hypre's l1 norm smoother
+    inv_l1_diag: jnp.ndarray
     n_fwd_levels: int
     n_bwd_levels: int
     n_colors: int
+    # Chebyshev interval for D^{-1} A (power-iteration estimate at setup)
+    cheb_lo: float
+    cheb_hi: float
 
 
 def _schedule_arrays(tri: CSRMatrix, levels: List[np.ndarray],
@@ -207,11 +214,41 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
         b_rows[s], b_mask[s], b_cols[s], b_vals[s] = _schedule_arrays(
             up, bl, NLb, Mb, Wu)
 
+    # l1 row norms over the full (on + off) row, hypre l1-Jacobi style
+    l1 = np.ones((S, R))
+    for s, blk in enumerate(shards):
+        n = blk.on_proc.n_rows
+        onab = np.bincount(blk.on_proc.row_ids(),
+                           weights=np.abs(blk.on_proc.data), minlength=n)
+        offab = (np.bincount(blk.off_proc.row_ids(),
+                             weights=np.abs(blk.off_proc.data), minlength=n)
+                 if blk.off_proc.nnz else np.zeros(n))
+        d = diag_a[s, :n]
+        row_l1 = d + (onab - np.abs(d)) + offab
+        l1[s, :n] = np.where(np.abs(row_l1) > ZERO_TOL, row_l1, 1.0)
+
+    # Chebyshev interval: power-iteration estimate of lambda_max(D^{-1}A)
+    # on the host global matrix; [0.3*lmax, 1.1*lmax] per hypre practice
+    gm = a.global_csr.to_scipy()
+    dg = gm.diagonal()
+    dg = np.where(np.abs(dg) > ZERO_TOL, dg, 1.0)
+    rng_v = np.random.default_rng(42).random(gm.shape[0]) + 0.1
+    v = rng_v / np.linalg.norm(rng_v)
+    lmax = 1.0
+    for _ in range(12):
+        w = (gm @ v) / dg
+        nw = np.linalg.norm(w)
+        if nw <= 0:
+            break
+        lmax, v = nw, w / nw
+    cheb_lo, cheb_hi = 0.3 * float(lmax), 1.1 * float(lmax)
+
     put = lambda x, dt=None: dpar._shard_leading(x, mesh, dt or dtype)
     puti = lambda x: dpar._shard_leading(x, mesh, None)
     return DeviceRelax(
         diag=put(diag_a), inv_diag=put(1.0 / diag_a),
-        has_diag=put(has),
+        has_diag=put(has), inv_l1_diag=put(1.0 / l1),
+        cheb_lo=cheb_lo, cheb_hi=cheb_hi,
         u_cols=puti(u_cols), u_vals=put(u_vals),
         l_cols=puti(l_cols), l_vals=put(l_vals),
         fwd_rows=puti(f_rows), fwd_mask=put(f_mask),
@@ -347,12 +384,70 @@ def mc_ssor_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
     return jax.lax.fori_loop(0, num_sweeps, sweep, x)
 
 
+def _full_residual(A, x, b, dist):
+    """r = b - A x with the halo values already exchanged."""
+    from raptor_tpu.device.par import off_spmv as _off, on_spmv_shard
+    return b - (on_spmv_shard(A, x)
+                + _off(A.off_rows, A.off_cols, A.off_vals, dist,
+                       A.rows_pad))
+
+
+def l1_jacobi_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
+    """l1-Jacobi: x += w * (b - A x) / (a_ii + sum_{j!=i} |a_ij|).
+
+    Unconditionally convergent for SPD A (the l1 diagonal dominates the
+    row); hypre's default GPU smoother. TPU-native addition — the
+    reference offers Jacobi/SOR/SSOR only (util/linalg/par_relax.cpp)."""
+    def sweep(_, x):
+        dist = _halo(A, x, T)
+        r = _full_residual(A, x, b, dist)
+        return jnp.where(RX.has_diag > 0,
+                         x + omega * r * RX.inv_l1_diag, x)
+    return jax.lax.fori_loop(0, num_sweeps, sweep, x)
+
+
+def chebyshev_shard(A, RX, x, b, num_sweeps: int, omega: float, T=None):
+    """Chebyshev polynomial smoother of degree ``num_sweeps`` on the
+    interval [cheb_lo, cheb_hi] of D^{-1}A (power-iteration bound at
+    setup). One SpMV per degree, no color sweeps — the standard
+    accelerator AMG smoother. ``omega`` is unused (the polynomial fixes
+    the weights)."""
+    degree = max(1, num_sweeps)
+    theta = 0.5 * (RX.cheb_hi + RX.cheb_lo)
+    delta = 0.5 * (RX.cheb_hi - RX.cheb_lo)
+    sigma = theta / delta
+
+    dist = _halo(A, x, T)
+    r = _full_residual(A, x, b, dist)
+    z = r * RX.inv_diag * RX.has_diag
+    d = z / theta
+    x = x + d
+    rho = 1.0 / sigma
+    for _ in range(1, degree):
+        dist = _halo(A, d, T)
+        r = r - _ad(A, d, dist)
+        z = r * RX.inv_diag * RX.has_diag
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+        x = x + d
+        rho = rho_new
+    return x
+
+
+def _ad(A, d, dist):
+    from raptor_tpu.device.par import off_spmv as _off, on_spmv_shard
+    return (on_spmv_shard(A, d)
+            + _off(A.off_rows, A.off_cols, A.off_vals, dist, A.rows_pad))
+
+
 RELAX_FNS = {
     "jacobi": jacobi_shard,
     "sor": sor_shard,
     "ssor": ssor_shard,
     "mc_sor": mc_sor_shard,
     "mc_ssor": mc_ssor_shard,
+    "l1_jacobi": l1_jacobi_shard,
+    "chebyshev": chebyshev_shard,
 }
 
 

@@ -30,7 +30,8 @@ from raptor_tpu.multilevel.par_multilevel import ParMultilevel
 
 RELAX_NAME = {RelaxType.Jacobi: "jacobi", RelaxType.SOR: "sor",
               RelaxType.SSOR: "ssor", RelaxType.MCSOR: "mc_sor",
-              RelaxType.MCSSOR: "mc_ssor"}
+              RelaxType.MCSSOR: "mc_ssor", RelaxType.L1Jacobi: "l1_jacobi",
+              RelaxType.Chebyshev: "chebyshev"}
 
 
 class DeviceLevel(NamedTuple):

@@ -61,11 +61,14 @@ def test_amg_variants_converge(coarsen, interp):
     assert float(result.res[iters]) < ml.solve_tol
 
 
-@pytest.mark.parametrize("relax", [RelaxType.Jacobi, RelaxType.SSOR])
+@pytest.mark.parametrize("relax", [RelaxType.Jacobi, RelaxType.SSOR,
+                                   RelaxType.L1Jacobi, RelaxType.Chebyshev])
 def test_amg_relax_variants(relax):
     A, ml = _setup(4, relax=relax)
     if relax == RelaxType.Jacobi:
         ml.relax_weight = 2.0 / 3.0
+    if relax == RelaxType.Chebyshev:
+        ml.num_smooth_sweeps = 3   # polynomial degree
     mesh = dpar.make_mesh(4)
     dh = DeviceHierarchy(ml, mesh)
     bh = A.mult(np.ones(A.global_num_rows))

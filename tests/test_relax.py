@@ -91,3 +91,45 @@ def test_relax_smooths_error():
     out = relax(mesh, "ssor", dA, dRX, x, b, num_sweeps=10, omega=1.0)
     err = np.linalg.norm(dpar.host_vector(out, part.row_bounds))
     assert err < 0.3 * np.linalg.norm(xh)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_l1_jacobi_matches_oracle(n_shards):
+    """l1-Jacobi: x += w (b - A x) / (a_ii + sum_{j != i} |a_ij|)."""
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (25, 25),
+                         n_shards)
+    mesh = dpar.make_mesh(n_shards)
+    dA = dpar.device_put_matrix(A, mesh)
+    dRX = build_relax(A, mesh, dA)
+    part = A.partition
+    rng = np.random.default_rng(3)
+    xh = rng.standard_normal(A.global_num_rows)
+    bh = rng.standard_normal(A.global_num_rows)
+    x = dpar.device_put_vector(xh, part.row_bounds, dA.rows_pad, mesh)
+    b = dpar.device_put_vector(bh, part.row_bounds, dA.rows_pad, mesh)
+    out = relax(mesh, "l1_jacobi", dA, dRX, x, b, num_sweeps=2, omega=0.8)
+
+    gm = A.global_csr.to_scipy()
+    diag = gm.diagonal()
+    l1 = diag + (np.abs(gm).sum(axis=1).A1 - np.abs(diag))
+    exp = xh.copy()
+    for _ in range(2):
+        exp = exp + 0.8 * (bh - gm @ exp) / l1
+    np.testing.assert_allclose(
+        dpar.host_vector(out, part.row_bounds), exp, atol=1e-12)
+
+
+def test_chebyshev_smooths_error():
+    A = par_stencil_grid(diffusion_stencil_2d(1.0, 0.0), (20, 20), 4)
+    mesh = dpar.make_mesh(4)
+    dA = dpar.device_put_matrix(A, mesh)
+    dRX = build_relax(A, mesh, dA)
+    part = A.partition
+    rng = np.random.default_rng(7)
+    xh = rng.standard_normal(A.global_num_rows)
+    x = dpar.device_put_vector(xh, part.row_bounds, dA.rows_pad, mesh)
+    b = dpar.device_put_vector(np.zeros_like(xh), part.row_bounds,
+                               dA.rows_pad, mesh)
+    out = relax(mesh, "chebyshev", dA, dRX, x, b, num_sweeps=4, omega=1.0)
+    err = np.linalg.norm(dpar.host_vector(out, part.row_bounds))
+    assert err < 0.3 * np.linalg.norm(xh)
