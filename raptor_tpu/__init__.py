@@ -14,6 +14,31 @@ A from-scratch reimplementation of the capabilities of RAPtor
 Reference layer map: /root/reference/raptor/raptor.hpp:1-122 (see SURVEY.md).
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (off with RAPTOR_TPU_CACHE=0).
+
+    The jitted V-cycle program is large and TPU compilation can run
+    through a remote compile service; caching makes repeat runs start in
+    seconds instead of minutes."""
+    if _os.environ.get("RAPTOR_TPU_CACHE", "1") == "0":
+        return
+    try:
+        import jax
+        path = _os.environ.get(
+            "RAPTOR_TPU_CACHE_DIR",
+            _os.path.expanduser("~/.cache/raptor_tpu_xla"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from raptor_tpu.core.types import (
     CoarsenType,
     InterpType,

@@ -89,6 +89,11 @@ def _cg_shard(A: DeviceParCSR, x, b, tol: float, max_iter: int,
     return x, res_hist, k, indef
 
 
+# compiled-solver cache: a fresh @jax.jit closure per call would retrace
+# and (through a remote compile service) recompile every solve
+_RUN_CACHE = {}
+
+
 def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
        max_iter: Optional[int] = None, precond=None) -> CGResult:
     """Global CG solve. ``precond``, if given, is the 4-tuple
@@ -101,6 +106,14 @@ def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
     if precond is not None:
         data, specs, strip, apply = precond
         pdata, pspecs = (data,), (specs,)
+
+    cache_key = ("cg", mesh, tol, max_iter,
+                 None if precond is None else (id(precond[2]),
+                                               id(precond[3])))
+    if cache_key in _RUN_CACHE:
+        # keep the precond closures alive so the ids stay valid
+        run = _RUN_CACHE[cache_key][0]
+        return CGResult(*run(A, x0, b, *pdata))
 
     @jax.jit
     def run(A, x0, b, *pd):
@@ -118,4 +131,5 @@ def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
             in_specs=dpar.leaf_specs((A, x0, b)) + pspecs,
             out_specs=(P(dpar.ROW_AXIS, None), P(), P(), P()))(A, x0, b, *pd)
 
+    _RUN_CACHE[cache_key] = (run, precond)
     return CGResult(*run(A, x0, b, *pdata))
