@@ -24,7 +24,7 @@ from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.core.partition import Partition
 from raptor_tpu.device import par as dpar
 
-_BSR_DATA = ["on_cols", "on_blocks", "off_cols", "off_blocks",
+_BSR_DATA = ["on_cols", "on_blocks", "off_rows", "off_cols", "off_blocks",
              "send_idx", "send_mask", "halo_src", "slot_to_halo",
              "recv_mask", "row_mask"]
 _BSR_META = ["b_rows", "b_cols", "brows_pad", "bcols_pad", "halo_pad",
@@ -37,8 +37,10 @@ _BSR_META = ["b_rows", "b_cols", "brows_pad", "bcols_pad", "halo_pad",
 class DeviceParBSR:
     on_cols: jnp.ndarray     # [S, W_on, RB] int32 block col ids
     on_blocks: jnp.ndarray   # [S, W_on, RB, br, bc]
-    off_cols: jnp.ndarray    # [S, W_off, RB] int32 halo block ids
-    off_blocks: jnp.ndarray  # [S, W_off, RB, br, bc]
+    # off block compacted to the BB boundary block rows (see par.py)
+    off_rows: jnp.ndarray    # [S, BB] int32 block row ids (pad = RB)
+    off_cols: jnp.ndarray    # [S, W_off, BB] int32 halo block ids
+    off_blocks: jnp.ndarray  # [S, W_off, BB, br, bc]
     send_idx: jnp.ndarray    # [S, S, Q] int32 local block col ids
     send_mask: jnp.ndarray
     halo_src: jnp.ndarray    # [S, Hb]
@@ -95,13 +97,16 @@ def device_put_bsr(a: ParCSRMatrix, b_rows: int, b_cols: int, mesh: Mesh,
     RB = max(1, bpart.max_local_rows)
     W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
                        if s.on_proc.nnz else 0) for s in shards))
-    W_off = max(1, max((int(np.diff(s.off_proc.indptr).max())
-                        if s.off_proc.nnz else 0) for s in shards))
+    W_off = max((int(np.diff(s.off_proc.indptr).max())
+                 if s.off_proc.nnz else 0) for s in shards)
+    BB = max(int(np.count_nonzero(np.diff(s.off_proc.indptr)))
+             for s in shards)
 
     on_cols = np.zeros((S, W_on, RB), dtype=np.int32)
     on_blocks = np.zeros((S, W_on, RB, b_rows, b_cols))
-    off_cols = np.zeros((S, W_off, RB), dtype=np.int32)
-    off_blocks = np.zeros((S, W_off, RB, b_rows, b_cols))
+    off_rows = np.full((S, BB), RB, dtype=np.int32)
+    off_cols = np.zeros((S, W_off, BB), dtype=np.int32)
+    off_blocks = np.zeros((S, W_off, BB, b_rows, b_cols))
     row_mask = np.zeros((S, RB))
 
     for s in range(S):
@@ -123,12 +128,15 @@ def device_put_bsr(a: ParCSRMatrix, b_rows: int, b_cols: int, mesh: Mesh,
                          _reindptr(rows.indptr, ~on_sel), offb_cols,
                          np.asarray(rows.data)[~on_sel])
         on_cols[s], on_blocks[s] = _block_ell(onb, RB, W_on)
-        off_cols[s], off_blocks[s] = _block_ell(offb, RB, W_off)
+        if BB:
+            (off_rows[s, :], off_cols[s],
+             off_blocks[s]) = _block_ell_boundary(offb, W_off, BB, RB)
         row_mask[s, :(r1 - r0) // b_rows] = 1.0
 
     put = lambda x, dt=None: dpar._shard_leading(x, mesh, dt)
     return DeviceParBSR(
         on_cols=put(on_cols), on_blocks=put(on_blocks, dtype),
+        off_rows=put(off_rows),
         off_cols=put(off_cols), off_blocks=put(off_blocks, dtype),
         send_idx=put(plan.send_idx), send_mask=put(plan.send_mask, dtype),
         halo_src=put(plan.halo_src), slot_to_halo=put(plan.slot_to_halo),
@@ -136,6 +144,23 @@ def device_put_bsr(a: ParCSRMatrix, b_rows: int, b_cols: int, mesh: Mesh,
         b_rows=b_rows, b_cols=b_cols, brows_pad=RB,
         bcols_pad=max(1, bpart.max_local_cols), halo_pad=plan.halo_pad,
         slot=plan.slot, global_num_rows=n, global_num_cols=m)
+
+
+def _block_ell_boundary(a: BSRMatrix, width: int, bb: int, rb_pad: int):
+    """Boundary-compacted block ELL: only block rows with halo entries."""
+    rows = np.full(bb, rb_pad, dtype=np.int32)
+    cols = np.zeros((width, bb), dtype=np.int32)
+    blocks = np.zeros((width, bb, a.b_rows, a.b_cols))
+    row_nnz = np.diff(a.indptr)
+    brows = np.nonzero(row_nnz)[0]
+    if len(brows):
+        rows[:len(brows)] = brows
+        bn = row_nnz[brows]
+        rpos = np.repeat(np.arange(len(brows)), bn)
+        pos = np.arange(len(a.indices)) - np.repeat(a.indptr[brows], bn)
+        cols[pos, rpos] = a.indices
+        blocks[pos, rpos] = a.blocks
+    return rows, cols, blocks
 
 
 def _reindptr(indptr, sel):
@@ -164,8 +189,10 @@ def bsr_spmv_shard(A: DeviceParBSR, x: jnp.ndarray) -> jnp.ndarray:
     # batched block matmul: blocks [W, RB, br, bc] x gathered [W, RB, bc]
     xon = x2[A.on_cols]                       # [W_on, RB, bc]
     b = jnp.einsum("wrij,wrj->ri", A.on_blocks, xon)
-    xoff = halo[A.off_cols]                   # [W_off, RB, bc]
-    b = b + jnp.einsum("wrij,wrj->ri", A.off_blocks, xoff)
+    if A.off_cols.shape[-1]:
+        xoff = halo[A.off_cols]               # [W_off, BB, bc]
+        contrib = jnp.einsum("wbij,wbj->bi", A.off_blocks, xoff)
+        b = b.at[A.off_rows].add(contrib)     # OOB pads dropped
     return b.reshape(-1)
 
 
