@@ -302,11 +302,12 @@ def merge_plane_specs(specs):
 def bdia_arrays(a: CSRMatrix, plane_spec, a_pad: int):
     """Pack CSR into BDIA planes.
 
-    Returns (idx [P, a_pad, 128] int32 lane ids, vals [P, a_pad, 128]).
+    Returns (idx [P, a_pad, 128] int8 lane ids (lanes < 128), vals
+    [P, a_pad, 128]).
     a_pad >= ceil(n_rows/128), in 128-row blocks. Padding slots keep
     idx 0 / val 0."""
     P = len(plane_spec)
-    idx = np.zeros((P, a_pad, LANE), dtype=np.int32)
+    idx = np.zeros((P, a_pad, LANE), dtype=np.int8)
     vals = np.zeros((P, a_pad, LANE), dtype=np.float64)
     if a.nnz == 0 or P == 0:
         return idx, vals
@@ -345,6 +346,7 @@ def bdia_spmv(d_offsets: Tuple[int, ...], idx: jnp.ndarray,
     S_pad = max(A_pad, C128) + 2 * padb
     xp = jnp.pad(x2, ((padb, S_pad - C128 - padb), (0, 0)))
     out = jnp.zeros((A_pad, LANE), dtype=x.dtype)
+    idx = idx.astype(jnp.int32)     # XLA gather wants int32+
     for p, d in enumerate(d_offsets):
         w = jax.lax.slice(xp, (padb + d, 0), (padb + d + A_pad, LANE))
         out = out + vals[p] * jnp.take_along_axis(w, idx[p], axis=1)

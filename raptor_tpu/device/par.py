@@ -139,7 +139,7 @@ class DeviceParCSR:
     dia_vals: jnp.ndarray   # [S, K, R] diagonal values (dummy when ELL)
     # BDIA planes (on_format == "bdia"): block-offset quantized diagonals
     # with per-entry lane ids — sublane shift + lane gather SpMV
-    bd_idx: jnp.ndarray     # [S, P, A_pad, 128] int32 lane ids
+    bd_idx: jnp.ndarray     # [S, P, A_pad, 128] int8 lane ids
     bd_vals: jnp.ndarray    # [S, P, A_pad, 128]
     # bdia 'rest': entries of dropped (near-empty) planes, compacted to
     # the rows that have them — per-entry gather over local x
@@ -347,17 +347,18 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         itemsize = jnp.dtype(dtype).itemsize
         bd_ba = 0
         for cand in (256, 128, 64, 32, 16, 8):
-            need = (2 * Pn * cand * 128
-                    + (cand + 2 * bd_padb) * 128) * itemsize * 2
+            # vals (itemsize) + int8 lane ids (1 B) per plane slot
+            need = (Pn * cand * 128 * (itemsize + 1)
+                    + (cand + 2 * bd_padb) * 128 * itemsize) * 2
             if need <= 32 * 1024 * 1024:
                 bd_ba = cand
                 break
         A_pad = _round_up(A128, bd_ba) if bd_ba else A128
-        bd_idx = np.zeros((S, Pn, A_pad, 128), dtype=np.int32)
+        bd_idx = np.zeros((S, Pn, A_pad, 128), dtype=np.int8)
         bd_vals = np.zeros((S, Pn, A_pad, 128), dtype=np.float64)
         rest_shards = [bdia_split_rest(blk, bd_spec) for blk in fmt_blocks]
     else:
-        bd_idx = np.zeros((S, 0, 1, 128), dtype=np.int32)
+        bd_idx = np.zeros((S, 0, 1, 128), dtype=np.int8)
         bd_vals = np.zeros((S, 0, 1, 128), dtype=np.float64)
 
     # bdia 'rest' entries: boundary-compacted local-gather ELL
