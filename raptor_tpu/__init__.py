@@ -48,7 +48,8 @@ from raptor_tpu.core.types import (
     ZERO_TOL,
 )
 from raptor_tpu.core.partition import Partition
-from raptor_tpu.core.matrix import CSRMatrix, COOMatrix, BSRMatrix
+from raptor_tpu.core.matrix import (CSRMatrix, COOMatrix,
+                                    CSCMatrix, BSRMatrix)
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.core.vector import ParVector
 

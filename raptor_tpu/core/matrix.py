@@ -200,6 +200,46 @@ class COOMatrix:
 
 
 @dataclasses.dataclass
+class CSCMatrix:
+    """Compressed sparse column (core/matrix.hpp:808). Setup-phase only;
+    used where the reference iterates columns (CF splitting transposes,
+    aggregation roots)."""
+
+    n_rows: int
+    n_cols: int
+    indptr: np.ndarray   # over columns
+    indices: np.ndarray  # row ids
+    data: np.ndarray
+
+    @staticmethod
+    def from_csr(a: CSRMatrix) -> "CSCMatrix":
+        m = a.to_scipy().tocsc()
+        m.sort_indices()
+        return CSCMatrix(a.n_rows, a.n_cols, m.indptr.astype(np.int64),
+                         m.indices.astype(np.int64),
+                         m.data.astype(np.float64))
+
+    def to_csr(self) -> CSRMatrix:
+        m = sp.csc_matrix((self.data, self.indices, self.indptr),
+                          shape=(self.n_rows, self.n_cols)).tocsr()
+        m.sort_indices()
+        return CSRMatrix.from_scipy(m)
+
+    @property
+    def nnz(self) -> int:
+        return len(self.indices)
+
+    def mult(self, x: np.ndarray) -> np.ndarray:
+        return sp.csc_matrix((self.data, self.indices, self.indptr),
+                             shape=(self.n_rows, self.n_cols)) @ x
+
+    def transpose(self) -> CSRMatrix:
+        """A^T as CSR — free: CSC(A) arrays ARE CSR(A^T) arrays."""
+        return CSRMatrix(self.n_cols, self.n_rows, self.indptr.copy(),
+                         self.indices.copy(), self.data.copy())
+
+
+@dataclasses.dataclass
 class BSRMatrix:
     """Block sparse row with dense b_rows x b_cols blocks
     (core/matrix.hpp:962-1078). Block values are a dense

@@ -32,3 +32,27 @@ class ParVector:
 
     def copy(self) -> "ParVector":
         return ParVector(self.values.copy(), self.partition)
+
+    # reference Vector ops (core/vector.cpp): set_const_value/axpy/scale
+    def set_const_value(self, alpha: float) -> "ParVector":
+        self.values[:] = alpha
+        return self
+
+    def axpy(self, other: "ParVector", alpha: float) -> "ParVector":
+        """self += alpha * other (core/vector.cpp axpy)."""
+        self.values += alpha * other.values
+        return self
+
+    def scale(self, alpha: float) -> "ParVector":
+        self.values *= alpha
+        return self
+
+    @property
+    def local(self) -> np.ndarray:
+        """This shard-view API is host-global; ``local`` of shard s is
+        obtained via the partition bounds."""
+        return self.values
+
+    def local_slice(self, s: int) -> np.ndarray:
+        b = self.partition.row_bounds
+        return self.values[int(b[s]):int(b[s + 1])]

@@ -1,0 +1,241 @@
+"""Distributed-memory AMG setup stages over per-shard data.
+
+These are the shard-local + transport formulations of the setup
+algorithms (the reference's par_strength.cpp:14-346 and
+par_cf_splitting.cpp:128-141 / 1273-1426): each function touches only a
+shard's on_proc / off_proc blocks and the three transport primitives
+(``fetch``/``reduce``/``allreduce_sum``), so the same code runs when the
+global matrix never exists on one host. The host-global implementations
+(strength.py, cf_splitting.py) remain the golden-validated oracle;
+tests/test_dist_setup.py asserts shard-count-independent equality.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from raptor_tpu.comm.transport import InProcessTransport
+from raptor_tpu.core.matrix import CSRMatrix
+from raptor_tpu.core.par_matrix import ParCSRMatrix
+from raptor_tpu.core.types import CFState, ZERO_TOL
+
+U, S_, F = CFState.Unassigned, CFState.Selected, CFState.Unselected
+NEW_C = CFState.NewSelection
+NO_NBR = CFState.NoNeighbors
+
+
+def dist_classical_strength(a: ParCSRMatrix, theta: float = 0.25,
+                            num_variables: int = 1,
+                            variables: Optional[np.ndarray] = None):
+    """Distributed classical strength (par_strength.cpp:14-346).
+
+    Row-local given the shard's on+off blocks; only unknown-based
+    filtering needs one halo fetch (of ``variables``). Returns per-shard
+    (s_on_mask, s_off_mask): boolean keep-masks over the blocks' entries
+    (the strength pattern, diagonal always kept)."""
+    tr = InProcessTransport(a)
+    shards = a.shards()
+    part = a.partition
+
+    if num_variables != 1:
+        local_vars = [
+            variables[int(part.col_bounds[s]):int(part.col_bounds[s + 1])]
+            for s in range(len(shards))]
+        halo_vars = tr.fetch(local_vars)
+    masks = []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        r0 = int(part.row_bounds[s])
+        rows_on = on.row_ids()
+        rows_off = off.row_ids()
+        n = on.n_rows
+        diag = on.diagonal()[:n] if on.n_rows <= on.n_cols else None
+        # local diag (row r -> entry at local col r + (r0 - c0) offset);
+        # for the square row partition local row r owns local col r
+        dloc = np.zeros(n)
+        is_diag = on.indices == rows_on + 0  # on_proc local col == row
+        dloc[rows_on[is_diag]] = on.data[is_diag]
+        neg = dloc < 0.0
+
+        if num_variables != 1:
+            rv = variables[r0:r0 + n]
+            same_on = rv[rows_on] == local_vars[s][on.indices]
+            same_off = rv[rows_off] == halo_vars[s][off.indices]
+        else:
+            same_on = np.ones(on.nnz, dtype=bool)
+            same_off = np.ones(off.nnz, dtype=bool)
+
+        # row scale over same-variable off-diagonals of the FULL row
+        mn = np.full(n, np.inf)
+        mx = np.full(n, -np.inf)
+        sel_on = ~is_diag & same_on
+        np.minimum.at(mn, rows_on[sel_on], on.data[sel_on])
+        np.maximum.at(mx, rows_on[sel_on], on.data[sel_on])
+        if off.nnz:
+            sel_off = same_off
+            np.minimum.at(mn, rows_off[sel_off], off.data[sel_off])
+            np.maximum.at(mx, rows_off[sel_off], off.data[sel_off])
+        thr = np.where(neg, mx, mn) * theta
+
+        strong_on = np.where(neg[rows_on], on.data > thr[rows_on],
+                             on.data < thr[rows_on])
+        strong_off = np.where(neg[rows_off], off.data > thr[rows_off],
+                              off.data < thr[rows_off])
+        masks.append((is_diag | (sel_on & strong_on),
+                      same_off & strong_off))
+    return masks
+
+
+def strength_masks_to_par(a: ParCSRMatrix, masks) -> ParCSRMatrix:
+    """Assemble the global S from per-shard keep masks (validation /
+    hand-off to the host-global pipeline)."""
+    part = a.partition
+    rows_l, cols_l, vals_l = [], [], []
+    for s, blk in enumerate(a.shards()):
+        r0 = int(part.row_bounds[s])
+        c0 = int(part.col_bounds[s])
+        mon, moff = masks[s]
+        on, off = blk.on_proc, blk.off_proc
+        rows_l.append(on.row_ids()[mon] + r0)
+        cols_l.append(on.indices[mon] + c0)
+        vals_l.append(on.data[mon])
+        if off.nnz:
+            cmap = np.asarray(blk.off_proc_column_map)
+            rows_l.append(off.row_ids()[moff] + r0)
+            cols_l.append(cmap[off.indices[moff]])
+            vals_l.append(off.data[moff])
+    import scipy.sparse as sp
+    g = sp.csr_matrix(
+        (np.concatenate(vals_l),
+         (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(a.global_num_rows, a.global_num_cols))
+    g.sort_indices()
+    return ParCSRMatrix(CSRMatrix.from_scipy(g), part)
+
+
+def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
+                    max_rounds: int = 10000) -> np.ndarray:
+    """Distributed PMIS splitting (par_cf_splitting.cpp:128-141 +
+    pmis_main_loop:1273-1426): per round, each shard selects rows whose
+    weight dominates every strong neighbor in both directions, using one
+    weight fetch + one column-max reduction; new C points silence their
+    column neighbors. Identical states to the host-global PMIS for any
+    shard count (ties have probability zero under random weights).
+
+    Returns the GLOBAL states array (concatenated owner order)."""
+    tr = InProcessTransport(s_par)
+    part = s_par.partition
+    shards = s_par.shards()
+    S = len(shards)
+
+    # diag-stripped per-shard blocks + local transpose patterns
+    blocks = []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        rows_on = on.row_ids()
+        keep = on.indices != rows_on
+        on_rows = rows_on[keep]
+        on_cols = on.indices[keep]
+        import scipy.sparse as sp
+        n = on.n_rows
+        onp = sp.csr_matrix((np.ones(len(on_rows)), (on_rows, on_cols)),
+                            shape=(n, on.n_cols))
+        onT = onp.tocsc()
+        blocks.append((on_rows, on_cols, off.row_ids(), off.indices,
+                       onp.tocsr(), onT))
+
+    # initial weights: rand + global strong in-degree (column counts)
+    local_w = []
+    off_counts = []
+    for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
+            enumerate(blocks):
+        r0 = int(part.row_bounds[s])
+        n = shards[s].on_proc.n_rows
+        w = rand_vals[r0:r0 + n].astype(np.float64).copy()
+        w += np.bincount(on_cols, minlength=n)[:n]
+        local_w.append(w)
+        off_counts.append(np.bincount(
+            off_cols, minlength=len(shards[s].off_proc_column_map)
+        ).astype(np.float64))
+    for s, add in enumerate(tr.reduce(off_counts, op="add")):
+        local_w[s] += add
+
+    # initial states
+    local_states = []
+    for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
+            enumerate(blocks):
+        n = shards[s].on_proc.n_rows
+        st = np.full(n, int(U), dtype=np.int64)
+        row_deg = (np.bincount(on_rows, minlength=n)
+                   + np.bincount(off_rows, minlength=n))
+        st[row_deg == 0] = int(NO_NBR)
+        isolated = st == int(NO_NBR)
+        pre_f = (~isolated) & (local_w[s] < 1.0)
+        st[pre_f] = int(F)
+        local_w[s][pre_f] = 0.0
+        local_states.append(st)
+
+    for _ in range(max_rounds):
+        remaining = tr.allreduce_sum(
+            [int(np.count_nonzero(st == int(U))) for st in local_states])
+        if remaining == 0:
+            break
+
+        halo_w = tr.fetch(local_w)
+        # column-direction maxima contributed by REMOTE rows: for each of
+        # my off cols, the max weight of my rows pointing at it
+        contrib = []
+        for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
+                enumerate(blocks):
+            h = len(shards[s].off_proc_column_map)
+            cm = np.zeros(h)
+            if len(off_rows):
+                np.maximum.at(cm, off_cols, local_w[s][off_rows])
+            contrib.append(cm)
+        col_max_remote = tr.reduce(contrib, op="max", init=-np.inf)
+
+        # select: weight strictly dominates all strong neighbors
+        new_c = []
+        for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
+                enumerate(blocks):
+            st, w = local_states[s], local_w[s]
+            n = len(st)
+            # row-direction max (on local + halo cols)
+            row_max = np.full(n, -np.inf)
+            if len(on_rows):
+                np.maximum.at(row_max, on_rows, w[on_cols])
+            if len(off_rows):
+                np.maximum.at(row_max, off_rows, halo_w[s][off_cols])
+            # column-direction max (local rows pointing at me + remote)
+            col_max = np.full(n, -np.inf)
+            if len(on_rows):
+                np.maximum.at(col_max, on_cols, w[on_rows])
+            cmr = col_max_remote[s]
+            col_max = np.maximum(col_max, cmr[:n])
+            sel = (st == int(U)) & (w > row_max) & (w > col_max)
+            new_c.append(sel)
+
+        # apply: new C; then rows pointing at a C (either locality) -> F
+        halo_new = tr.fetch([nc.astype(np.float64) for nc in new_c])
+        for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
+                enumerate(blocks):
+            st, w = local_states[s], local_w[s]
+            sel = new_c[s]
+            st[sel] = int(S_)
+            w[sel] = 0.0
+            # local rows pointing at a local new C
+            hit = np.zeros(len(st), dtype=bool)
+            if len(on_rows):
+                hit_on = sel[on_cols]
+                np.logical_or.at(hit, on_rows[hit_on], True)
+            # local rows pointing at a remote new C
+            if len(off_rows):
+                hit_off = halo_new[s][off_cols] > 0.5
+                np.logical_or.at(hit, off_rows[hit_off], True)
+            to_f = hit & (st == int(U))
+            st[to_f] = int(F)
+            w[to_f] = 0.0
+
+    return np.concatenate(local_states)
