@@ -62,3 +62,46 @@ class InProcessTransport:
     # --- collectives -------------------------------------------------------
     def allreduce_sum(self, local_scalars: List[float]) -> float:
         return float(np.sum(local_scalars))
+
+    def exscan_sum(self, local_scalars: List[float]) -> List[float]:
+        """Exclusive prefix sum over shards (MPI_Exscan): shard s gets the
+        sum of shards < s. Used for global coarse-index numbering."""
+        c = np.concatenate(([0.0], np.cumsum(local_scalars)[:-1]))
+        return [float(v) for v in c]
+
+    def reduce_rows(self, triplets: List, row_bounds: np.ndarray,
+                    n_rows: int, n_cols: int):
+        """Transpose matrix communication (comm_mat.cpp:209-346): each
+        shard contributes partial rows as (rows, cols, vals) COO with
+        GLOBAL ids; contributions are summed at the row owners. Returns
+        the assembled global CSR (in-process; an MPI implementation
+        returns only the local row block)."""
+        import scipy.sparse as sp
+        from raptor_tpu.core.matrix import CSRMatrix
+        rs = np.concatenate([t[0] for t in triplets])
+        cs = np.concatenate([t[1] for t in triplets])
+        vs = np.concatenate([t[2] for t in triplets])
+        g = sp.csr_matrix((vs, (rs, cs)), shape=(n_rows, n_cols))
+        g.sum_duplicates()
+        g.sort_indices()
+        return CSRMatrix.from_scipy(g)
+
+    def fetch_rows(self, a, wanted: List[np.ndarray]):
+        """Matrix-row communication (core/comm_mat.cpp:53-150): shard s
+        receives the GLOBAL-column CSR rows listed in ``wanted[s]``
+        (global row ids, owned by other shards). ``a`` is a CSRMatrix
+        (global-column form) or ParCSRMatrix. Returns per-shard
+        (indptr, global_cols, vals)."""
+        g = getattr(a, "global_csr", a)  # in-process shortcut; MPI packs rows
+        out = []
+        for rows in wanted:
+            rows = np.asarray(rows, dtype=np.int64)
+            counts = np.diff(g.indptr)[rows] if len(rows) else \
+                np.zeros(0, dtype=np.int64)
+            indptr = np.concatenate(([0], np.cumsum(counts)))
+            idx = (np.concatenate([
+                np.arange(g.indptr[r], g.indptr[r + 1]) for r in rows])
+                if len(rows) and indptr[-1] else np.zeros(0, dtype=np.int64))
+            out.append((indptr.astype(np.int64),
+                        g.indices[idx], g.data[idx]))
+        return out

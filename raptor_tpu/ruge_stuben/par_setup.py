@@ -239,3 +239,150 @@ def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             w[to_f] = 0.0
 
     return np.concatenate(local_states)
+
+
+def dist_direct_interpolation(a: ParCSRMatrix, s_masks, states_global,
+                              tr: Optional[InProcessTransport] = None):
+    """Distributed direct interpolation
+    (par_interpolation.cpp:1474-1776): entirely row-local given the
+    shard's on/off blocks, the strength masks, one halo fetch of CF
+    states, and an exclusive scan for global coarse numbering.
+
+    Returns the global P (assembled for validation) — per-shard triplets
+    are the natural product in a true multi-host run."""
+    tr = tr or InProcessTransport(a)
+    part = a.partition
+    shards = a.shards()
+    S = len(shards)
+
+    # coarse numbering: local C counts -> exscan -> global coarse ids
+    local_states = [
+        states_global[int(part.row_bounds[s]):int(part.row_bounds[s + 1])]
+        for s in range(S)]
+    c_counts = [int(np.count_nonzero(st == int(S_)))
+                for st in local_states]
+    c_starts = tr.exscan_sum(c_counts)
+    n_coarse = int(tr.allreduce_sum(c_counts))
+    local_coarse_id = []
+    for st, c0 in zip(local_states, c_starts):
+        cid = np.cumsum(st == int(S_)) - 1 + int(c0)
+        local_coarse_id.append(np.where(st == int(S_), cid, -1))
+    halo_states = tr.fetch([st.astype(np.float64)
+                            for st in local_states])
+    halo_cid = tr.fetch([ci.astype(np.float64)
+                         for ci in local_coarse_id])
+
+    rows_g, cols_g, vals_g = [], [], []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        st = local_states[s]
+        r0 = int(part.row_bounds[s])
+        n = on.n_rows
+        mon, moff = s_masks[s]
+        rows_on, rows_off = on.row_ids(), off.row_ids()
+        is_diag = on.indices == rows_on
+        dloc = np.zeros(n)
+        dloc[rows_on[is_diag]] = on.data[is_diag]
+
+        st_on_col = st[on.indices]          # square-aligned partition
+        st_off_col = halo_states[s][off.indices].astype(np.int64) \
+            if off.nnz else np.zeros(0, dtype=np.int64)
+
+        def rowsum(rows, vals, mask, n=n):
+            return np.bincount(rows[mask], weights=vals[mask], minlength=n)
+
+        neg_on = on.data < 0
+        neg_off = off.data < 0
+        offd_on = ~is_diag
+        sum_all_neg = (rowsum(rows_on, on.data, offd_on & neg_on)
+                       + rowsum(rows_off, off.data, neg_off))
+        sum_all_pos = (rowsum(rows_on, on.data, offd_on & ~neg_on)
+                       + rowsum(rows_off, off.data, ~neg_off))
+        sc_on = mon & offd_on & (st_on_col == int(S_))
+        sc_off = moff & (st_off_col == int(S_))
+        sum_s_neg = (rowsum(rows_on, on.data, sc_on & neg_on)
+                     + rowsum(rows_off, off.data, sc_off & neg_off))
+        sum_s_pos = (rowsum(rows_on, on.data, sc_on & ~neg_on)
+                     + rowsum(rows_off, off.data, sc_off & ~neg_off))
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha = sum_all_neg / sum_s_neg
+        no_pos = sum_s_pos == 0
+        eff_diag = np.where(no_pos, dloc + sum_all_pos, dloc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta = np.where(no_pos, 0.0, sum_all_pos / sum_s_pos)
+        neg_co = -alpha / eff_diag
+        pos_co = -beta / eff_diag
+
+        for rows, data, cidx, selm in (
+                (rows_on, on.data, local_coarse_id[s][on.indices], sc_on),
+                (rows_off, off.data,
+                 halo_cid[s][off.indices].astype(np.int64)
+                 if off.nnz else np.zeros(0, dtype=np.int64), sc_off)):
+            f_sel = selm & (st[rows] == int(F))
+            rr = rows[f_sel]
+            vv = data[f_sel]
+            pv = np.where(vv < 0, neg_co[rr] * vv, pos_co[rr] * vv)
+            rows_g.append(rr + r0)
+            cols_g.append(cidx[f_sel])
+            vals_g.append(pv)
+        c_rows = np.nonzero(st == int(S_))[0]
+        rows_g.append(c_rows + r0)
+        cols_g.append(local_coarse_id[s][c_rows])
+        vals_g.append(np.ones(len(c_rows)))
+
+    import scipy.sparse as sp
+    g = sp.csr_matrix(
+        (np.concatenate(vals_g),
+         (np.concatenate(rows_g), np.concatenate(cols_g))),
+        shape=(a.global_num_rows, n_coarse))
+    g.sum_duplicates()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g)
+
+
+def dist_rap(a: ParCSRMatrix, p: CSRMatrix,
+             tr: Optional[InProcessTransport] = None) -> CSRMatrix:
+    """Distributed Galerkin product C = P^T (A P)
+    (util/linalg/par_matmult.cpp:79-363 + mult_T:163-441).
+
+    Per shard: fetch the halo rows of P referenced by A's off block
+    (init_par_mat_comm, comm_mat.cpp:53-96), compute the local AP rows,
+    form the partial P^T AP contribution, and reduce partial coarse rows
+    at their owners (init_mat_comm_T, comm_mat.cpp:209-346). The drop
+    rule matches the host SpGEMM (|c| <= zero_tol)."""
+    import scipy.sparse as sp
+    tr = tr or InProcessTransport(a)
+    part = a.partition
+    shards = a.shards()
+    S = len(shards)
+    n_coarse = p.n_cols
+
+    wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
+    halo_rows = tr.fetch_rows(p, wanted)
+
+    triplets = []
+    for s, blk in enumerate(shards):
+        r0, r1 = int(part.row_bounds[s]), int(part.row_bounds[s + 1])
+        on, off = blk.on_proc, blk.off_proc
+        n = on.n_rows
+        # local rows of P (global coarse cols)
+        p_loc = sp.csr_matrix(
+            (p.data[p.indptr[r0]:p.indptr[r1]],
+             p.indices[p.indptr[r0]:p.indptr[r1]],
+             p.indptr[r0:r1 + 1] - p.indptr[r0]),
+            shape=(n, n_coarse))
+        hi, hc, hv = halo_rows[s]
+        p_halo = sp.csr_matrix((hv, hc, hi),
+                               shape=(len(wanted[s]), n_coarse))
+        a_on = sp.csr_matrix((on.data, on.indices, on.indptr),
+                             shape=(n, on.n_cols))
+        a_off = sp.csr_matrix((off.data, off.indices, off.indptr),
+                              shape=(n, max(1, len(wanted[s]))))
+        ap = (a_on @ p_loc
+              + (a_off @ p_halo if off.nnz else 0.0)).tocsr()
+        cpart = (p_loc.T @ ap).tocoo()
+        triplets.append((cpart.row, cpart.col, cpart.data))
+
+    c = tr.reduce_rows(triplets, None, n_coarse, n_coarse)
+    return c.drop(ZERO_TOL)

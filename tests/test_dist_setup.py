@@ -45,3 +45,81 @@ def test_dist_pmis_larger_problem():
     states_ref = cf.split_pmis(S, w)
     states_dist = dist_split_pmis(S, w)
     assert np.array_equal(states_dist, np.asarray(states_ref))
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_direct_interpolation_matches_global(n_shards):
+    from raptor_tpu.ruge_stuben.interpolation import direct_interpolation
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (30, 30),
+                         n_shards)
+    w = form_rand_weights(A.global_num_rows, 0)
+    masks = dist_classical_strength(A, theta=0.25)
+    S = strength_masks_to_par(A, masks)
+    states = cf.split_pmis(S, w)
+    from raptor_tpu.ruge_stuben.par_setup import dist_direct_interpolation
+    P_dist = dist_direct_interpolation(A, masks, np.asarray(states))
+    P_ref = direct_interpolation(A.global_csr, S.global_csr,
+                                 np.asarray(states))
+    assert np.array_equal(P_dist.indptr, P_ref.indptr)
+    assert np.array_equal(P_dist.indices, P_ref.indices)
+    np.testing.assert_allclose(P_dist.data, P_ref.data, atol=1e-13)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_rap_matches_global(n_shards):
+    from raptor_tpu.ruge_stuben.interpolation import direct_interpolation
+    from raptor_tpu.ruge_stuben.par_setup import dist_rap
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (30, 30),
+                         n_shards)
+    w = form_rand_weights(A.global_num_rows, 0)
+    S = strength(A, theta=0.25)
+    states = cf.split_pmis(S, w)
+    P = direct_interpolation(A.global_csr, S.global_csr,
+                             np.asarray(states))
+    C_dist = dist_rap(A, P)
+    ap = A.global_csr.multiply(P)
+    C_ref = P.transpose().multiply(ap)
+    assert np.array_equal(C_dist.indptr, C_ref.indptr)
+    assert np.array_equal(C_dist.indices, C_ref.indices)
+    np.testing.assert_allclose(C_dist.data, C_ref.data, atol=1e-12)
+
+
+@pytest.mark.parametrize("n_shards", [4, 8])
+def test_dist_full_pipeline_hierarchy(n_shards):
+    """Whole setup level chain through the distributed stages:
+    strength -> PMIS -> direct P -> RAP, repeated until coarse, equal to
+    the host-global pipeline at every level."""
+    from raptor_tpu.core.par_matrix import ParCSRMatrix
+    from raptor_tpu.core.partition import Partition
+    from raptor_tpu.ruge_stuben.interpolation import direct_interpolation
+    from raptor_tpu.ruge_stuben.par_setup import (dist_direct_interpolation,
+                                                  dist_rap)
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24),
+                         n_shards)
+    w = form_rand_weights(A.global_num_rows, 0)
+    a_dist, a_ref = A, A.global_csr
+    for _ in range(3):
+        if a_ref.n_rows <= 40:
+            break
+        # distributed
+        masks = dist_classical_strength(a_dist, theta=0.25)
+        S_d = strength_masks_to_par(a_dist, masks)
+        st_d = dist_split_pmis(S_d, w)
+        P_d = dist_direct_interpolation(a_dist, masks, st_d)
+        C_d = dist_rap(a_dist, P_d)
+        # host-global oracle
+        S_r = strength(ParCSRMatrix(a_ref,
+                                    a_dist.partition), theta=0.25)
+        st_r = cf.split_pmis(S_r, w)
+        P_r = direct_interpolation(a_ref, S_r.global_csr,
+                                   np.asarray(st_r))
+        ap = a_ref.multiply(P_r)
+        C_r = P_r.transpose().multiply(ap)
+        assert np.array_equal(st_d, np.asarray(st_r))
+        assert np.array_equal(C_d.indptr, C_r.indptr)
+        assert np.array_equal(C_d.indices, C_r.indices)
+        np.testing.assert_allclose(C_d.data, C_r.data, atol=1e-12)
+        part = Partition.create(C_d.n_rows, C_d.n_cols, n_shards)
+        a_dist = ParCSRMatrix(C_d, part)
+        a_ref = C_r
