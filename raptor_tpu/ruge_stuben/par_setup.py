@@ -386,3 +386,359 @@ def dist_rap(a: ParCSRMatrix, p: CSRMatrix,
 
     c = tr.reduce_rows(triplets, None, n_coarse, n_coarse)
     return c.drop(ZERO_TOL)
+
+
+def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
+                    max_rounds: int = 10000) -> np.ndarray:
+    """Distributed CLJP splitting (par_cf_splitting.cpp:85-101 +
+    cljp_main_loop:1427-1641 with the distance-2 weight updates
+    :590-708 and new-coarse exchange :980).
+
+    Same independent-set selection as PMIS, plus per-round weight
+    decrements: (1) edges from a new C along its row, (2) edges between
+    two nodes that both point at the same new C. Cross-shard cases use
+    one prefetch of the halo S row patterns (find_off_proc_new_coarse's
+    job) and per-round fetches of weights/states/new-C flags plus one
+    add-reduction of remote decrements. Bit-identical to the host-global
+    CLJP for any shard count (decrements are exact integers)."""
+    tr = InProcessTransport(s_par)
+    part = s_par.partition
+    shards = s_par.shards()
+
+    import scipy.sparse as sp
+    blocks = []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        rows_on = on.row_ids()
+        keep = on.indices != rows_on
+        n = on.n_rows
+        # local row patterns (diag-stripped): cols = local ids; off cols
+        # indexed h + local-halo-id to keep one sorted id space per row
+        h = len(blk.off_proc_column_map)
+        row_on = sp.csr_matrix(
+            (np.ones(int(keep.sum())), (rows_on[keep], on.indices[keep])),
+            shape=(n, on.n_cols)).tocsr()
+        row_on.sort_indices()
+        row_off = sp.csr_matrix(
+            (np.ones(off.nnz), (off.row_ids(), off.indices)),
+            shape=(n, max(1, h))).tocsr()
+        row_off.sort_indices()
+        blocks.append((row_on, row_off, h))
+
+    # prefetch halo S row PATTERNS (global cols) for distance-2 checks
+    wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
+    halo_pat = tr.fetch_rows(s_par, wanted)
+
+    # initial weights: rand + strong in-degree
+    local_w, off_counts = [], []
+    for s, (row_on, row_off, h) in enumerate(blocks):
+        r0 = int(part.row_bounds[s])
+        n = row_on.shape[0]
+        w = rand_vals[r0:r0 + n].astype(np.float64).copy()
+        w += np.bincount(row_on.indices, minlength=n)[:n]
+        local_w.append(w)
+        off_counts.append(np.bincount(
+            row_off.indices, minlength=h).astype(np.float64))
+    for s, add in enumerate(tr.reduce(off_counts, op="add")):
+        local_w[s] += add
+
+    local_states = []
+    for s, (row_on, row_off, h) in enumerate(blocks):
+        n = row_on.shape[0]
+        st = np.full(n, int(U), dtype=np.int64)
+        deg = (np.diff(row_on.indptr) + np.diff(row_off.indptr))
+        st[deg == 0] = int(NO_NBR)
+        local_states.append(st)
+
+    edgemark_on = [np.ones(b[0].nnz, dtype=bool) for b in blocks]
+    edgemark_off = [np.ones(b[1].nnz, dtype=bool) for b in blocks]
+
+    col_bounds = part.col_bounds
+
+    for _ in range(max_rounds):
+        if tr.allreduce_sum([int(np.count_nonzero(st == int(U)))
+                             for st in local_states]) == 0:
+            break
+        halo_w = tr.fetch(local_w)
+        halo_st = tr.fetch([st.astype(np.float64) for st in local_states])
+
+        # select (dominance in both directions), as in dist_split_pmis
+        contrib = []
+        for s, (row_on, row_off, h) in enumerate(blocks):
+            cm = np.zeros(h)
+            if row_off.nnz:
+                er = np.repeat(np.arange(row_off.shape[0]),
+                               np.diff(row_off.indptr))
+                np.maximum.at(cm, row_off.indices, local_w[s][er])
+            contrib.append(cm)
+        col_max_remote = tr.reduce(contrib, op="max", init=-np.inf)
+
+        new_c = []
+        for s, (row_on, row_off, h) in enumerate(blocks):
+            st, w = local_states[s], local_w[s]
+            n = len(st)
+            er_on = np.repeat(np.arange(n), np.diff(row_on.indptr))
+            er_off = np.repeat(np.arange(n), np.diff(row_off.indptr))
+            row_max = np.full(n, -np.inf)
+            if len(er_on):
+                np.maximum.at(row_max, er_on, w[row_on.indices])
+            if len(er_off):
+                np.maximum.at(row_max, er_off, halo_w[s][row_off.indices])
+            col_max = np.full(n, -np.inf)
+            if len(er_on):
+                np.maximum.at(col_max, row_on.indices, w[er_on])
+            col_max = np.maximum(col_max, col_max_remote[s][:n])
+            new_c.append((st == int(U)) & (w > row_max) & (w > col_max))
+
+        halo_new = tr.fetch([nc.astype(np.float64) for nc in new_c])
+
+        # weight updates; remote decrements accumulated per off col
+        off_dec = [np.zeros(b[2]) for b in blocks]
+        for s, (row_on, row_off, h) in enumerate(blocks):
+            st, w = local_states[s], local_w[s]
+            n = len(st)
+            sel = new_c[s]
+            hstU = halo_st[s] == float(int(U))
+            hnew = halo_new[s] > 0.5
+
+            # (1) edges out of a local new C along its row
+            for c in np.nonzero(sel)[0]:
+                for j in range(row_on.indptr[c], row_on.indptr[c + 1]):
+                    k = row_on.indices[j]
+                    if st[k] == int(U) and edgemark_on[s][j]:
+                        edgemark_on[s][j] = False
+                        w[k] -= 1.0
+                for j in range(row_off.indptr[c], row_off.indptr[c + 1]):
+                    k = row_off.indices[j]
+                    if hstU[k] and edgemark_off[s][j]:
+                        edgemark_off[s][j] = False
+                        off_dec[s][k] -= 1.0
+
+            # (2) distance-2: local row idx pointing at new C c; edges
+            # (idx -> idx_k) where idx_k also points at c
+            cmap = wanted[s]
+            hi, hc, _ = halo_pat[s]
+            for idx in range(n):
+                if st[idx] == int(S_):
+                    continue
+                cs_on = slice(row_on.indptr[idx], row_on.indptr[idx + 1])
+                cs_off = slice(row_off.indptr[idx], row_off.indptr[idx + 1])
+                cands = []
+                for c in row_on.indices[cs_on]:
+                    if sel[c]:
+                        cands.append(("on", int(c)))
+                for c in row_off.indices[cs_off]:
+                    if hnew[c]:
+                        cands.append(("off", int(c)))
+                if not cands:
+                    continue
+                for loc, c in cands:
+                    c_glob = (int(c + col_bounds[s]) if loc == "on"
+                              else int(cmap[c]))
+                    # scan edges of idx
+                    for j in range(row_on.indptr[idx],
+                                   row_on.indptr[idx + 1]):
+                        k = row_on.indices[j]
+                        if st[k] != int(U) or not edgemark_on[s][j]:
+                            continue
+                        # does local node k point at c?
+                        rc_on = row_on.indices[
+                            row_on.indptr[k]:row_on.indptr[k + 1]]
+                        rc_off = row_off.indices[
+                            row_off.indptr[k]:row_off.indptr[k + 1]]
+                        hit = (loc == "on" and
+                               np.searchsorted(rc_on, c) < len(rc_on)
+                               and rc_on[np.searchsorted(rc_on, c)] == c)
+                        if not hit and len(rc_off):
+                            gl = cmap[rc_off]
+                            p = np.searchsorted(gl, c_glob)
+                            hit = p < len(gl) and gl[p] == c_glob
+                        if hit:
+                            edgemark_on[s][j] = False
+                            w[k] -= 1.0
+                    for j in range(row_off.indptr[idx],
+                                   row_off.indptr[idx + 1]):
+                        k = row_off.indices[j]
+                        if not hstU[k] or not edgemark_off[s][j]:
+                            continue
+                        # does halo node k point at c? (prefetched pattern)
+                        gl = hc[hi[k]:hi[k + 1]]
+                        p = np.searchsorted(gl, c_glob)
+                        if p < len(gl) and gl[p] == c_glob:
+                            edgemark_off[s][j] = False
+                            off_dec[s][k] -= 1.0
+
+        for s, dec in enumerate(tr.reduce(off_dec, op="add")):
+            local_w[s] += dec
+
+        # update states
+        for s in range(len(blocks)):
+            st, w = local_states[s], local_w[s]
+            sel = new_c[s]
+            st[sel] = int(S_)
+            w[sel] = 0.0
+            drop = (st == int(U)) & (w < 1.0)
+            st[drop] = int(F)
+            w[drop] = 0.0
+
+    return np.concatenate(local_states)
+
+
+def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
+                                     states_global: np.ndarray,
+                                     tr: Optional[InProcessTransport] = None
+                                     ) -> CSRMatrix:
+    """Distributed modified classical interpolation
+    (par_interpolation.cpp:1012-1474, helper communicate(A,S,states)
+    :30-142): each shard fetches the halo rows of A and the S pattern
+    for its off_proc columns, builds an extended local matrix
+    [local rows | halo rows] over the extended column space
+    {local cols} + {halo cols} + {unknown fringe}, and runs the same
+    row algorithm. Unknown distance-2 fringe columns map to a dummy
+    Unassigned node, which the algorithm never reads through.
+
+    Per-row arithmetic is identical to the host-global version; only
+    in-row accumulation order differs (local-then-halo instead of
+    global-ascending), so values match to roundoff."""
+    import scipy.sparse as sp
+    from raptor_tpu import native
+    tr = tr or InProcessTransport(a)
+    part = a.partition
+    shards = a.shards()
+    s_shards = s_par.shards()
+    S = len(shards)
+
+    # coarse numbering
+    local_states = [
+        np.asarray(states_global[int(part.row_bounds[s]):
+                                 int(part.row_bounds[s + 1])])
+        for s in range(S)]
+    c_counts = [int(np.count_nonzero(st == int(S_)))
+                for st in local_states]
+    c_starts = tr.exscan_sum(c_counts)
+    n_coarse = int(tr.allreduce_sum(c_counts))
+    local_cid = []
+    for st, c0 in zip(local_states, c_starts):
+        cid = np.cumsum(st == int(S_)) - 1 + int(c0)
+        local_cid.append(np.where(st == int(S_), cid, -1).astype(np.int64))
+    halo_states = tr.fetch([st.astype(np.float64) for st in local_states])
+    halo_cid = tr.fetch([ci.astype(np.float64) for ci in local_cid])
+
+    wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
+    halo_a = tr.fetch_rows(a, wanted)
+    halo_s = tr.fetch_rows(s_par, wanted)
+
+    rows_g, cols_g, vals_g = [], [], []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        n, h = on.n_rows, len(wanted[s])
+        r0 = int(part.row_bounds[s])
+        c0 = int(part.col_bounds[s])
+        c1 = int(part.col_bounds[s + 1])
+        cmap = wanted[s]
+        dummy = n + h
+
+        def remap(gcols):
+            out = np.full(len(gcols), dummy, dtype=np.int64)
+            loc = (gcols >= c0) & (gcols < c1)
+            out[loc] = gcols[loc] - c0
+            rem = ~loc
+            if rem.any():
+                pos = np.searchsorted(cmap, gcols[rem])
+                pos = np.clip(pos, 0, max(0, len(cmap) - 1))
+                ok = rem.copy()
+                ok[rem] = (len(cmap) > 0) & (cmap[pos] == gcols[rem])
+                out[ok] = n + np.searchsorted(cmap, gcols[ok])
+            return out
+
+        # extended rows: local (on|off merged, already sorted since
+        # on-ids < n <= off-ids) then halo rows (remapped, resorted)
+        son, soff = (s_shards[s].on_proc, s_shards[s].off_proc)
+
+        def smask(block, sblock, skip_diag, amap=None, smap=None):
+            # off-diagonal strength pattern only (the diagonal is handled
+            # via the weak sum; marking it strong would make the kernel
+            # treat row i as its own strong-F neighbor). Off blocks carry
+            # DIFFERENT condensed halo maps for A and S, so those are
+            # matched by global column id.
+            mask = np.zeros(block.nnz, dtype=np.int64)
+            for i in range(block.n_rows):
+                arow = block.indices[block.indptr[i]:block.indptr[i + 1]]
+                srow = sblock.indices[sblock.indptr[i]:sblock.indptr[i + 1]]
+                if skip_diag:
+                    srow = srow[srow != i]
+                if amap is not None:
+                    arow = amap[arow]
+                    srow = smap[srow]
+                p = np.searchsorted(arow, srow)
+                assert len(srow) == 0 or (
+                    np.all(p < len(arow)) and np.array_equal(arow[p], srow))
+                mask[block.indptr[i] + p] = 1
+            return mask
+
+        hi_a, hc_a, hv_a = halo_a[s]
+        hi_s, hc_s, _ = halo_s[s]
+
+        indptr = [0]
+        indices, data, strong = [], [], []
+        for i in range(n):
+            o0, o1 = on.indptr[i], on.indptr[i + 1]
+            f0, f1 = off.indptr[i], off.indptr[i + 1]
+            indices.append(np.concatenate([on.indices[o0:o1],
+                                           off.indices[f0:f1] + n]))
+            data.append(np.concatenate([on.data[o0:o1], off.data[f0:f1]]))
+            indptr.append(indptr[-1] + (o1 - o0) + (f1 - f0))
+        m_on = smask(on, son, True)
+        m_off = smask(off, soff, False,
+                      amap=np.asarray(blk.off_proc_column_map),
+                      smap=np.asarray(s_shards[s].off_proc_column_map))
+        for i in range(n):
+            o0, o1 = on.indptr[i], on.indptr[i + 1]
+            f0, f1 = off.indptr[i], off.indptr[i + 1]
+            strong.append(np.concatenate([m_on[o0:o1], m_off[f0:f1]]))
+        for k in range(h):
+            gc = hc_a[hi_a[k]:hi_a[k + 1]]
+            vv = hv_a[hi_a[k]:hi_a[k + 1]]
+            ec = remap(gc)
+            order = np.argsort(ec, kind="stable")
+            ec, vv, gc_s = ec[order], vv[order], gc[order]
+            sset = hc_s[hi_s[k]:hi_s[k + 1]]
+            sset = sset[sset != cmap[k]]       # off-diagonal pattern only
+            p = np.searchsorted(sset, gc_s)
+            p = np.clip(p, 0, max(0, len(sset) - 1))
+            smk = ((len(sset) > 0) & (sset[p] == gc_s)).astype(np.int64)
+            indices.append(ec)
+            data.append(vv)
+            strong.append(smk)
+            indptr.append(indptr[-1] + len(ec))
+
+        ext_indptr = np.asarray(indptr, dtype=np.int64)
+        ext_indices = np.concatenate(indices).astype(np.int64)
+        ext_data = np.concatenate(data)
+        ext_strong = np.concatenate(strong).astype(np.int64)
+        # dummy fringe node: one empty row
+        ext_indptr = np.concatenate([ext_indptr, [ext_indptr[-1]]])
+
+        ext_states = np.concatenate([
+            local_states[s],
+            halo_states[s].astype(np.int64),
+            [int(U)]]).astype(np.int64)
+        ext_cid = np.concatenate([
+            local_cid[s], halo_cid[s].astype(np.int64), [-1]])
+
+        assert native.available(), "native kernel required"
+        rr, cc, vv = native.mod_classical_interp(
+            ext_indptr, ext_indices, ext_data, ext_strong, ext_states,
+            None, 1)
+        keep = rr < n
+        rows_g.append(rr[keep] + r0)
+        cols_g.append(ext_cid[cc[keep]])
+        vals_g.append(vv[keep])
+
+    g = sp.csr_matrix(
+        (np.concatenate(vals_g),
+         (np.concatenate(rows_g), np.concatenate(cols_g))),
+        shape=(a.global_num_rows, n_coarse))
+    g.sum_duplicates()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g)

@@ -123,3 +123,72 @@ def test_dist_full_pipeline_hierarchy(n_shards):
         part = Partition.create(C_d.n_rows, C_d.n_cols, n_shards)
         a_dist = ParCSRMatrix(C_d, part)
         a_ref = C_r
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_cljp_matches_global(n_shards):
+    from raptor_tpu.ruge_stuben.par_setup import dist_split_cljp
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (20, 20),
+                         n_shards)
+    S = strength(A, theta=0.25)
+    w = form_rand_weights(A.global_num_rows, 0)
+    states_ref = cf.split_cljp(S, w)
+    states_dist = dist_split_cljp(S, w)
+    assert np.array_equal(states_dist, np.asarray(states_ref))
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_mod_classical_matches_global(n_shards):
+    from raptor_tpu.ruge_stuben.interpolation import (
+        mod_classical_interpolation)
+    from raptor_tpu.ruge_stuben.par_setup import (
+        dist_mod_classical_interpolation, dist_split_cljp)
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24),
+                         n_shards)
+    S = strength(A, theta=0.25)
+    w = form_rand_weights(A.global_num_rows, 0)
+    states = np.asarray(cf.split_cljp(S, w))
+    P_dist = dist_mod_classical_interpolation(A, S, states)
+    P_ref = mod_classical_interpolation(A.global_csr, S.global_csr, states)
+    assert np.array_equal(P_dist.indptr, P_ref.indptr)
+    assert np.array_equal(P_dist.indices, P_ref.indices)
+    np.testing.assert_allclose(P_dist.data, P_ref.data, atol=1e-13)
+
+
+@pytest.mark.parametrize("n_shards", [4, 8])
+def test_dist_canonical_pipeline(n_shards):
+    """The canonical config (CLJP + ModClassical) through the distributed
+    stages, chained over two levels, vs the host-global pipeline."""
+    from raptor_tpu.core.par_matrix import ParCSRMatrix
+    from raptor_tpu.core.partition import Partition
+    from raptor_tpu.ruge_stuben.interpolation import (
+        mod_classical_interpolation)
+    from raptor_tpu.ruge_stuben.par_setup import (
+        dist_mod_classical_interpolation, dist_rap, dist_split_cljp)
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (20, 20),
+                         n_shards)
+    w = form_rand_weights(A.global_num_rows, 0)
+    a_dist, a_ref = A, A.global_csr
+    for _ in range(2):
+        masks = dist_classical_strength(a_dist, theta=0.25)
+        S_d = strength_masks_to_par(a_dist, masks)
+        st_d = dist_split_cljp(S_d, w)
+        P_d = dist_mod_classical_interpolation(a_dist, S_d, st_d)
+        C_d = dist_rap(a_dist, P_d)
+
+        S_r = strength(ParCSRMatrix(a_ref, a_dist.partition), theta=0.25)
+        st_r = np.asarray(cf.split_cljp(S_r, w))
+        P_r = mod_classical_interpolation(a_ref, S_r.global_csr, st_r)
+        ap = a_ref.multiply(P_r)
+        C_r = P_r.transpose().multiply(ap)
+
+        assert np.array_equal(st_d, st_r)
+        assert np.array_equal(C_d.indptr, C_r.indptr)
+        assert np.array_equal(C_d.indices, C_r.indices)
+        np.testing.assert_allclose(C_d.data, C_r.data, atol=1e-12)
+        # chain BOTH paths on the distributed product: comparing two
+        # pipelines on roundoff-different inputs is ill-posed (strength
+        # thresholds are strict inequalities)
+        part = Partition.create(C_d.n_rows, C_d.n_cols, n_shards)
+        a_dist, a_ref = ParCSRMatrix(C_d, part), C_d
