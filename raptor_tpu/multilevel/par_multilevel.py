@@ -102,6 +102,8 @@ class ParRugeStubenSolver(ParMultilevel):
 
     def extend_hierarchy(self) -> None:
         """par_ruge_stuben_solver.hpp:56-177: S -> split -> P -> RAP."""
+        if getattr(self, "setup_mode", "global") == "distributed":
+            return self._extend_hierarchy_distributed()
         level_ctr = len(self.levels) - 1
         a = self.levels[level_ctr].A
         n = a.global_num_rows
@@ -154,3 +156,62 @@ class ParRugeStubenSolver(ParMultilevel):
         ac = p.transpose().multiply(ap)  # AP->mult_T(P) = P^T (A P)
         ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
         self.levels.append(Level(A=ac))
+
+    def _extend_hierarchy_distributed(self) -> None:
+        """Same level extension through the per-shard + transport stages
+        (ruge_stuben/par_setup.py). Supported configs: CLJP/PMIS
+        coarsening with Direct/ModClassical interpolation; other knobs
+        fall back to the host-global path."""
+        from raptor_tpu.core.partition import Partition
+        from raptor_tpu.ruge_stuben import par_setup as ps
+
+        level_ctr = len(self.levels) - 1
+        a = self.levels[level_ctr].A
+        n = a.global_num_rows
+        w = self.weights[:n]
+
+        assert self.strength_type == StrengthType.Classical, \
+            "distributed setup: classical strength only (for now)"
+        masks = ps.dist_classical_strength(
+            a, self.strong_threshold, self.num_variables, self.variables)
+        s = ps.strength_masks_to_par(a, masks)
+
+        ct = self.coarsen_type
+        if ct == CoarsenType.CLJP:
+            states = ps.dist_split_cljp(s, w)
+        elif ct == CoarsenType.PMIS:
+            states = ps.dist_split_pmis(s, w)
+        else:
+            raise ValueError(
+                f"distributed setup supports CLJP/PMIS, got {ct}")
+
+        it = self.interp_type
+        if it == InterpType.Direct:
+            pg = ps.dist_direct_interpolation(a, masks, states)
+        elif it == InterpType.ModClassical:
+            pg = ps.dist_mod_classical_interpolation(a, s, states)
+        else:
+            raise ValueError(
+                f"distributed setup supports Direct/ModClassical, got {it}")
+        if ct == CoarsenType.PMIS:
+            from raptor_tpu.ruge_stuben.interpolation import filter_interp
+            pg = filter_interp(pg, self.interp_filter)
+
+        # P inherits A's row partition; coarse cols owned where their
+        # C-points live (par_interpolation.cpp partition rule)
+        row_bounds = a.partition.row_bounds
+        sel = np.asarray(states) == CFState.Selected
+        csum = np.concatenate([[0], np.cumsum(sel)])
+        col_bounds = csum[row_bounds].astype(np.int64)
+        part_p = Partition(a.global_num_rows, pg.n_cols,
+                           a.partition.n_shards, row_bounds, col_bounds)
+        p = ParCSRMatrix(pg, part_p)
+        self.levels[level_ctr].P = p
+        if self.num_variables > 1:
+            self.variables = self.variables[sel]
+
+        ac = ps.dist_rap(a, pg)
+        part_c = Partition(pg.n_cols, pg.n_cols, a.partition.n_shards,
+                           col_bounds, col_bounds)
+        self.levels.append(Level(A=ParCSRMatrix(ac.canonicalize(),
+                                                part_c)))

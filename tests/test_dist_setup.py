@@ -192,3 +192,28 @@ def test_dist_canonical_pipeline(n_shards):
         # thresholds are strict inequalities)
         part = Partition.create(C_d.n_rows, C_d.n_cols, n_shards)
         a_dist, a_ref = ParCSRMatrix(C_d, part), C_d
+
+
+@pytest.mark.parametrize("n_shards", [1, 8])
+def test_distributed_setup_mode_solves(n_shards):
+    """setup_mode='distributed' builds a hierarchy through the per-shard
+    stages; the device V-cycle solve converges like the global one."""
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (40, 40),
+                         n_shards)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP,
+                             InterpType.ModClassical,
+                             relax_type=RelaxType.SOR)
+    ml.setup_mode = "distributed"
+    ml.setup(A)
+    assert ml.num_levels >= 3
+    dh = DeviceHierarchy(ml, dpar.make_mesh(n_shards))
+    b = A.mult(np.ones(A.global_num_rows))
+    r = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
+    it = int(r.n_iters)
+    assert it < ml.max_iterations
+    assert float(r.res[it]) < ml.solve_tol
