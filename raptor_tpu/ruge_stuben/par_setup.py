@@ -116,6 +116,7 @@ def strength_masks_to_par(a: ParCSRMatrix, masks) -> ParCSRMatrix:
 
 
 def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
+                    states0: Optional[np.ndarray] = None,
                     max_rounds: int = 10000) -> np.ndarray:
     """Distributed PMIS splitting (par_cf_splitting.cpp:128-141 +
     pmis_main_loop:1273-1426): per round, each shard selects rows whose
@@ -162,17 +163,31 @@ def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     for s, add in enumerate(tr.reduce(off_counts, op="add")):
         local_w[s] += add
 
-    # initial states
+    # initial states (or resume from given ones: Falgout/HMIS hybrids)
     local_states = []
     for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
             enumerate(blocks):
         n = shards[s].on_proc.n_rows
-        st = np.full(n, int(U), dtype=np.int64)
-        row_deg = (np.bincount(on_rows, minlength=n)
-                   + np.bincount(off_rows, minlength=n))
-        st[row_deg == 0] = int(NO_NBR)
-        isolated = st == int(NO_NBR)
-        pre_f = (~isolated) & (local_w[s] < 1.0)
+        r0 = int(part.row_bounds[s])
+        if states0 is not None:
+            st = np.asarray(states0[r0:r0 + n], dtype=np.int64).copy()
+        else:
+            st = np.full(n, int(U), dtype=np.int64)
+            row_deg = (np.bincount(on_rows, minlength=n)
+                       + np.bincount(off_rows, minlength=n))
+            st[row_deg == 0] = int(NO_NBR)
+        if states0 is not None:
+            # pre-assigned C points silence their local column
+            # neighbors, and assigned nodes stop blocking selection
+            # (par_cf_splitting.cpp:1319-1350)
+            pre_c = np.nonzero(st == int(S_))[0]
+            if len(pre_c):
+                hitc = np.isin(on_cols, pre_c)
+                rows_hit = on_rows[hitc]
+                flip = rows_hit[st[rows_hit] == int(U)]
+                st[flip] = int(F)
+            local_w[s][st != int(U)] = 0.0
+        pre_f = (st == int(U)) & (local_w[s] < 1.0)
         st[pre_f] = int(F)
         local_w[s][pre_f] = 0.0
         local_states.append(st)
@@ -389,6 +404,7 @@ def dist_rap(a: ParCSRMatrix, p: CSRMatrix,
 
 
 def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
+                    states0: Optional[np.ndarray] = None,
                     max_rounds: int = 10000) -> np.ndarray:
     """Distributed CLJP splitting (par_cf_splitting.cpp:85-101 +
     cljp_main_loop:1427-1641 with the distance-2 weight updates
@@ -445,9 +461,14 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     local_states = []
     for s, (row_on, row_off, h) in enumerate(blocks):
         n = row_on.shape[0]
-        st = np.full(n, int(U), dtype=np.int64)
-        deg = (np.diff(row_on.indptr) + np.diff(row_off.indptr))
-        st[deg == 0] = int(NO_NBR)
+        r0 = int(part.row_bounds[s])
+        if states0 is not None:
+            st = np.asarray(states0[r0:r0 + n], dtype=np.int64).copy()
+            local_w[s][st != int(U)] = 0.0
+        else:
+            st = np.full(n, int(U), dtype=np.int64)
+            deg = (np.diff(row_on.indptr) + np.diff(row_off.indptr))
+            st[deg == 0] = int(NO_NBR)
         local_states.append(st)
 
     edgemark_on = [np.ones(b[0].nnz, dtype=bool) for b in blocks]
@@ -742,3 +763,72 @@ def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
     g.sum_duplicates()
     g.sort_indices()
     return CSRMatrix.from_scipy(g)
+
+
+def _reset_boundaries(s_par: ParCSRMatrix, states: np.ndarray,
+                      tr: InProcessTransport) -> np.ndarray:
+    """Reset shard-boundary rows to Unassigned
+    (par_cf_splitting.cpp:184-207): a row is boundary if its S row has
+    off_proc entries or a remote row strongly depends on it."""
+    part = s_par.partition
+    states = np.asarray(states, dtype=np.int64).copy()
+    out_deps = []
+    for s, blk in enumerate(s_par.shards()):
+        h = len(blk.off_proc_column_map)
+        dep = np.zeros(h)
+        if blk.off_proc.nnz:
+            dep[np.unique(blk.off_proc.indices)] = 1.0
+        out_deps.append(dep)
+    referenced = tr.reduce(out_deps, op="max", init=0.0)
+    for s, blk in enumerate(s_par.shards()):
+        r0 = int(part.row_bounds[s])
+        n = blk.on_proc.n_rows
+        boundary = np.zeros(n, dtype=bool)
+        if blk.off_proc.nnz:
+            boundary[np.unique(blk.off_proc.row_ids())] = True
+        boundary |= referenced[s][:n] > 0.5
+        sl = states[r0:r0 + n]
+        sl[boundary & (sl != int(NO_NBR))] = int(U)
+        states[r0:r0 + n] = sl
+    return states
+
+
+def _dist_rs_on_proc(s_par: ParCSRMatrix, second_pass: bool) -> np.ndarray:
+    """Classical RS pass(es) on each shard's on_proc block only
+    (par_cf_splitting.cpp split_falgout/split_hmis interiors)."""
+    from raptor_tpu.ruge_stuben.cf_splitting import (set_initial_states,
+                                                     split_rs)
+    part = s_par.partition
+    out = []
+    for s, blk in enumerate(s_par.shards()):
+        on = blk.on_proc
+        st = set_initial_states(on)
+        # rows with ONLY off_proc strong entries still have neighbors
+        if blk.off_proc.nnz:
+            has_off = np.zeros(on.n_rows, dtype=bool)
+            has_off[np.unique(blk.off_proc.row_ids())] = True
+            st[(st == int(NO_NBR)) & has_off] = int(U)
+        out.append(np.asarray(split_rs(on, st, second_pass=second_pass)))
+    return np.concatenate(out)
+
+
+def dist_split_falgout(s_par: ParCSRMatrix,
+                       rand_vals: np.ndarray) -> np.ndarray:
+    """Distributed Falgout (par_cf_splitting.cpp:103-126): full RS on
+    each shard's interior, boundary rows re-decided by distributed CLJP.
+    Like the reference, the result depends on the partition (interior
+    RS is per-shard); at 1 shard it equals the global Falgout."""
+    tr = InProcessTransport(s_par)
+    states = _dist_rs_on_proc(s_par, second_pass=True)
+    states = _reset_boundaries(s_par, states, tr)
+    return dist_split_cljp(s_par, rand_vals, states0=states)
+
+
+def dist_split_hmis(s_par: ParCSRMatrix,
+                    rand_vals: np.ndarray) -> np.ndarray:
+    """Distributed HMIS (par_cf_splitting.cpp:142-163): RS first pass on
+    the interior, boundary re-decided by distributed PMIS."""
+    tr = InProcessTransport(s_par)
+    states = _dist_rs_on_proc(s_par, second_pass=False)
+    states = _reset_boundaries(s_par, states, tr)
+    return dist_split_pmis(s_par, rand_vals, states0=states)

@@ -217,3 +217,43 @@ def test_distributed_setup_mode_solves(n_shards):
     it = int(r.n_iters)
     assert it < ml.max_iterations
     assert float(r.res[it]) < ml.solve_tol
+
+
+def test_dist_falgout_hmis_single_shard_equals_global():
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24), 1)
+    S = strength(A, theta=0.25)
+    w = form_rand_weights(A.global_num_rows, 0)
+    from raptor_tpu.ruge_stuben.par_setup import (dist_split_falgout,
+                                                  dist_split_hmis)
+    assert np.array_equal(dist_split_falgout(S, w),
+                          np.asarray(cf.split_falgout(S, w)))
+    assert np.array_equal(dist_split_hmis(S, w),
+                          np.asarray(cf.split_hmis(S, w)))
+
+
+@pytest.mark.parametrize("n_shards", [4, 8])
+def test_dist_falgout_hmis_valid_splitting(n_shards):
+    """Multi-shard Falgout/HMIS are partition-dependent (like the
+    reference's rank-dependent hybrids); validate the CF invariants:
+    every F point keeps a strong C neighbor in either direction."""
+    from raptor_tpu.core.types import CFState
+    from raptor_tpu.ruge_stuben.par_setup import (dist_split_falgout,
+                                                  dist_split_hmis)
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (30, 30),
+                         n_shards)
+    S = strength(A, theta=0.25)
+    w = form_rand_weights(A.global_num_rows, 0)
+    g = S.global_csr.to_scipy()
+    gT = g.T.tocsr()
+    for fn in (dist_split_falgout, dist_split_hmis):
+        st = fn(S, w)
+        assert set(np.unique(st)) <= {int(CFState.Selected),
+                                      int(CFState.Unselected),
+                                      int(CFState.NoNeighbors)}
+        sel = st == int(CFState.Selected)
+        assert sel.sum() > 0
+        for i in np.nonzero(st == int(CFState.Unselected))[0]:
+            nb = np.concatenate([g.indices[g.indptr[i]:g.indptr[i + 1]],
+                                 gT.indices[gT.indptr[i]:gT.indptr[i + 1]]])
+            nb = nb[nb != i]
+            assert sel[nb].any(), f"F point {i} has no C neighbor"
