@@ -227,6 +227,82 @@ class DeviceHierarchy:
                                         self.coarse_take, x, b)
         return SolveResult(x, res, k)
 
+    # --- per-level timing (track_times, par_multilevel.hpp:127-205) ------------
+    def profile_cycle(self, reps: int = 20):
+        """Per-level wall times of the V-cycle building blocks (relax,
+        SpMV/residual, restrict P^T, prolong P), measured by running each
+        op as its own jitted program ``reps`` times. The production solve
+        fuses everything into one program, so this is the profiling twin
+        of the reference's track_times mode, which also instruments at
+        op granularity."""
+        import time
+
+        from raptor_tpu.device.relax import RELAX_FNS
+
+        mesh = self.mesh
+        ax = dpar._leading_axes(mesh)
+        rows = []
+
+        def timed(fn, *args):
+            f = jax.jit(fn)
+            out = f(*args)
+            jax.tree.map(lambda l: l.block_until_ready(), out)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = f(*args)
+            jax.tree.map(lambda l: l.block_until_ready(), out)
+            return (time.perf_counter() - t0) / reps
+
+        relax_fn = RELAX_FNS[self.relax_kind]
+        for li, lvl in enumerate(self.levels):
+            A, RX = lvl.A, lvl.RX
+            S = A.on_cols.shape[0]
+            b = jnp.ones((S, A.rows_pad), self.dtype)
+            x = jnp.zeros((S, A.rows_pad), self.dtype)
+
+            def relax_op(A=A, RX=RX):
+                def body(Ash, Rsh, bsh, xsh):
+                    Ash = jax.tree.map(lambda l: l[0], Ash)
+                    Rsh = jax.tree.map(lambda l: l[0], Rsh)
+                    return relax_fn(Ash, Rsh, xsh[0], bsh[0],
+                                    self.num_smooth_sweeps,
+                                    self.relax_weight, None)[None]
+                sp = lambda T: jax.tree.map(lambda _: P(ax), T)
+                return lambda bb, xx: jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(sp(A), sp(RX), P(ax, None), P(ax, None)),
+                    out_specs=P(ax, None))(A, RX, bb, xx)
+
+            with dpar.use_comm_axes(ax):
+                t_rx = timed(relax_op(), b, x)
+                t_sp = timed(lambda xx, A=A: dpar._shard_op(
+                    spmv_shard, mesh, A, xx),
+                    jnp.zeros((S, A.cols_pad), self.dtype))
+                t_re = t_pr = 0.0
+                if lvl.P is not None:
+                    t_re = timed(lambda xx, M=lvl.Pt: dpar._shard_op(
+                        spmv_shard, mesh, M, xx),
+                        jnp.zeros((S, lvl.Pt.cols_pad), self.dtype))
+                    t_pr = timed(lambda xx, M=lvl.P: dpar._shard_op(
+                        spmv_shard, mesh, M, xx),
+                        jnp.zeros((S, lvl.P.cols_pad), self.dtype))
+            rows.append({"level": li, "relax_s": t_rx, "spmv_s": t_sp,
+                         "restrict_s": t_re, "prolong_s": t_pr})
+        return rows
+
+    def print_times(self, reps: int = 20) -> str:
+        """Formatted per-level table (print_times,
+        par_multilevel.hpp:580-612)."""
+        rows = self.profile_cycle(reps)
+        out = [f"{'lvl':>3} {'relax(ms)':>10} {'spmv(ms)':>9} "
+               f"{'restrict':>9} {'prolong':>9}"]
+        for r in rows:
+            out.append(f"{r['level']:>3} {r['relax_s'] * 1e3:>10.3f} "
+                       f"{r['spmv_s'] * 1e3:>9.3f} "
+                       f"{r['restrict_s'] * 1e3:>9.3f} "
+                       f"{r['prolong_s'] * 1e3:>9.3f}")
+        return "\n".join(out)
+
     # --- use as a Krylov preconditioner ----------------------------------------
     def precond_pack(self):
         """(data, in_specs, strip, apply) for passing one V-cycle as a
