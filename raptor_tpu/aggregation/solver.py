@@ -44,13 +44,28 @@ class ParSmoothedAggregationSolver(ParMultilevel):
         n = a.global_num_rows
         w = self.weights[:n]
 
-        s = strength(a.global_csr, self.strength_type, self.strong_threshold)
-        states = mis2(s, w)
-        n_aggs, aggs = aggregate(a.global_csr, s, states, w)
-        t, r = fit_candidates(n_aggs, aggs, self.B[:n],
-                              self.num_candidates, self.interp_tol)
-        p = jacobi_prolongation(a.global_csr, t, self.prolong_weight,
-                                self.prolong_smooth_steps)
+        if getattr(self, "setup_mode", "global") == "distributed":
+            # per-shard + transport stages (par_mis.cpp, par_aggregate.cpp,
+            # par_candidates.cpp, par_prolongation.cpp equivalents)
+            from raptor_tpu.ruge_stuben import par_setup as ps
+            s = strength(a.global_csr, self.strength_type,
+                         self.strong_threshold)
+            s_par = ParCSRMatrix(s, a.partition)
+            states = ps.dist_mis2(s_par, w)
+            n_aggs, aggs = ps.dist_aggregate(a, s_par, states, w)
+            t, r = ps.dist_fit_candidates(a, n_aggs, aggs, self.B[:n],
+                                          self.interp_tol)
+            p = ps.dist_jacobi_prolongation(a, t, self.prolong_weight,
+                                            self.prolong_smooth_steps)
+        else:
+            s = strength(a.global_csr, self.strength_type,
+                         self.strong_threshold)
+            states = mis2(s, w)
+            n_aggs, aggs = aggregate(a.global_csr, s, states, w)
+            t, r = fit_candidates(n_aggs, aggs, self.B[:n],
+                                  self.num_candidates, self.interp_tol)
+            p = jacobi_prolongation(a.global_csr, t, self.prolong_weight,
+                                    self.prolong_smooth_steps)
 
         # coarse cols partitioned by root ownership (roots in row order)
         row_bounds = a.partition.row_bounds

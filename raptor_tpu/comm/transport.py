@@ -63,6 +63,16 @@ class InProcessTransport:
     def allreduce_sum(self, local_scalars: List[float]) -> float:
         return float(np.sum(local_scalars))
 
+    def fetch_ids(self, local_vals: List[np.ndarray],
+                  wanted_ids: List[np.ndarray]) -> List[np.ndarray]:
+        """Fetch values for ARBITRARY global ids (distance-2 fringe data;
+        the reference builds one-off comm patterns for this, e.g.
+        par_mis.cpp comm_coarse_dist1)."""
+        glob = np.concatenate(local_vals) if self.S > 1 else local_vals[0]
+        return [glob[np.asarray(ids, dtype=np.int64)]
+                if len(ids) else np.zeros(0, dtype=glob.dtype)
+                for ids in wanted_ids]
+
     def exscan_sum(self, local_scalars: List[float]) -> List[float]:
         """Exclusive prefix sum over shards (MPI_Exscan): shard s gets the
         sum of shards < s. Used for global coarse-index numbering."""

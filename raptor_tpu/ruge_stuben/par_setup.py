@@ -832,3 +832,365 @@ def dist_split_hmis(s_par: ParCSRMatrix,
     states = _dist_rs_on_proc(s_par, second_pass=False)
     states = _reset_boundaries(s_par, states, tr)
     return dist_split_pmis(s_par, rand_vals, states0=states)
+
+
+# --- smoothed aggregation stages (aggregation/par_mis.cpp,
+# --- par_aggregate.cpp equivalents) -----------------------------------------
+
+def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
+              max_rounds: int = 10000) -> np.ndarray:
+    """Distributed MIS(2) (aggregation/par_mis.cpp:216-655): Luby-style
+    with random weights; distance-2 competition resolved via prefetched
+    halo S row patterns plus fringe-id fetches (the reference's
+    comm_coarse_dist1 bookkeeping). Identical to the host-global mis2
+    for any shard count given the same weights."""
+    from raptor_tpu.core.types import CFState
+    U_, SEL = int(CFState.Unassigned), int(CFState.Selected)
+    UNSEL = int(CFState.Unselected)
+    TMP, NEW_S = int(CFState.TmpSelection), int(CFState.NewSelection)
+    NEW_U = int(CFState.NewUnselection)
+
+    import scipy.sparse as sp
+    tr = InProcessTransport(s_par)
+    part = s_par.partition
+    shards = s_par.shards()
+    S = len(shards)
+    col_bounds = np.asarray(part.col_bounds)
+
+    r_loc = [np.asarray(rand_vals[int(part.row_bounds[s]):
+                                  int(part.row_bounds[s + 1])],
+                        dtype=np.float64) for s in range(S)]
+    halo_r = tr.fetch(r_loc)
+    wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
+    halo_pat = tr.fetch_rows(s_par, wanted)
+    # fringe: global cols referenced by halo rows (distance-2 data)
+    fringe = [np.unique(halo_pat[s][1]) for s in range(S)]
+    fringe_r = tr.fetch_ids(r_loc, fringe)
+
+    blocks = []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        n = on.n_rows
+        onm = sp.csr_matrix((np.ones(on.nnz), on.indices, on.indptr),
+                            shape=(n, on.n_cols))
+        onm.sort_indices()
+        onT = onm.tocsc()
+        offm = sp.csr_matrix(
+            (np.ones(off.nnz), off.indices, off.indptr),
+            shape=(n, max(1, len(wanted[s]))))
+        offm.sort_indices()
+        blocks.append((onm, onT, offm))
+
+    local_states = [np.full(b[0].shape[0], U_, dtype=np.int64)
+                    for b in blocks]
+
+    for _ in range(max_rounds):
+        if tr.allreduce_sum(
+                [int(np.count_nonzero((st == U_) | (st == TMP)))
+                 for st in local_states]) == 0:
+            break
+        halo_st = tr.fetch([st.astype(np.float64)
+                            for st in local_states])
+
+        # step 1: TMP if no D-out-neighbor (r[v] > r[w]) is U or > SEL
+        tmp_sets = []
+        for s, (onm, onT, offm) in enumerate(blocks):
+            st, rr = local_states[s], r_loc[s]
+            n = len(st)
+            hst = halo_st[s].astype(np.int64)
+            tmp = np.zeros(n, dtype=bool)
+            for v in np.nonzero(st == U_)[0]:
+                dn = onm.indices[onm.indptr[v]:onm.indptr[v + 1]]
+                dn = dn[(dn != v) & (rr[v] > rr[dn])]
+                blocked = np.any((st[dn] == U_) | (st[dn] > SEL))
+                if not blocked:
+                    od = offm.indices[offm.indptr[v]:offm.indptr[v + 1]]
+                    od = od[rr[v] > halo_r[s][od]]
+                    blocked = np.any((hst[od] == U_) | (hst[od] > SEL))
+                if not blocked:
+                    tmp[v] = True
+            st[tmp] = TMP
+            tmp_sets.append(tmp)
+
+        # step 2: distance-2 competition (needs fresh TMP states of halo)
+        halo_st2 = tr.fetch([st.astype(np.float64)
+                             for st in local_states])
+        fringe_st2 = tr.fetch_ids([st.astype(np.float64)
+                                   for st in local_states], fringe)
+        for s, (onm, onT, offm) in enumerate(blocks):
+            st, rr = local_states[s], r_loc[s]
+            hst = halo_st2[s].astype(np.int64)
+            fr = fringe[s]
+            fst = fringe_st2[s].astype(np.int64)
+            frr = fringe_r[s]
+            hi, hc, _ = halo_pat[s]
+            for v in np.nonzero(st == TMP)[0]:
+                revert = False
+                # local mid nodes w
+                for w in onm.indices[onm.indptr[v]:onm.indptr[v + 1]]:
+                    uu = onm.indices[onm.indptr[w]:onm.indptr[w + 1]]
+                    if np.any((st[uu] > SEL) & (rr[uu] > rr[v])):
+                        revert = True
+                        break
+                    uo = offm.indices[offm.indptr[w]:offm.indptr[w + 1]]
+                    if np.any((hst[uo] > SEL)
+                              & (halo_r[s][uo] > rr[v])):
+                        revert = True
+                        break
+                if not revert:
+                    # halo mid nodes w: their rows via prefetched patterns
+                    for w in offm.indices[offm.indptr[v]:
+                                          offm.indptr[v + 1]]:
+                        gu = hc[hi[w]:hi[w + 1]]
+                        pos = np.searchsorted(fr, gu)
+                        pos = np.clip(pos, 0, max(0, len(fr) - 1))
+                        ok = (len(fr) > 0) & (fr[pos] == gu)
+                        u_states = fst[pos[ok]]
+                        u_r = frr[pos[ok]]
+                        if np.any((u_states > SEL) & (u_r > rr[v])):
+                            revert = True
+                            break
+                if not revert:
+                    st[v] = NEW_S   # else: stays TmpSelection
+                                    # (mis.cpp:280-295)
+
+        # steps 3+4: unselect U nodes adjacent to a NEW_S or to a node
+        # that points at a NEW_S (C-marked)
+        halo_st3 = tr.fetch([st.astype(np.float64)
+                             for st in local_states])
+        fringe_st3 = tr.fetch_ids([st.astype(np.float64)
+                                   for st in local_states], fringe)
+        for s, (onm, onT, offm) in enumerate(blocks):
+            st = local_states[s]
+            n = len(st)
+            hst = halo_st3[s].astype(np.int64)
+            fr = fringe[s]
+            fst = fringe_st3[s].astype(np.int64)
+            hi, hc, _ = halo_pat[s]
+            # C flag for local nodes: points at any NEW_S (local or halo)
+            C = np.zeros(n, dtype=bool)
+            for w in range(n):
+                nb = onm.indices[onm.indptr[w]:onm.indptr[w + 1]]
+                if np.any(st[nb] == NEW_S):
+                    C[w] = True
+                    continue
+                ob = offm.indices[offm.indptr[w]:offm.indptr[w + 1]]
+                if np.any(hst[ob] == NEW_S):
+                    C[w] = True
+            # C flag for halo nodes via their prefetched patterns
+            h = len(wanted[s])
+            Ch = np.zeros(h, dtype=bool)
+            for w in range(h):
+                gu = hc[hi[w]:hi[w + 1]]
+                pos = np.searchsorted(fr, gu)
+                pos = np.clip(pos, 0, max(0, len(fr) - 1))
+                ok = (len(fr) > 0) & (fr[pos] == gu)
+                if np.any(fst[pos[ok]] == NEW_S):
+                    Ch[w] = True
+            for v in np.nonzero((st == U_) | (st == TMP))[0]:
+                nb = onm.indices[onm.indptr[v]:onm.indptr[v + 1]]
+                ob = offm.indices[offm.indptr[v]:offm.indptr[v + 1]]
+                if (np.any(st[nb] == NEW_S) or np.any(C[nb])
+                        or np.any(hst[ob] == NEW_S) or np.any(Ch[ob])):
+                    st[v] = NEW_U
+
+        # step 5: finalize (TMP persists across rounds, mis.cpp:316-325)
+        for s in range(S):
+            st = local_states[s]
+            st[st == NEW_S] = SEL
+            st[st == NEW_U] = UNSEL
+
+    return np.concatenate(local_states)
+
+
+def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
+                   states_global: np.ndarray,
+                   rand_vals: Optional[np.ndarray] = None):
+    """Distributed aggregation (aggregation/par_aggregate.cpp:7-187):
+    MIS roots seed aggregates (globally numbered by root rank), pass 1
+    joins the first root neighbor in GLOBAL column order, pass 2 joins
+    the strongest assigned neighbor (|a_ij| + r[col]), non-cascading.
+    Matches the host-global aggregation for any shard count."""
+    tr = InProcessTransport(s_par)
+    part = s_par.partition
+    shards_s = s_par.shards()
+    shards_a = a.shards()
+    S = len(shards_s)
+    col_bounds = np.asarray(part.col_bounds)
+
+    local_states = [
+        np.asarray(states_global[int(part.row_bounds[s]):
+                                 int(part.row_bounds[s + 1])])
+        for s in range(S)]
+    root_counts = [int(np.count_nonzero(st > 0)) for st in local_states]
+    starts = tr.exscan_sum(root_counts)
+    n_aggs = int(tr.allreduce_sum(root_counts))
+    local_agg = []
+    for st, a0 in zip(local_states, starts):
+        agg = np.full(len(st), -1, dtype=np.int64)
+        roots = np.nonzero(st > 0)[0]
+        agg[roots] = int(a0) + np.arange(len(roots))
+        local_agg.append(agg)
+    r_loc = [(np.asarray(rand_vals[int(part.row_bounds[s]):
+                                   int(part.row_bounds[s + 1])],
+                         dtype=np.float64) if rand_vals is not None
+              else np.zeros(len(local_states[s])))
+             for s in range(S)]
+    halo_r = tr.fetch(r_loc)
+
+    # pass 1: first root neighbor in global column order
+    halo_st = tr.fetch([st.astype(np.float64) for st in local_states])
+    halo_agg = tr.fetch([ag.astype(np.float64) for ag in local_agg])
+    for s, blk in enumerate(shards_s):
+        st, agg = local_states[s], local_agg[s]
+        on, off = blk.on_proc, blk.off_proc
+        cmap = np.asarray(blk.off_proc_column_map)
+        c0 = int(col_bounds[s])
+        hst = halo_st[s].astype(np.int64)
+        hagg = halo_agg[s].astype(np.int64)
+        for i in np.nonzero(st <= 0)[0]:
+            ons = on.indices[on.indptr[i]:on.indptr[i + 1]]
+            offs = off.indices[off.indptr[i]:off.indptr[i + 1]]
+            # merge by global id
+            gids = np.concatenate([ons + c0, cmap[offs]])
+            loc = np.concatenate([np.ones(len(ons), bool),
+                                  np.zeros(len(offs), bool)])
+            lid = np.concatenate([ons, offs])
+            order = np.argsort(gids, kind="stable")
+            for t in order:
+                if loc[t]:
+                    if st[lid[t]] > 0:
+                        agg[i] = agg[lid[t]]
+                        break
+                else:
+                    if hst[lid[t]] > 0:
+                        agg[i] = hagg[lid[t]]
+                        break
+
+    # pass 2: strongest assigned neighbor, non-cascading
+    halo_agg2 = tr.fetch([ag.astype(np.float64) for ag in local_agg])
+    for s, blk in enumerate(shards_s):
+        st, agg = local_states[s], local_agg[s]
+        on, off = blk.on_proc, blk.off_proc
+        aon, aoff = shards_a[s].on_proc, shards_a[s].off_proc
+        amap = np.asarray(shards_a[s].off_proc_column_map)
+        smap = np.asarray(blk.off_proc_column_map)
+        hagg = halo_agg2[s].astype(np.int64)
+        for i in np.nonzero(agg < 0)[0]:
+            best_val, best_agg = 0.0, -1
+            arow = aon.indices[aon.indptr[i]:aon.indptr[i + 1]]
+            avals = aon.data[aon.indptr[i]:aon.indptr[i + 1]]
+            for c in on.indices[on.indptr[i]:on.indptr[i + 1]]:
+                p = np.searchsorted(arow, c)
+                val = abs(avals[p]) + r_loc[s][c]
+                if val > best_val and agg[c] >= 0:
+                    best_val, best_agg = val, agg[c]
+            garow = amap[aoff.indices[aoff.indptr[i]:aoff.indptr[i + 1]]]
+            gavals = aoff.data[aoff.indptr[i]:aoff.indptr[i + 1]]
+            for k in off.indices[off.indptr[i]:off.indptr[i + 1]]:
+                g = smap[k]
+                p = np.searchsorted(garow, g)
+                val = abs(gavals[p]) + halo_r[s][k]
+                if val > best_val and hagg[k] >= 0:
+                    best_val, best_agg = val, hagg[k]
+            agg[i] = -(best_agg + 1)   # non-cascading encode
+        # unwrap below (matches aggregate.cpp:60-95 incl the
+        # no-neighbor quirk: best_agg=-1 encodes to aggregate 0)
+    for s in range(S):
+        agg = local_agg[s]
+        neg = agg < 0
+        agg[neg] = -(agg[neg] + 1)
+
+    return n_aggs, np.concatenate(local_agg)
+
+
+def dist_fit_candidates(a: ParCSRMatrix, n_aggs: int,
+                        aggregates_global: np.ndarray, b: np.ndarray,
+                        tol: float = 1e-10,
+                        tr: Optional[InProcessTransport] = None):
+    """Distributed tentative prolongator, one candidate
+    (par_candidates.cpp:7-210, num_candidates==1 asserted there too):
+    aggregates may span shards, so the per-aggregate norms reduce over
+    an n_aggs-sized allreduce (the reference reduces along its aggregate
+    comm). Returns (T global CSR, R coarse candidate norms)."""
+    import scipy.sparse as sp
+    tr = tr or InProcessTransport(a)
+    part = a.partition
+    S = part.n_shards
+
+    norm2 = np.zeros(n_aggs)
+    for s in range(S):
+        r0, r1 = int(part.row_bounds[s]), int(part.row_bounds[s + 1])
+        agg = aggregates_global[r0:r1]
+        np.add.at(norm2, agg, b[r0:r1] ** 2)   # per-shard partial
+    # (in-process the loop above IS the allreduce; an MPI transport sums
+    # the n_aggs-sized partials across ranks)
+    norms = np.sqrt(norm2)
+    thr = norms * tol   # per-column threshold as in candidates.cpp
+    ok = norms > thr
+    vals = np.where(ok[aggregates_global],
+                    b / np.where(norms[aggregates_global] == 0.0, 1.0,
+                                 norms[aggregates_global]), 0.0)
+    n = len(aggregates_global)
+    t = sp.csr_matrix((vals, (np.arange(n), aggregates_global)),
+                      shape=(n, n_aggs))
+    t.sort_indices()
+    R = np.where(ok, norms, 0.0)
+    return CSRMatrix.from_scipy(t), R
+
+
+def dist_jacobi_prolongation(a: ParCSRMatrix, t: CSRMatrix,
+                             omega: float = 4.0 / 3.0,
+                             num_smooth_steps: int = 1,
+                             tr: Optional[InProcessTransport] = None
+                             ) -> CSRMatrix:
+    """Distributed P = (I - w D~^{-1} A)^k T
+    (par_prolongation.cpp:8-186): per shard, |row sum| weights are local
+    (full on+off row), and each smoothing step fetches the halo rows of
+    the current P (init_par_mat_comm) for the local product."""
+    import scipy.sparse as sp
+    tr = tr or InProcessTransport(a)
+    part = a.partition
+    shards = a.shards()
+    S = part.n_shards
+    nc = t.n_cols
+
+    p = t
+    for _ in range(num_smooth_steps):
+        wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
+        halo_rows = tr.fetch_rows(p, wanted)
+        out_parts = []
+        for s, blk in enumerate(shards):
+            r0, r1 = int(part.row_bounds[s]), int(part.row_bounds[s + 1])
+            on, off = blk.on_proc, blk.off_proc
+            n = on.n_rows
+            absum = (np.bincount(on.row_ids(), weights=np.abs(on.data),
+                                 minlength=n)
+                     + (np.bincount(off.row_ids(),
+                                    weights=np.abs(off.data), minlength=n)
+                        if off.nnz else 0.0))
+            inv = np.where(absum != 0.0, omega / np.abs(absum), 0.0)
+            p_loc = sp.csr_matrix(
+                (p.data[p.indptr[r0]:p.indptr[r1]],
+                 p.indices[p.indptr[r0]:p.indptr[r1]],
+                 p.indptr[r0:r1 + 1] - p.indptr[r0]), shape=(n, nc))
+            hi, hc, hv = halo_rows[s]
+            p_halo = sp.csr_matrix((hv, hc, hi),
+                                   shape=(len(wanted[s]), nc))
+            a_on = sp.csr_matrix((on.data, on.indices, on.indptr),
+                                 shape=(n, on.n_cols))
+            a_off = sp.csr_matrix(
+                (off.data, off.indices, off.indptr),
+                shape=(n, max(1, len(wanted[s]))))
+            ap = (a_on @ p_loc + (a_off @ p_halo if off.nnz else 0.0))
+            ap = sp.diags(inv) @ ap
+            out = (p_loc - ap).tocsr()
+            out.sum_duplicates()
+            out.data[np.abs(out.data) <= ZERO_TOL] = 0.0
+            out.eliminate_zeros()
+            out.sort_indices()
+            out_parts.append(out)
+        g = sp.vstack(out_parts).tocsr()
+        g.sort_indices()
+        p = CSRMatrix.from_scipy(g)
+    return p

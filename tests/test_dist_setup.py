@@ -257,3 +257,102 @@ def test_dist_falgout_hmis_valid_splitting(n_shards):
                                  gT.indices[gT.indptr[i]:gT.indptr[i + 1]]])
             nb = nb[nb != i]
             assert sel[nb].any(), f"F point {i} has no C neighbor"
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_mis2_matches_global(n_shards):
+    from raptor_tpu.aggregation.mis import mis2
+    from raptor_tpu.ruge_stuben.par_setup import dist_mis2
+    from raptor_tpu.ruge_stuben.strength import symmetric_strength
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24),
+                         n_shards)
+    S_g = symmetric_strength(A.global_csr, theta=0.25)
+    from raptor_tpu.core.par_matrix import ParCSRMatrix
+    S = ParCSRMatrix(S_g, A.partition)
+    w = form_rand_weights(A.global_num_rows, 0)
+    st_ref = mis2(S_g, w)
+    st_dist = dist_mis2(S, w)
+    assert np.array_equal(st_dist, np.asarray(st_ref))
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_aggregate_matches_global(n_shards):
+    from raptor_tpu.aggregation.aggregate import aggregate
+    from raptor_tpu.aggregation.mis import mis2
+    from raptor_tpu.core.par_matrix import ParCSRMatrix
+    from raptor_tpu.ruge_stuben.par_setup import dist_aggregate, dist_mis2
+    from raptor_tpu.ruge_stuben.strength import symmetric_strength
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24),
+                         n_shards)
+    S_g = symmetric_strength(A.global_csr, theta=0.25)
+    S = ParCSRMatrix(S_g, A.partition)
+    w = form_rand_weights(A.global_num_rows, 0)
+    st = np.asarray(mis2(S_g, w))
+    n_ref, agg_ref = aggregate(A.global_csr, S_g, st, w)
+    n_dist, agg_dist = dist_aggregate(A, S, st, w)
+    assert n_ref == n_dist
+    assert np.array_equal(agg_dist, agg_ref)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_sa_pipeline_matches_global(n_shards):
+    """SA stages distributed: MIS2 -> aggregate -> fit_candidates ->
+    jacobi prolongation, vs the host-global pipeline."""
+    from raptor_tpu.aggregation.aggregate import aggregate
+    from raptor_tpu.aggregation.candidates import fit_candidates
+    from raptor_tpu.aggregation.mis import mis2
+    from raptor_tpu.aggregation.prolongation import jacobi_prolongation
+    from raptor_tpu.core.par_matrix import ParCSRMatrix
+    from raptor_tpu.ruge_stuben.par_setup import (
+        dist_aggregate, dist_fit_candidates, dist_jacobi_prolongation,
+        dist_mis2)
+    from raptor_tpu.ruge_stuben.strength import symmetric_strength
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24),
+                         n_shards)
+    S_g = symmetric_strength(A.global_csr, theta=0.25)
+    S = ParCSRMatrix(S_g, A.partition)
+    w = form_rand_weights(A.global_num_rows, 0)
+    B = np.ones(A.global_num_rows)
+
+    st = dist_mis2(S, w)
+    n_aggs, aggs = dist_aggregate(A, S, st, w)
+    T_d, R_d = dist_fit_candidates(A, n_aggs, aggs, B)
+    P_d = dist_jacobi_prolongation(A, T_d)
+
+    st_r = np.asarray(mis2(S_g, w))
+    n_r, aggs_r = aggregate(A.global_csr, S_g, st_r, w)
+    T_r, R_r = fit_candidates(n_r, aggs_r, B)
+    P_r = jacobi_prolongation(A.global_csr, T_r)
+
+    assert np.array_equal(st, st_r) and n_aggs == n_r
+    assert np.array_equal(aggs, aggs_r)
+    np.testing.assert_allclose(R_d, R_r, atol=1e-13)
+    assert np.array_equal(T_d.indptr, T_r.indptr)
+    assert np.array_equal(T_d.indices, T_r.indices)
+    np.testing.assert_allclose(T_d.data, T_r.data, atol=1e-14)
+    assert np.array_equal(P_d.indptr, P_r.indptr)
+    assert np.array_equal(P_d.indices, P_r.indices)
+    np.testing.assert_allclose(P_d.data, P_r.data, atol=1e-13)
+
+
+@pytest.mark.parametrize("n_shards", [1, 8])
+def test_distributed_sa_setup_mode_solves(n_shards):
+    from raptor_tpu.aggregation.solver import ParSmoothedAggregationSolver
+    from raptor_tpu.core.types import RelaxType
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+
+    A = par_stencil_grid(diffusion_stencil_2d(1.0, 0.0), (36, 36),
+                         n_shards)
+    ml = ParSmoothedAggregationSolver(strong_threshold=0.0,
+                                      relax_type=RelaxType.SOR)
+    ml.setup_mode = "distributed"
+    ml.setup(A)
+    assert ml.num_levels >= 2
+    dh = DeviceHierarchy(ml, dpar.make_mesh(n_shards))
+    b = A.mult(np.ones(A.global_num_rows))
+    r = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
+    it = int(r.n_iters)
+    assert it < ml.max_iterations
+    assert float(r.res[it]) < ml.solve_tol
