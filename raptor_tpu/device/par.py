@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -113,7 +114,7 @@ _DATA_FIELDS = ["on_cols", "on_vals", "off_rows", "off_cols", "off_vals",
                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
 _META_FIELDS = ["rows_pad", "cols_pad", "halo_pad", "slot", "dia_pad",
                 "dia_offsets", "bd_offsets", "bd_padb", "bd_ba",
-                "on_format", "embed_kind", "on_rows_pad",
+                "on_format", "embed_kind", "on_rows_pad", "has_t",
                 "global_num_rows", "global_num_cols"]
 
 
@@ -172,6 +173,7 @@ class DeviceParCSR:
     on_format: str          # "ell" | "dia" | "bdia"
     embed_kind: str         # "none" | "cols" | "rows"
     on_rows_pad: int        # row space of the PACKED on block
+    has_t: bool             # transpose path available (ELL copy packed)
     global_num_rows: int
     global_num_cols: int
 
@@ -272,7 +274,8 @@ def _remap_rows(blk, anchor: np.ndarray, space: int):
 def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                       dtype=jnp.float64, lane_pad: int = 1,
                       force_format: Optional[str] = None,
-                      embed: Optional[str] = None) -> DeviceParCSR:
+                      embed: Optional[str] = None,
+                      need_transpose: bool = True) -> DeviceParCSR:
     """Build the device plan from a host ParCSRMatrix and shard it.
 
     The on_proc block format is chosen per matrix: DIA when every shard's
@@ -364,7 +367,12 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 planes, counts = bdia_plane_counts(blk)
                 for p, c in zip(planes, counts):
                     merged[p] = merged.get(p, 0) + int(c)
-            bd_spec = select_planes(merged, MAX_BDIA_PLANES, A128)
+            itemsz = jnp.dtype(dtype).itemsize
+            mem_cap = int(os.environ.get("RAPTOR_TPU_BDIA_MEM",
+                                         str(3 << 30)))
+            per_plane = max(1, A128 * 128 * (itemsz + 1))
+            max_planes = min(MAX_BDIA_PLANES, max(8, mem_cap // per_plane))
+            bd_spec = select_planes(merged, max_planes, A128)
             # worth it only when the planes carry most entries (else the
             # per-entry 'rest' gather dominates anyway) and the block
             # window stays modest
@@ -433,8 +441,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         on_vals = np.zeros((S, W_on, R), dtype=np.float64)
         dia_vals = np.zeros((S, K, fmt_R), dtype=np.float64)
     else:
-        W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
-                           if s.on_proc.nnz else 0) for s in shards))
+        if use_dia == "bdia" and not need_transpose:
+            W_on = 1   # ELL copy only serves spmv_T; skip when unused
+        else:
+            W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
+                               if s.on_proc.nnz else 0) for s in shards))
         on_cols = np.zeros((S, W_on, R), dtype=np.int32)
         on_vals = np.zeros((S, W_on, R), dtype=np.float64)
         dia_vals = np.zeros((S, 1, fmt_R), dtype=np.float64)
@@ -452,8 +463,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
                                                     on_cols.shape[1])
         else:
-            on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
-                                                on_cols.shape[1])
+            if not (use_dia == "bdia" and not need_transpose):
+                on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
+                                                    on_cols.shape[1])
             if use_dia == "bdia":
                 bd_idx[s], bd_vals[s] = bdia_arrays(
                     fmt_blocks[s], bd_spec, bd_idx.shape[2])
@@ -492,6 +504,8 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         dia_pad=dia_pad, dia_offsets=dia_offsets,
         bd_offsets=bd_offsets, bd_padb=bd_padb, bd_ba=bd_ba,
         on_format=use_dia, embed_kind=embed_kind, on_rows_pad=fmt_R,
+        has_t=bool(need_transpose or use_dia == "dia"
+                   and embed_kind == "none"),
         global_num_rows=part.global_num_rows,
         global_num_cols=part.global_num_cols,
     )
@@ -584,6 +598,10 @@ def on_spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     if A.on_format == "dia" and A.embed_kind == "none":
         return dia_spmv_T(A.dia_offsets, A.dia_vals, x, A.cols_pad,
                           A.dia_pad)
+    if not A.has_t:
+        raise ValueError(
+            "matrix was packed with need_transpose=False; rebuild with "
+            "device_put_matrix(..., need_transpose=True) for spmv_T")
     # bdia / embedded blocks keep the original ELL for the transpose path
     return ell_spmv_T(A.on_cols, A.on_vals, x, A.cols_pad)
 

@@ -160,20 +160,35 @@ def _schedule_arrays(tri: CSRMatrix, levels: List[np.ndarray],
 
 
 def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
-                dtype=jnp.float64) -> DeviceRelax:
-    """Host-side construction of the relaxation plan."""
+                dtype=jnp.float64, need=("tri", "color")) -> DeviceRelax:
+    """Host-side construction of the relaxation plan.
+
+    ``need`` selects the heavy plans: "tri" builds the level-scheduled
+    triangular sweeps and L/U ELL blocks (SOR/SSOR/Jacobi row sums),
+    "color" the greedy coloring masks (multicolor GS). Chebyshev and
+    l1-Jacobi need neither — skipping them saves O(nnz)-scale arrays
+    per level (the difference between fitting 2048^2 in HBM or not)."""
     shards = a.shards()
     S = len(shards)
     R = dA.rows_pad
+    need_tri = "tri" in need
+    need_color = "color" in need
 
+    empty = CSRMatrix.empty(1, 1)
     per_shard = []
     colorings = []
     for blk in shards:
         diag, low, up = _split_ldu(blk.on_proc)
-        fl = _level_schedule(low, reverse=False)
-        bl = _level_schedule(up, reverse=True)
+        if need_tri:
+            fl = _level_schedule(low, reverse=False)
+            bl = _level_schedule(up, reverse=True)
+        else:
+            low, up = empty, empty
+            fl, bl = [np.zeros(0, dtype=np.int64)], [np.zeros(0,
+                                                              np.int64)]
         per_shard.append((diag, low, up, fl, bl))
-        colorings.append(_greedy_coloring(blk.on_proc))
+        colorings.append(_greedy_coloring(blk.on_proc) if need_color
+                         else np.zeros(1, dtype=np.int64))
     NC = max(1, max(int(c.max()) + 1 if len(c) else 1 for c in colorings))
 
     NLf = max(len(p[3]) for p in per_shard)
@@ -200,8 +215,9 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
     b_cols = np.zeros((S, NLb, Mb, Wu), dtype=np.int32)
     b_vals = np.zeros((S, NLb, Mb, Wu))
     color_mask = np.zeros((S, NC, R))
-    for s_i, c in enumerate(colorings):
-        color_mask[s_i, c, np.arange(len(c))] = 1.0
+    if need_color:
+        for s_i, c in enumerate(colorings):
+            color_mask[s_i, c, np.arange(len(c))] = 1.0
 
     for s, (diag, low, up, fl, bl) in enumerate(per_shard):
         n = len(diag)

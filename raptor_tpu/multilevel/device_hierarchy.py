@@ -78,8 +78,12 @@ class DeviceHierarchy:
         for i, lvl in enumerate(ml.levels):
             tap_level = 0 <= self.tap_amg <= i
             dA = device_put_matrix(lvl.A, mesh, dtype=dtype,
-                                   lane_pad=lane_pad)
-            dRX = build_relax(lvl.A, mesh, dA, dtype=dtype)
+                                   lane_pad=lane_pad,
+                                   need_transpose=False)
+            need = {"jacobi": ("tri",), "sor": ("tri",), "ssor": ("tri",),
+                    "mc_sor": ("color",), "mc_ssor": ("color",),
+                    "l1_jacobi": (), "chebyshev": ()}[self.relax_kind]
+            dRX = build_relax(lvl.A, mesh, dA, dtype=dtype, need=need)
             TA = TP = TPt = None
             if tap_level:
                 from raptor_tpu.comm.tap import build_tap_plan, device_put_tap
@@ -90,10 +94,12 @@ class DeviceHierarchy:
                 # transfer operators format as DIA/BDIA instead of
                 # full-length gather ELL
                 dP = device_put_matrix(lvl.P, mesh, dtype=dtype,
-                                       lane_pad=lane_pad, embed="cols")
+                                       lane_pad=lane_pad, embed="cols",
+                                       need_transpose=False)
                 pt = lvl.P.transpose()
                 dPt = device_put_matrix(pt, mesh, dtype=dtype,
-                                        lane_pad=lane_pad, embed="rows")
+                                        lane_pad=lane_pad, embed="rows",
+                                        need_transpose=False)
                 if tap_level:
                     from raptor_tpu.comm.tap import (
                         build_tap_plan, device_put_tap)
