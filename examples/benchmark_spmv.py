@@ -24,14 +24,14 @@ from raptor_tpu.profiling.comm_model import model_comm_plan, model_tap_plan
 from raptor_tpu.comm.plan import build_comm_plan
 
 
-def _delta_time(chain, *args, n_lo=2, n_hi=202):
+def _delta_time(chain, *args, n_lo=2, n_hi=502):
     def timed(n):
         t0 = time.perf_counter()
         float(chain(*args, n))
         return time.perf_counter() - t0
     timed(n_lo), timed(n_hi)
-    lo = min(timed(n_lo) for _ in range(2))
-    hi = min(timed(n_hi) for _ in range(2))
+    lo = min(timed(n_lo) for _ in range(5))
+    hi = min(timed(n_hi) for _ in range(5))
     return (hi - lo) / (n_hi - n_lo)
 
 
