@@ -155,6 +155,15 @@ class ParRugeStubenSolver(ParMultilevel):
         ap = a.multiply(p)
         ac = p.transpose().multiply(ap)  # AP->mult_T(P) = P^T (A P)
         ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+        if getattr(self, "sparsify_tol", 0.0) > 0.0:
+            # RAP sparsification (par_multilevel.hpp:639 sparsify_tol,
+            # par_sparsify.cpp; arXiv:1512.04629): drop small Ac entries
+            # outside the minimal pattern, folding them into the diagonal
+            from raptor_tpu.linalg.sparsify import (injection_matrix,
+                                                    sparsify)
+            i_mat = injection_matrix(np.asarray(states))
+            ac = sparsify(a, p, i_mat, ap, ac, self.sparsify_tol)
+            ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
         self.levels.append(Level(A=ac))
 
     def _extend_hierarchy_distributed(self) -> None:

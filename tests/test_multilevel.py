@@ -83,3 +83,24 @@ def test_hierarchy_shape():
     # coarsening must actually coarsen
     sizes = [l.A.global_num_rows for l in ml.levels]
     assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1))
+
+
+def test_sparsify_tol_knob():
+    """RAP sparsification (sparsify_tol, par_multilevel.hpp:639): coarse
+    operators lose entries, the solve still converges."""
+    A, ml0 = _setup(4)
+    ml1 = ParRugeStubenSolver(0.25, CoarsenType.CLJP,
+                              InterpType.ModClassical,
+                              relax_type=RelaxType.SOR)
+    ml1.sparsify_tol = 0.25
+    ml1.setup(A)
+    nnz0 = sum(l.A.nnz for l in ml0.levels[1:])
+    nnz1 = sum(l.A.nnz for l in ml1.levels[1:])
+    assert nnz1 < nnz0
+    mesh = dpar.make_mesh(4)
+    dh = DeviceHierarchy(ml1, mesh)
+    bh = A.mult(np.ones(A.global_num_rows))
+    r = dh.solve(dh.vector(np.zeros_like(bh)), dh.vector(bh))
+    it = int(r.n_iters)
+    assert it < ml1.max_iterations
+    assert float(r.res[it]) < ml1.solve_tol
