@@ -36,6 +36,8 @@ def dia_spmv_pallas(offsets: Tuple[int, ...], vals: jnp.ndarray,
                     x: jnp.ndarray, pad: int) -> jnp.ndarray:
     """b[i] = sum_k vals[k, i] * x[i + offsets[k]]. Returns None-equivalent
     (caller falls back) when no block size fits."""
+    if vals.dtype.itemsize > 4:
+        return None     # Mosaic has no 64-bit support; XLA path handles f64
     K, R = vals.shape
     blk = _pick_block(R, K, pad, vals.dtype.itemsize)
     if blk < 1024:  # 1-D HBM DMA slices must align to the (1024,) tiling
@@ -57,27 +59,30 @@ def dia_spmv_pallas(offsets: Tuple[int, ...], vals: jnp.ndarray,
             acc += vals_ref[k, :] * xwin[pl.ds(offsets[k] + pad, blk)]
         out_ref[:] = acc
 
-    return pl.pallas_call(
-        kernel,
-        grid=(R // blk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((K, blk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk,), lambda i: (i,),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R,), vals.dtype,
-                                       vma=jax.typeof(vals).vma),
-        scratch_shapes=[
-            pltpu.VMEM((win,), vals.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * K * R,
-            bytes_accessed=(K * R + 2 * R) * vals.dtype.itemsize,
-            transcendentals=0),
-    )(x_pad, vals)
+    # trace with x64 disabled: Mosaic has no 64-bit support, and under
+    # jax_enable_x64 index helpers inside the kernel pick up int64
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(R // blk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((K, blk), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk,), lambda i: (i,),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R,), vals.dtype,
+                                           vma=jax.typeof(vals).vma),
+            scratch_shapes=[
+                pltpu.VMEM((win,), vals.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * K * R,
+                bytes_accessed=(K * R + 2 * R) * vals.dtype.itemsize,
+                transcendentals=0),
+        )(x_pad, vals)
 
 
 def bdia_pick_block(a_pad: int, P: int, padb: int, itemsize: int) -> int:
@@ -102,6 +107,8 @@ def bdia_spmv_pallas(d_offsets, idx: jnp.ndarray, vals: jnp.ndarray,
     Returns None when no block size fits (caller falls back to the XLA
     path in formats.bdia_spmv)."""
     P, A_pad, L = idx.shape
+    if vals.dtype.itemsize > 4:
+        return None     # Mosaic has no 64-bit support; XLA path handles f64
     if ba == 0 or A_pad % ba or x.shape[0] % L:
         return None
     # DMA window length (ba + 2*padb sublanes) must be a multiple of the
@@ -119,14 +126,27 @@ def bdia_spmv_pallas(d_offsets, idx: jnp.ndarray, vals: jnp.ndarray,
             xpad_ref.at[pl.ds(i * ba, win)], xwin, sem)
         cp.start()
         cp.wait()
-        acc = val_ref[0] * jnp.take_along_axis(
-            xwin[pl.ds(padb + d_offsets[0], ba)], idx_ref[0], axis=1)
-        for p in range(1, P):
-            w = xwin[pl.ds(padb + d_offsets[p], ba)]
-            acc += val_ref[p] * jnp.take_along_axis(w, idx_ref[p], axis=1)
-        out_ref[:] = acc
+        # trace with x64 disabled: under jax_enable_x64,
+        # take_along_axis builds int64 iota/index helpers, and Mosaic
+        # has no 64-bit support (the data here is f32/int8 regardless)
+        with jax.enable_x64(False):
+            acc = val_ref[0] * jnp.take_along_axis(
+                xwin[pl.ds(padb + d_offsets[0], ba)],
+                idx_ref[0].astype(jnp.int32), axis=1)
+            for p in range(1, P):
+                w = xwin[pl.ds(padb + d_offsets[p], ba)]
+                acc += val_ref[p] * jnp.take_along_axis(
+                    w, idx_ref[p].astype(jnp.int32), axis=1)
+            out_ref[:] = acc
 
-    out2 = pl.pallas_call(
+    with jax.enable_x64(False):
+        out2 = _bdia_call(kernel, d_offsets, idx, vals, x2, P, A_pad, L,
+                          ba, win)
+    return out2.reshape(-1)[:rows_pad]
+
+
+def _bdia_call(kernel, d_offsets, idx, vals, x2, P, A_pad, L, ba, win):
+    return pl.pallas_call(
         kernel,
         grid=(A_pad // ba,),
         in_specs=[
@@ -152,7 +172,6 @@ def bdia_spmv_pallas(d_offsets, idx: jnp.ndarray, vals: jnp.ndarray,
             * vals.dtype.itemsize,
             transcendentals=0),
     )(x2, idx, vals)
-    return out2.reshape(-1)[:rows_pad]
 
 
 def use_pallas() -> bool:

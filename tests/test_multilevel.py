@@ -104,3 +104,19 @@ def test_sparsify_tol_knob():
     it = int(r.n_iters)
     assert it < ml1.max_iterations
     assert float(r.res[it]) < ml1.solve_tol
+
+
+def test_solve_mixed_refinement():
+    """Mixed-precision iterative refinement: f32 hierarchy + f64
+    residuals reaches double-precision tolerances the f32 solve cannot."""
+    import jax.numpy as jnp
+    A, _ = _setup(4)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP,
+                             InterpType.ModClassical,
+                             relax_type=RelaxType.SSOR)
+    ml.setup(A)
+    dh = DeviceHierarchy(ml, dpar.make_mesh(4), dtype=jnp.float32)
+    b = A.mult(np.ones(A.global_num_rows))
+    x, hist = dh.solve_mixed(np.zeros_like(b), b, tol=1e-11)
+    assert hist[-1] < 1e-11
+    assert np.abs(x - 1.0).max() < 1e-7
