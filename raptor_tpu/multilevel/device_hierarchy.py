@@ -410,7 +410,13 @@ class DeviceHierarchy:
 
         def apply(d, x0, r):
             levels, lu, piv, ct = d
-            return self.vcycle_shard(levels, lu, piv, ct, x0, r)
+            # mixed-precision PCG: a float64 Krylov loop can use this
+            # (typically f32) hierarchy directly — the cycle runs in the
+            # hierarchy dtype and the correction is cast back
+            out = self.vcycle_shard(levels, lu, piv, ct,
+                                    x0.astype(self.dtype),
+                                    r.astype(self.dtype))
+            return out.astype(r.dtype)
 
         return data, specs, strip, apply
 

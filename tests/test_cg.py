@@ -34,3 +34,33 @@ def test_cg_golden_residuals(test_data, n_shards):
     # and the solution must actually solve the system
     xh = dpar.host_vector(result.x, part.row_bounds)
     assert np.linalg.norm(bh - A.mult(xh)) / b_norm < 1e-5
+
+
+def test_mixed_precision_pcg():
+    """f64 Krylov loop + f32 AMG preconditioner (the pack casts): reaches
+    double-precision tolerances the f32 hierarchy alone cannot."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (40, 40), 4)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP,
+                             InterpType.ModClassical,
+                             relax_type=RelaxType.Chebyshev)
+    ml.num_smooth_sweeps = 3
+    ml.setup(A)
+    mesh = dpar.make_mesh(4)
+    dh32 = DeviceHierarchy(ml, mesh, dtype=jnp.float32)
+    dA64 = dpar.device_put_matrix(A, mesh, dtype=jnp.float64)
+    b = A.mult(np.ones(A.global_num_rows))
+    x0 = dpar.device_put_vector(np.zeros_like(b), A.partition.row_bounds,
+                                dA64.rows_pad, mesh, dtype=jnp.float64)
+    bb = dpar.device_put_vector(b, A.partition.row_bounds, dA64.rows_pad,
+                                mesh, dtype=jnp.float64)
+    r = cg(mesh, dA64, x0, bb, tol=1e-11, max_iter=200,
+           precond=dh32.precond_pack())
+    it = int(r.n_iters)
+    assert it < 60
+    assert float(r.res[it]) < 1e-11
