@@ -48,9 +48,8 @@ class ParSmoothedAggregationSolver(ParMultilevel):
             # per-shard + transport stages (par_mis.cpp, par_aggregate.cpp,
             # par_candidates.cpp, par_prolongation.cpp equivalents)
             from raptor_tpu.ruge_stuben import par_setup as ps
-            s = strength(a.global_csr, self.strength_type,
-                         self.strong_threshold)
-            s_par = ParCSRMatrix(s, a.partition)
+            masks = ps.dist_symmetric_strength(a, self.strong_threshold)
+            s_par = ps.strength_masks_to_par(a, masks)
             states = ps.dist_mis2(s_par, w)
             n_aggs, aggs = ps.dist_aggregate(a, s_par, states, w)
             t, r = ps.dist_fit_candidates(a, n_aggs, aggs, self.B[:n],

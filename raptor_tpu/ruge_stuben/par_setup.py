@@ -1194,3 +1194,67 @@ def dist_jacobi_prolongation(a: ParCSRMatrix, t: CSRMatrix,
         g.sort_indices()
         p = CSRMatrix.from_scipy(g)
     return p
+
+
+def dist_symmetric_strength(a: ParCSRMatrix, theta: float = 0.25):
+    """Distributed symmetric (SA) strength (par_strength.cpp:347-540):
+    an off-diagonal entry is kept if it passes its row's threshold OR its
+    column's row threshold; thresholds of remote columns arrive via one
+    halo fetch. Returns per-shard (on_mask, off_mask) keep-masks."""
+    tr = InProcessTransport(a)
+    shards = a.shards()
+    part = a.partition
+
+    # pass 1: per-row threshold theta * (max|neg diag| / min) off-diag
+    local_thr = []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        n = on.n_rows
+        rows_on, rows_off = on.row_ids(), off.row_ids()
+        is_diag = on.indices == rows_on
+        dloc = np.zeros(n)
+        dloc[rows_on[is_diag]] = on.data[is_diag]
+        neg = dloc < 0.0
+        mn = np.full(n, np.inf)
+        mx = np.full(n, -np.inf)
+        sel = ~is_diag
+        np.minimum.at(mn, rows_on[sel], on.data[sel])
+        np.maximum.at(mx, rows_on[sel], on.data[sel])
+        if off.nnz:
+            np.minimum.at(mn, rows_off, off.data)
+            np.maximum.at(mx, rows_off, off.data)
+        local_thr.append(np.where(neg, mx, mn) * theta)
+    halo_thr = tr.fetch(local_thr)
+    local_neg = []
+    for s, blk in enumerate(shards):
+        on = blk.on_proc
+        rows_on = on.row_ids()
+        is_diag = on.indices == rows_on
+        dloc = np.zeros(on.n_rows)
+        dloc[rows_on[is_diag]] = on.data[is_diag]
+        local_neg.append((dloc < 0.0).astype(np.float64))
+    halo_neg = tr.fetch(local_neg)
+
+    masks = []
+    for s, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        rows_on, rows_off = on.row_ids(), off.row_ids()
+        is_diag = on.indices == rows_on
+        thr = local_thr[s]
+        neg = local_neg[s] > 0.5
+
+        def strong(vals, t, ng):
+            return np.where(ng, vals > t, vals < t)
+
+        s_row_on = strong(on.data, thr[rows_on], neg[rows_on])
+        s_col_on = strong(on.data, thr[on.indices], neg[on.indices])
+        on_mask = is_diag | (~is_diag & (s_row_on | s_col_on))
+        if off.nnz:
+            s_row_off = strong(off.data, thr[rows_off], neg[rows_off])
+            s_col_off = strong(off.data, halo_thr[s][off.indices],
+                               halo_neg[s][off.indices] > 0.5)
+            off_mask = s_row_off | s_col_off
+        else:
+            off_mask = np.zeros(0, dtype=bool)
+        masks.append((on_mask, off_mask))
+    return masks

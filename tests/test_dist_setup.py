@@ -356,3 +356,17 @@ def test_distributed_sa_setup_mode_solves(n_shards):
     it = int(r.n_iters)
     assert it < ml.max_iterations
     assert float(r.res[it]) < ml.solve_tol
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+def test_dist_symmetric_strength_matches_global(n_shards):
+    from raptor_tpu.ruge_stuben.par_setup import dist_symmetric_strength
+    from raptor_tpu.ruge_stuben.strength import symmetric_strength
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (30, 30),
+                         n_shards)
+    masks = dist_symmetric_strength(A, theta=0.25)
+    S_dist = strength_masks_to_par(A, masks).global_csr
+    S_ref = symmetric_strength(A.global_csr, theta=0.25)
+    assert np.array_equal(S_dist.indptr, S_ref.indptr)
+    assert np.array_equal(S_dist.indices, S_ref.indices)
+    np.testing.assert_allclose(S_dist.data, S_ref.data, atol=1e-14)
