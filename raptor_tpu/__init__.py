@@ -49,7 +49,8 @@ from raptor_tpu.core.types import (
 )
 from raptor_tpu.core.partition import Partition
 from raptor_tpu.core.matrix import (CSRMatrix, COOMatrix,
-                                    CSCMatrix, BSRMatrix)
+                                    CSCMatrix, BSRMatrix, BCOOMatrix,
+                                    BSCMatrix)
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.core.vector import ParVector
 

@@ -293,6 +293,79 @@ class BSRMatrix:
         return self.to_scipy().T @ x
 
 
+@dataclasses.dataclass
+class BCOOMatrix:
+    """Blocked coordinate format (core/matrix.hpp:1078). Thin setup-phase
+    container; converts through BSR for compute."""
+
+    n_rows: int
+    n_cols: int
+    b_rows: int
+    b_cols: int
+    row: np.ndarray      # block row ids
+    col: np.ndarray      # block col ids
+    blocks: np.ndarray   # [n_blocks, b_rows, b_cols]
+
+    def to_bsr(self) -> "BSRMatrix":
+        nbr = self.n_rows // self.b_rows
+        nbc = self.n_cols // self.b_cols
+        order = np.lexsort((self.col, self.row))
+        r, c = self.row[order], self.col[order]
+        blk = np.asarray(self.blocks, dtype=np.float64)[order]
+        # sum duplicate (row, col) blocks (remove_duplicates semantics)
+        key = r * nbc + c
+        uniq, first = np.unique(key, return_index=True)
+        summed = np.add.reduceat(blk, first, axis=0)
+        ur, uc = uniq // nbc, uniq % nbc
+        indptr = np.concatenate(
+            ([0], np.cumsum(np.bincount(ur, minlength=nbr),
+                            dtype=np.int64)))
+        return BSRMatrix(self.n_rows, self.n_cols, self.b_rows,
+                         self.b_cols, indptr, uc.astype(np.int64), summed)
+
+    @staticmethod
+    def from_bsr(a: "BSRMatrix") -> "BCOOMatrix":
+        rows = np.repeat(np.arange(a.n_block_rows), np.diff(a.indptr))
+        return BCOOMatrix(a.n_rows, a.n_cols, a.b_rows, a.b_cols, rows,
+                          a.indices.copy(), a.blocks.copy())
+
+
+@dataclasses.dataclass
+class BSCMatrix:
+    """Blocked compressed sparse column (core/matrix.hpp:1195): the BSC
+    arrays of A are the BSR arrays of A^T with transposed blocks."""
+
+    n_rows: int
+    n_cols: int
+    b_rows: int
+    b_cols: int
+    indptr: np.ndarray   # over block cols
+    indices: np.ndarray  # block row ids
+    blocks: np.ndarray   # [n_blocks, b_rows, b_cols]
+
+    @staticmethod
+    def from_bsr(a: "BSRMatrix") -> "BSCMatrix":
+        t = a.to_scipy().T.tobsr(blocksize=(a.b_cols, a.b_rows))
+        return BSCMatrix(a.n_rows, a.n_cols, a.b_rows, a.b_cols,
+                         t.indptr.astype(np.int64),
+                         t.indices.astype(np.int64),
+                         np.transpose(np.asarray(t.data, np.float64),
+                                      (0, 2, 1)))
+
+    def to_bsr(self) -> "BSRMatrix":
+        tb = sp.bsr_matrix(
+            (np.transpose(self.blocks, (0, 2, 1)), self.indices,
+             self.indptr),
+            shape=(self.n_cols, self.n_rows),
+            blocksize=(self.b_cols, self.b_rows))
+        m = tb.T.tobsr(blocksize=(self.b_rows, self.b_cols))
+        m.sort_indices()
+        return BSRMatrix(self.n_rows, self.n_cols, self.b_rows,
+                         self.b_cols, m.indptr.astype(np.int64),
+                         m.indices.astype(np.int64),
+                         np.asarray(m.data, dtype=np.float64))
+
+
 def compare(a: CSRMatrix, b: CSRMatrix, atol: float = 1e-6,
             pattern_only: bool = False) -> None:
     """Exact-pattern / value-tolerance comparison, the equivalent of the

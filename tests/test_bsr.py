@@ -50,3 +50,28 @@ def test_device_bsr_spmv(n_shards, bs):
     b = bsr_spmv(mesh, dB, x)
     np.testing.assert_allclose(
         dpar.host_vector(np.asarray(b), row_bounds), a.mult(xh), atol=1e-10)
+
+
+def test_bcoo_bsc_round_trips():
+    """BCOO/BSC containers (core/matrix.hpp:1078, :1195): conversions
+    through BSR preserve values, duplicates sum."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.matrix import (BCOOMatrix, BSCMatrix, BSRMatrix,
+                                        CSRMatrix)
+    rng = np.random.default_rng(3)
+    m = sp.random(32, 24, density=0.25, random_state=rng, format="csr")
+    a = CSRMatrix.from_scipy(m)
+    b = BSRMatrix.from_csr(a, 4, 4)
+    bc = BCOOMatrix.from_bsr(b)
+    np.testing.assert_allclose(bc.to_bsr().to_csr().to_dense(),
+                               a.to_dense(), atol=1e-14)
+    # duplicate blocks sum
+    bc2 = BCOOMatrix(8, 8, 4, 4, np.array([0, 0, 1]), np.array([1, 1, 0]),
+                     np.ones((3, 4, 4)))
+    d = bc2.to_bsr().to_csr().to_dense()
+    assert np.allclose(d[:4, 4:], 2.0)
+    assert np.allclose(d[4:, :4], 1.0)
+    bsc = BSCMatrix.from_bsr(b)
+    np.testing.assert_allclose(bsc.to_bsr().to_csr().to_dense(),
+                               a.to_dense(), atol=1e-14)
