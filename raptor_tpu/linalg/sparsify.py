@@ -47,15 +47,15 @@ def sparsify(a: ParCSRMatrix, p: ParCSRMatrix, i_mat: CSRMatrix,
     row_max = np.zeros(n)
     np.maximum.at(row_max, rows[offd], np.abs(data[offd]))
 
-    # membership in the minimal pattern
-    m_bool = m_pat.copy()
-    m_bool.data = np.ones_like(m_bool.data)
-    in_m = np.zeros(len(indices), dtype=bool)
-    mb = m_bool.tocsr()
-    for r in range(n):
-        s, e = indptr[r], indptr[r + 1]
-        mr = mb.indices[mb.indptr[r]:mb.indptr[r + 1]]
-        in_m[s:e] = np.isin(indices[s:e], mr)
+    # membership in the minimal pattern (vectorized by (row, col) key)
+    mb = m_pat.tocsr()
+    mb.sort_indices()
+    mrows = np.repeat(np.arange(n), np.diff(mb.indptr))
+    bkey = mrows.astype(np.int64) * acm.shape[1] + mb.indices
+    akey = rows.astype(np.int64) * acm.shape[1] + indices
+    pos = np.searchsorted(bkey, akey)
+    pos = np.clip(pos, 0, max(0, len(bkey) - 1))
+    in_m = (len(bkey) > 0) & (bkey[pos] == akey)
 
     keep = (~offd) | in_m | (np.abs(data) >= theta * row_max[rows])
     dropped = ~keep
