@@ -320,13 +320,14 @@ class DeviceHierarchy:
         return dpar.host_vector(np.asarray(xo), self.row_bounds), hist
 
     # --- per-level timing (track_times, par_multilevel.hpp:127-205) ------------
-    def profile_cycle(self, reps: int = 20):
+    def profile_cycle(self, reps: int = 50):
         """Per-level wall times of the V-cycle building blocks (relax,
-        SpMV/residual, restrict P^T, prolong P), measured by running each
-        op as its own jitted program ``reps`` times. The production solve
-        fuses everything into one program, so this is the profiling twin
-        of the reference's track_times mode, which also instruments at
-        op granularity."""
+        SpMV/residual, restrict+prolong round trip), the profiling twin
+        of the reference's track_times mode. Each op is timed by the
+        delta between a long and a short jitted chain, so per-dispatch
+        latency (milliseconds through a remote TPU relay) cancels.
+        Compiles ~6 programs per level — instant on CPU/local devices,
+        minutes through a remote-compile relay (use sparingly there)."""
         import time
 
         from raptor_tpu.device.relax import RELAX_FNS
@@ -335,24 +336,33 @@ class DeviceHierarchy:
         ax = dpar._leading_axes(mesh)
         rows = []
 
-        def timed(fn, *args):
-            f = jax.jit(fn)
-            out = f(*args)
-            jax.tree.map(lambda l: l.block_until_ready(), out)
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = f(*args)
-            jax.tree.map(lambda l: l.block_until_ready(), out)
-            return (time.perf_counter() - t0) / reps
+        def chain_time(step, x0):
+            # step: x -> same-shaped x
+            def chain(x, k):
+                def body(_, x):
+                    y = step(x)
+                    return y / (1.0 + jnp.max(jnp.abs(y)))
+                return jnp.sum(jax.lax.fori_loop(0, k, body, x))
+            f = jax.jit(chain, static_argnums=1)
+            with dpar.use_comm_axes(ax):
+                float(f(x0, 2))
+                float(f(x0, reps + 2))
+                lo = min((lambda t0: (float(f(x0, 2)),
+                                      time.perf_counter() - t0)[1])(
+                    time.perf_counter()) for _ in range(3))
+                hi = min((lambda t0: (float(f(x0, reps + 2)),
+                                      time.perf_counter() - t0)[1])(
+                    time.perf_counter()) for _ in range(3))
+            return max(0.0, (hi - lo) / reps)
 
         relax_fn = RELAX_FNS[self.relax_kind]
         for li, lvl in enumerate(self.levels):
             A, RX = lvl.A, lvl.RX
             S = A.on_cols.shape[0]
             b = jnp.ones((S, A.rows_pad), self.dtype)
-            x = jnp.zeros((S, A.rows_pad), self.dtype)
+            x0 = jnp.zeros((S, A.rows_pad), self.dtype)
 
-            def relax_op(A=A, RX=RX):
+            def relax_step(xx, A=A, RX=RX, b=b):
                 def body(Ash, Rsh, bsh, xsh):
                     Ash = jax.tree.map(lambda l: l[0], Ash)
                     Rsh = jax.tree.map(lambda l: l[0], Rsh)
@@ -360,26 +370,25 @@ class DeviceHierarchy:
                                     self.num_smooth_sweeps,
                                     self.relax_weight, None)[None]
                 sp = lambda T: jax.tree.map(lambda _: P(ax), T)
-                return lambda bb, xx: jax.shard_map(
+                return jax.shard_map(
                     body, mesh=mesh,
                     in_specs=(sp(A), sp(RX), P(ax, None), P(ax, None)),
-                    out_specs=P(ax, None))(A, RX, bb, xx)
+                    out_specs=P(ax, None))(A, RX, b, xx)
 
-            with dpar.use_comm_axes(ax):
-                t_rx = timed(relax_op(), b, x)
-                t_sp = timed(lambda xx, A=A: dpar._shard_op(
-                    spmv_shard, mesh, A, xx),
-                    jnp.zeros((S, A.cols_pad), self.dtype))
-                t_re = t_pr = 0.0
-                if lvl.P is not None:
-                    t_re = timed(lambda xx, M=lvl.Pt: dpar._shard_op(
-                        spmv_shard, mesh, M, xx),
-                        jnp.zeros((S, lvl.Pt.cols_pad), self.dtype))
-                    t_pr = timed(lambda xx, M=lvl.P: dpar._shard_op(
-                        spmv_shard, mesh, M, xx),
-                        jnp.zeros((S, lvl.P.cols_pad), self.dtype))
+            t_rx = chain_time(relax_step, x0)
+            t_sp = chain_time(
+                lambda xx, A=A: dpar._shard_op(spmv_shard, mesh, A, xx),
+                jnp.zeros((S, A.cols_pad), self.dtype))
+            t_tr = 0.0
+            if lvl.P is not None:
+                def roundtrip(xx, Pm=lvl.P, Pt=lvl.Pt):
+                    xc = dpar._shard_op(spmv_shard, mesh, Pt, xx)
+                    return dpar._shard_op(spmv_shard, mesh, Pm, xc)
+                t_tr = chain_time(roundtrip,
+                                  jnp.zeros((S, lvl.Pt.cols_pad),
+                                            self.dtype))
             rows.append({"level": li, "relax_s": t_rx, "spmv_s": t_sp,
-                         "restrict_s": t_re, "prolong_s": t_pr})
+                         "transfer_s": t_tr})
         return rows
 
     def print_times(self, reps: int = 20) -> str:
@@ -387,12 +396,11 @@ class DeviceHierarchy:
         par_multilevel.hpp:580-612)."""
         rows = self.profile_cycle(reps)
         out = [f"{'lvl':>3} {'relax(ms)':>10} {'spmv(ms)':>9} "
-               f"{'restrict':>9} {'prolong':>9}"]
+               f"{'P^T..P(ms)':>11}"]
         for r in rows:
             out.append(f"{r['level']:>3} {r['relax_s'] * 1e3:>10.3f} "
                        f"{r['spmv_s'] * 1e3:>9.3f} "
-                       f"{r['restrict_s'] * 1e3:>9.3f} "
-                       f"{r['prolong_s'] * 1e3:>9.3f}")
+                       f"{r['transfer_s'] * 1e3:>11.3f}")
         return "\n".join(out)
 
     # --- use as a Krylov preconditioner ----------------------------------------
