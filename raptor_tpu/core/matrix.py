@@ -143,7 +143,9 @@ class CSRMatrix:
         rows = np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
         on_diag = self.indices == rows
         diag = np.zeros(min(self.n_rows, self.n_cols))
-        diag[self.indices[on_diag]] = self.data[on_diag]
+        # duplicate (i,i) entries sum (remove_duplicates semantics), so a
+        # non-canonicalized COO-assembled input still gets the right diagonal
+        np.add.at(diag, self.indices[on_diag], self.data[on_diag])
         return diag
 
     def row_ids(self) -> np.ndarray:

@@ -504,8 +504,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         dia_pad=dia_pad, dia_offsets=dia_offsets,
         bd_offsets=bd_offsets, bd_padb=bd_padb, bd_ba=bd_ba,
         on_format=use_dia, embed_kind=embed_kind, on_rows_pad=fmt_R,
-        has_t=bool(need_transpose or use_dia == "dia"
-                   and embed_kind == "none"),
+        # transpose path exists unless the bdia W_on==1 shortcut skipped
+        # the ELL copy (dia/embed keeps it; plain dia transposes in-format)
+        has_t=not (use_dia == "bdia" and not need_transpose),
         global_num_rows=part.global_num_rows,
         global_num_cols=part.global_num_cols,
     )

@@ -125,8 +125,10 @@ def _bicgstab_shard(A: DeviceParCSR, x, b, tol, max_iter, precond,
     return x, res, k
 
 
-# compiled-solver cache (see krylov/cg.py)
-_RUN_CACHE = {}
+from raptor_tpu.krylov._cache import RunCache, precond_key
+
+# compiled-solver cache (see krylov/cg.py): bounded LRU
+_RUN_CACHE = RunCache()
 
 
 def bicgstab(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
@@ -144,12 +146,10 @@ def bicgstab(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
         pdata, pspecs = (data,), (specs,)
 
     cache_key = ("bicgstab", mesh, tol, max_iter, inner_mode, norm_mode,
-                 partial,
-                 None if precond is None else (id(precond[2]),
-                                               id(precond[3])))
-    if cache_key in _RUN_CACHE:
-        run = _RUN_CACHE[cache_key][0]
-        return BiCGStabResult(*run(A, x0, b, *pdata))
+                 partial, precond_key(precond))
+    hit = _RUN_CACHE.get(cache_key)
+    if hit is not None:
+        return BiCGStabResult(*hit[0](A, x0, b, *pdata))
 
     @jax.jit
     def run(A, x0, b, *pd):
@@ -169,7 +169,7 @@ def bicgstab(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
             in_specs=dpar.leaf_specs((A, x0, b)) + pspecs,
             out_specs=(P(ROW_AXIS, None), P(), P()))(A, x0, b, *pd)
 
-    _RUN_CACHE[cache_key] = (run, precond)
+    _RUN_CACHE.put(cache_key, (run, precond))
     return BiCGStabResult(*run(A, x0, b, *pdata))
 
 

@@ -89,9 +89,12 @@ def _cg_shard(A: DeviceParCSR, x, b, tol: float, max_iter: int,
     return x, res_hist, k, indef
 
 
+from raptor_tpu.krylov._cache import RunCache, precond_key
+
 # compiled-solver cache: a fresh @jax.jit closure per call would retrace
-# and (through a remote compile service) recompile every solve
-_RUN_CACHE = {}
+# and (through a remote compile service) recompile every solve; bounded
+# LRU so old hierarchies' device buffers are released
+_RUN_CACHE = RunCache()
 
 
 def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
@@ -107,13 +110,12 @@ def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
         data, specs, strip, apply = precond
         pdata, pspecs = (data,), (specs,)
 
-    cache_key = ("cg", mesh, tol, max_iter,
-                 None if precond is None else (id(precond[2]),
-                                               id(precond[3])))
-    if cache_key in _RUN_CACHE:
-        # keep the precond closures alive so the ids stay valid
-        run = _RUN_CACHE[cache_key][0]
-        return CGResult(*run(A, x0, b, *pdata))
+    cache_key = ("cg", mesh, tol, max_iter, precond_key(precond))
+    hit = _RUN_CACHE.get(cache_key)
+    if hit is not None:
+        # the cached entry keeps the precond closures alive, so the ids
+        # in the key stay valid for the entry's lifetime
+        return CGResult(*hit[0](A, x0, b, *pdata))
 
     @jax.jit
     def run(A, x0, b, *pd):
@@ -131,5 +133,5 @@ def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
             in_specs=dpar.leaf_specs((A, x0, b)) + pspecs,
             out_specs=(P(dpar.ROW_AXIS, None), P(), P(), P()))(A, x0, b, *pd)
 
-    _RUN_CACHE[cache_key] = (run, precond)
+    _RUN_CACHE.put(cache_key, (run, precond))
     return CGResult(*run(A, x0, b, *pdata))

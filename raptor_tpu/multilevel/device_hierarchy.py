@@ -246,10 +246,15 @@ class DeviceHierarchy:
 
         Returns (x64 host vector, residual history np.ndarray)."""
         mesh = self.mesh
-        A_host = self.ml.levels[0].A
-        lane_pad = 128 if jax.devices()[0].platform == "tpu" else 1
-        dA64 = device_put_matrix(A_host, mesh, dtype=jnp.float64,
-                                 lane_pad=lane_pad, need_transpose=False)
+        if getattr(self, "_dA64", None) is None:
+            # the f64 fine-level matrix is invariant for the hierarchy:
+            # upload once, not per call (seconds through the remote relay)
+            A_host = self.ml.levels[0].A
+            lane_pad = 128 if jax.devices()[0].platform == "tpu" else 1
+            self._dA64 = device_put_matrix(A_host, mesh, dtype=jnp.float64,
+                                           lane_pad=lane_pad,
+                                           need_transpose=False)
+        dA64 = self._dA64
         x = dpar.device_put_vector(np.asarray(x64, np.float64),
                                    self.row_bounds, dA64.rows_pad, mesh,
                                    dtype=jnp.float64)
@@ -407,7 +412,11 @@ class DeviceHierarchy:
     def precond_pack(self):
         """(data, in_specs, strip, apply) for passing one V-cycle as a
         preconditioner into the Krylov solvers (PCG par_cg.cpp:121,
-        Pre_BiCGStab par_bicgstab.cpp:240)."""
+        Pre_BiCGStab par_bicgstab.cpp:240). The pack is cached on the
+        hierarchy so ``cg(..., precond=dh.precond_pack())`` hits the
+        compiled-solver cache on every call after the first."""
+        if getattr(self, "_precond_pack", None) is not None:
+            return self._precond_pack
         ax = dpar._leading_axes(self.mesh)
         data = (self.levels, self.lu, self.piv, self.coarse_take)
         specs = (dpar.leaf_specs(self.levels, ax), P(), P(), P(ax, None))
@@ -426,7 +435,8 @@ class DeviceHierarchy:
                                     r.astype(self.dtype))
             return out.astype(r.dtype)
 
-        return data, specs, strip, apply
+        self._precond_pack = (data, specs, strip, apply)
+        return self._precond_pack
 
     # --- vector helpers ---------------------------------------------------------
     def vector(self, v: np.ndarray) -> jnp.ndarray:
