@@ -1,22 +1,40 @@
-"""Benchmark driver: prints ONE JSON line with the headline metric.
+"""Benchmark driver: prints ONE JSON line covering the BASELINE metric
+set (BASELINE.json: SpMV and RAP-SpGEMM nnz/s per chip, AMG setup time,
+solve time + iterations to 1e-8 relative residual).
 
 Headline: SpMV throughput (nnz/s) on the 27-pt Laplacian (the reference's
 core kernel, examples/benchmark_spmv.cpp), measured honestly on this chip:
 the SpMV is chained inside one jitted fori_loop and timed by the delta
 between a long and a short chain, synchronized by a scalar fetch (plain
 block_until_ready does not wait for remote completion on the axon relay).
-
 The 128^3 grid makes the diagonal values array (27 x 2M x 4B = 226 MB)
 far larger than VMEM, so the measurement reflects steady-state HBM
 streaming, not VMEM residency.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 denominator is this chip's own streaming roofline, calibrated live with a
-same-footprint elementwise pass: DIA SpMV moves ~4 bytes/nnz of matrix
-values (+ amortized x/b traffic), so roofline = stream_bandwidth / 4.
+same-footprint elementwise pass. Metric definition (changed from the
+round-1 BENCH_r01.json model, which used stream_bw/4 and ignored x/b
+traffic): DIA SpMV moves 4 B of matrix values per nnz plus the amortized
+x/b streams (~2 rows per K=27 diagonals), so
+roofline = stream_bw / (4 * (K+2)/K).
+
+The remaining BASELINE metrics ride in ``extras`` of the same line:
+- ``rap_nnz_per_s``: Galerkin triple-product throughput summed over all
+  levels of the 2048^2 aniso setup (output nnz of AP and P^T(AP) per
+  second of RAP wall time; examples/benchmark_matmult.cpp equivalent).
+- ``setup_seconds``: full AMG setup wall time (examples/benchmark_setup.cpp)
+  with per-phase splits.
+- ``solve_*``: mixed-precision solve (f32 hierarchy + f64 refinement,
+  DeviceHierarchy.solve_mixed) to 1e-8 RELATIVE residual: wall seconds of
+  a warm solve (compile excluded) + refinement count, on both headline
+  problems (2048^2 rotated-aniso 2-D, 128^3 27-pt Laplacian 3-D).
+
+RAPTOR_BENCH_FAST=1 shrinks the grids for a CPU smoke run.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -25,6 +43,8 @@ import numpy as np
 
 N_LO, N_HI = 2, 102
 REPS = 5
+
+FAST = os.environ.get("RAPTOR_BENCH_FAST", "0") == "1"
 
 
 def _timed(fn, *args) -> float:
@@ -46,16 +66,18 @@ def _per_iter(chain, *args) -> float:
     return max(1e-9, (t_hi - t_lo) / (N_HI - N_LO))
 
 
-def main():
+def bench_spmv():
+    """Headline SpMV nnz/s + live roofline calibration (128^3 lap27)."""
     from raptor_tpu.device import par as dpar
     from raptor_tpu.gallery.stencils import (
         laplace_stencil_27pt, par_stencil_grid)
 
     n_dev = len(jax.devices())
-    grid = (128, 128, 128)
+    grid = (32, 32, 32) if FAST else (128, 128, 128)
     A = par_stencil_grid(laplace_stencil_27pt(), grid, n_dev)
     mesh = dpar.make_mesh(n_dev)
-    dA = dpar.device_put_matrix(A, mesh, dtype=jnp.float32, lane_pad=128)
+    lane = 128 if jax.devices()[0].platform == "tpu" else 1
+    dA = dpar.device_put_matrix(A, mesh, dtype=jnp.float32, lane_pad=lane)
     part = A.partition
     x = dpar.device_put_vector(
         np.random.default_rng(0).random(A.global_num_cols),
@@ -71,7 +93,7 @@ def main():
     nnz_s = A.nnz / per_spmv
 
     # live stream-bandwidth calibration with the same value-array footprint
-    K = len(dA.dia_offsets)
+    K = max(1, len(dA.dia_offsets))
     R = dA.rows_pad
     vals = jnp.asarray(
         np.random.default_rng(1).random((K, R)), jnp.float32)
@@ -85,13 +107,95 @@ def main():
 
     per_stream = _per_iter(jax.jit(stream_fn, static_argnums=2), vals, xv)
     stream_bw = vals.size * vals.dtype.itemsize / per_stream   # B/s
-    roofline_nnz_s = stream_bw / 4.0
+    # 4 B of matrix values per nnz + amortized x/b traffic (~2 extra
+    # row-streams across K diagonal streams)
+    roofline_nnz_s = stream_bw / (4.0 * (K + 2) / K)
+    return nnz_s, roofline_nnz_s, stream_bw
+
+
+def _solve_to_1e8(ml, A, grid_label, extras):
+    """Warm + timed mixed-precision solve to 1e-8 relative residual."""
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+
+    n_dev = len(jax.devices())
+    mesh = dpar.make_mesh(n_dev)
+    dh = DeviceHierarchy(ml, mesh, dtype=jnp.float32)
+    n = A.global_num_rows
+    b = A.mult(np.ones(n))
+    # warm call: uploads dA64, compiles the refinement while_loop
+    x, hist = dh.solve_mixed(np.zeros(n), b, tol=1e-8, max_iter=200)
+    t0 = time.perf_counter()
+    x, hist = dh.solve_mixed(np.zeros(n), b, tol=1e-8, max_iter=200)
+    dt = time.perf_counter() - t0
+    extras[f"solve_1e8_seconds_{grid_label}"] = round(dt, 4)
+    extras[f"solve_1e8_iters_{grid_label}"] = int(len(hist) - 1)
+    extras[f"solve_1e8_final_relres_{grid_label}"] = float(hist[-1])
+
+
+def bench_amg(extras):
+    """Setup (with RAP split) + solve-to-1e-8 on the headline problems."""
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.gallery.stencils import (
+        diffusion_stencil_2d, laplace_stencil_27pt, par_stencil_grid)
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    n_dev = len(jax.devices())
+
+    # --- 2048^2 rotated anisotropic diffusion, HMIS+Extended ------------
+    n2d = 128 if FAST else 2048
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (n2d, n2d), n_dev)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.HMIS, InterpType.Extended,
+                             relax_type=RelaxType.Chebyshev)
+    ml.num_smooth_sweeps = 3
+    t0 = time.perf_counter()
+    ml.setup(A)
+    setup_s = time.perf_counter() - t0
+    extras["setup_seconds_aniso2048sq_hmis_ext"] = round(setup_s, 3)
+    extras["setup_levels_aniso2048sq"] = len(ml.levels)
+    rap_nnz = sum(s[1] for s in ml.rap_stats)
+    rap_t = sum(s[2] for s in ml.rap_stats)
+    extras["rap_nnz_per_s_aniso2048sq"] = round(rap_nnz / max(rap_t, 1e-9))
+    extras["rap_seconds_aniso2048sq"] = round(rap_t, 3)
+    for name, t in sorted(ml.setup_times.times.items()):
+        extras[f"setup_phase_{name}_s"] = round(t, 3)
+    _solve_to_1e8(ml, A, "aniso2048sq", extras)
+
+    # --- 128^3 27-pt Laplacian, PMIS+Extended -----------------------------
+    n3d = 32 if FAST else 128
+    A3 = par_stencil_grid(laplace_stencil_27pt(), (n3d, n3d, n3d), n_dev)
+    ml3 = ParRugeStubenSolver(0.25, CoarsenType.PMIS, InterpType.Extended,
+                              relax_type=RelaxType.Chebyshev)
+    ml3.num_smooth_sweeps = 2
+    t0 = time.perf_counter()
+    ml3.setup(A3)
+    extras["setup_seconds_lap27_128cubed"] = round(
+        time.perf_counter() - t0, 3)
+    rap_nnz = sum(s[1] for s in ml3.rap_stats)
+    rap_t = sum(s[2] for s in ml3.rap_stats)
+    extras["rap_nnz_per_s_lap27_128cubed"] = round(
+        rap_nnz / max(rap_t, 1e-9))
+    _solve_to_1e8(ml3, A3, "lap27_128cubed", extras)
+
+
+def main():
+    extras = {}
+    # headline SpMV runs with x64 OFF (pure-f32 programs, comparable to
+    # BENCH_r01); the AMG section then enables x64 for the f64 residuals
+    # of the mixed-precision refinement (fresh shapes, no retrace overlap)
+    nnz_s, roofline_nnz_s, stream_bw = bench_spmv()
+    extras["stream_bw_GBps"] = round(stream_bw / 1e9, 1)
+    extras["spmv_vs_roofline"] = round(nnz_s / roofline_nnz_s, 4)
+    jax.config.update("jax_enable_x64", True)
+    bench_amg(extras)
 
     print(json.dumps({
         "metric": "spmv_nnz_per_s_laplacian27_128cubed_f32",
         "value": nnz_s,
         "unit": "nnz/s",
         "vs_baseline": nnz_s / roofline_nnz_s,
+        "extras": extras,
     }))
 
 

@@ -45,6 +45,12 @@ class ParMultilevel:
         self.num_variables = 1
         self.levels: List[Level] = []
         self.coarse_lu = None  # set by duplicate_coarse
+        # setup-phase timers (reference track_times, par_multilevel.hpp:
+        # 127-205: per-level strength/split/interp/RAP wall clock) +
+        # per-level RAP throughput stats [(level, nnz_out, seconds)]
+        from raptor_tpu.profiling.timers import Profiler
+        self.setup_times = Profiler()
+        self.rap_stats: List[tuple] = []
 
     @property
     def num_levels(self) -> int:
@@ -108,62 +114,73 @@ class ParRugeStubenSolver(ParMultilevel):
         a = self.levels[level_ctr].A
         n = a.global_num_rows
 
-        s = strength(a, self.strength_type, self.strong_threshold,
-                     self.num_variables, self.variables)
+        with self.setup_times.phase("strength"):
+            s = strength(a, self.strength_type, self.strong_threshold,
+                         self.num_variables, self.variables)
         w = self.weights[:n]
 
         ct = self.coarsen_type
-        if ct == CoarsenType.RS:
-            # reference: split_rs for levels < 3, then Falgout (:76-86)
-            if level_ctr < 3:
-                states = cf.split_rs_entry(s)
+        with self.setup_times.phase("cf_splitting"):
+            if ct == CoarsenType.RS:
+                # reference: split_rs for levels < 3, then Falgout (:76-86)
+                if level_ctr < 3:
+                    states = cf.split_rs_entry(s)
+                else:
+                    states = cf.split_falgout(s, w)
+            elif ct == CoarsenType.CLJP:
+                states = cf.split_cljp(s, w)
+            elif ct == CoarsenType.Falgout:
+                states = cf.split_falgout(s, w)
+            elif ct == CoarsenType.PMIS:
+                states = cf.split_pmis(s, w)
+            elif ct == CoarsenType.HMIS:
+                states = cf.split_hmis(s, w)
             else:
                 states = cf.split_falgout(s, w)
-        elif ct == CoarsenType.CLJP:
-            states = cf.split_cljp(s, w)
-        elif ct == CoarsenType.Falgout:
-            states = cf.split_falgout(s, w)
-        elif ct == CoarsenType.PMIS:
-            states = cf.split_pmis(s, w)
-        elif ct == CoarsenType.HMIS:
-            states = cf.split_hmis(s, w)
-        else:
-            states = cf.split_falgout(s, w)
 
         it = self.interp_type
-        if it == InterpType.Direct:
-            p = par_interpolation(a, s, states, "direct")
-        elif it == InterpType.ModClassical:
-            p = par_interpolation(a, s, states, "mod_classical",
-                                  self.num_variables, self.variables)
-        elif it == InterpType.Extended:
-            from raptor_tpu.ruge_stuben.interpolation import filter_interp
-            p = par_interpolation(a, s, states, "extended",
-                                  self.num_variables, self.variables)
-            if ct in (CoarsenType.PMIS, CoarsenType.HMIS):
-                p = ParCSRMatrix(filter_interp(p.global_csr,
-                                               self.interp_filter),
-                                 p.partition)
-        else:
-            p = par_interpolation(a, s, states, "direct")
+        with self.setup_times.phase("interpolation"):
+            if it == InterpType.Direct:
+                p = par_interpolation(a, s, states, "direct")
+            elif it == InterpType.ModClassical:
+                p = par_interpolation(a, s, states, "mod_classical",
+                                      self.num_variables, self.variables)
+            elif it == InterpType.Extended:
+                from raptor_tpu.ruge_stuben.interpolation import (
+                    filter_interp)
+                p = par_interpolation(a, s, states, "extended",
+                                      self.num_variables, self.variables)
+                if ct in (CoarsenType.PMIS, CoarsenType.HMIS):
+                    p = ParCSRMatrix(filter_interp(p.global_csr,
+                                                   self.interp_filter),
+                                     p.partition)
+            else:
+                p = par_interpolation(a, s, states, "direct")
 
         self.levels[level_ctr].P = p
         if self.num_variables > 1:
             self.variables = self.variables[
                 np.asarray(states) == CFState.Selected]
 
-        ap = a.multiply(p)
-        ac = p.transpose().multiply(ap)  # AP->mult_T(P) = P^T (A P)
-        ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+        with self.setup_times.phase("RAP"):
+            import time as _time
+            t0 = _time.perf_counter()
+            ap = a.multiply(p)
+            ac = p.transpose().multiply(ap)  # AP->mult_T(P) = P^T (A P)
+            ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+            self.rap_stats.append(
+                (level_ctr, ap.nnz + ac.nnz, _time.perf_counter() - t0))
         if getattr(self, "sparsify_tol", 0.0) > 0.0:
             # RAP sparsification (par_multilevel.hpp:639 sparsify_tol,
             # par_sparsify.cpp; arXiv:1512.04629): drop small Ac entries
             # outside the minimal pattern, folding them into the diagonal
             from raptor_tpu.linalg.sparsify import (injection_matrix,
                                                     sparsify)
-            i_mat = injection_matrix(np.asarray(states))
-            ac = sparsify(a, p, i_mat, ap, ac, self.sparsify_tol)
-            ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+            with self.setup_times.phase("sparsify"):
+                i_mat = injection_matrix(np.asarray(states))
+                ac = sparsify(a, p, i_mat, ap, ac, self.sparsify_tol)
+                ac = ParCSRMatrix(ac.global_csr.canonicalize(),
+                                  ac.partition)
         self.levels.append(Level(A=ac))
 
     def _extend_hierarchy_distributed(self) -> None:
@@ -219,7 +236,12 @@ class ParRugeStubenSolver(ParMultilevel):
         if self.num_variables > 1:
             self.variables = self.variables[sel]
 
-        ac = ps.dist_rap(a, pg)
+        with self.setup_times.phase("RAP"):
+            import time as _time
+            t0 = _time.perf_counter()
+            ac = ps.dist_rap(a, pg)
+            self.rap_stats.append(
+                (level_ctr, ac.nnz, _time.perf_counter() - t0))
         part_c = Partition(pg.n_cols, pg.n_cols, a.partition.n_shards,
                            col_bounds, col_bounds)
         self.levels.append(Level(A=ParCSRMatrix(ac.canonicalize(),
