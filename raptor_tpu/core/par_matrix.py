@@ -41,16 +41,143 @@ class ShardBlocks:
     def on_proc_num_cols(self) -> int:
         return self.on_proc.n_cols
 
+    @property
+    def nnz(self) -> int:
+        return self.on_proc.nnz + self.off_proc.nnz
+
+    def global_cols_csr(self, n_global_cols: int) -> CSRMatrix:
+        """This shard's rows as one CSR over GLOBAL column ids (the
+        reference's init_par_mat_comm flattening, comm_mat.cpp:57-92) —
+        the wire format for matrix-row communication. Cached."""
+        cached = getattr(self, "_gcols_csr", None)
+        if cached is not None and cached.n_cols == n_global_cols:
+            return cached
+        on, off = self.on_proc, self.off_proc
+        c0 = self.first_local_col
+        cmap = np.asarray(self.off_proc_column_map)
+        rows = np.concatenate([on.row_ids(), off.row_ids()])
+        cols = np.concatenate([on.indices.astype(np.int64) + c0,
+                               cmap[off.indices] if off.nnz
+                               else np.zeros(0, dtype=np.int64)])
+        vals = np.concatenate([on.data, off.data])
+        import scipy.sparse as sp
+        g = sp.csr_matrix((vals, (rows, cols)),
+                          shape=(on.n_rows, n_global_cols))
+        g.sort_indices()
+        self._gcols_csr = CSRMatrix.from_scipy(g)
+        return self._gcols_csr
+
+
+def shard_from_local_rows(local: CSRMatrix, first_row: int,
+                          c0: int, c1: int) -> ShardBlocks:
+    """Build one shard's (on_proc, off_proc) split from its local row
+    block stored with GLOBAL column ids (finalize()/condense_off_proc,
+    par_matrix.cpp:79-162) — the SPMD constructor: a rank builds its
+    ShardBlocks from only its own rows, no global matrix anywhere."""
+    import scipy.sparse as sp
+    coo = local.to_scipy().tocoo()
+    on_sel = (coo.col >= c0) & (coo.col < c1)
+    on = sp.csr_matrix(
+        (coo.data[on_sel], (coo.row[on_sel], coo.col[on_sel] - c0)),
+        shape=(local.n_rows, c1 - c0))
+    on.sum_duplicates()
+    on.sort_indices()
+    off_sel = ~on_sel
+    off_gcols = coo.col[off_sel]
+    col_map = np.unique(off_gcols)
+    cond = np.searchsorted(col_map, off_gcols)
+    off = sp.csr_matrix(
+        (coo.data[off_sel], (coo.row[off_sel], cond)),
+        shape=(local.n_rows, len(col_map)))
+    off.sum_duplicates()
+    off.sort_indices()
+    return ShardBlocks(
+        on_proc=CSRMatrix.from_scipy(on),
+        off_proc=CSRMatrix.from_scipy(off),
+        off_proc_column_map=col_map.astype(np.int64),
+        first_local_row=int(first_row),
+        first_local_col=int(c0))
+
 
 class ParCSRMatrix:
-    """Global CSR + 1-D row partition over ``n_shards``."""
+    """1-D row-partitioned matrix over ``n_shards``.
+
+    Two storage modes:
+    - in-process (``__init__``): the global CSR is canonical and the
+      per-shard on/off blocks are derived views — convenient when one
+      host drives every shard (tests, host-global setup oracle);
+    - local view (``from_shard_blocks`` / ``from_local_rows``): ONLY the
+      shards owned by this process exist; the global matrix is never
+      materialized (the reference's actual data model,
+      core/par_matrix.hpp:78-343 — each rank holds its row block).
+      Global-matrix methods raise; distributed setup goes through
+      ``raptor_tpu.comm.transport`` instead.
+    """
 
     def __init__(self, global_csr: CSRMatrix, partition: Partition):
         assert global_csr.n_rows == partition.global_num_rows
         assert global_csr.n_cols == partition.global_num_cols
         self.global_csr = global_csr
         self.partition = partition
+        self.first_shard = 0
         self._shards: Optional[List[ShardBlocks]] = None
+
+    @classmethod
+    def from_shard_blocks(cls, blocks: List[ShardBlocks],
+                          partition: Partition,
+                          first_shard: int = 0) -> "ParCSRMatrix":
+        """Local view from this process's shard blocks (a contiguous
+        shard range starting at ``first_shard``). No global CSR exists."""
+        self = cls.__new__(cls)
+        self.global_csr = None
+        self.partition = partition
+        self.first_shard = int(first_shard)
+        self._shards = list(blocks)
+        return self
+
+    @classmethod
+    def from_local_rows(cls, local_rows: List[CSRMatrix],
+                        partition: Partition,
+                        first_shard: int = 0) -> "ParCSRMatrix":
+        """Local view from per-shard row blocks stored with GLOBAL
+        column ids (what matrix-row communication and SPMD assembly
+        produce)."""
+        blocks = []
+        for i, loc in enumerate(local_rows):
+            s = first_shard + i
+            blocks.append(shard_from_local_rows(
+                loc, int(partition.row_bounds[s]),
+                int(partition.col_bounds[s]),
+                int(partition.col_bounds[s + 1])))
+        return cls.from_shard_blocks(blocks, partition, first_shard)
+
+    @property
+    def is_local_view(self) -> bool:
+        return self.global_csr is None
+
+    def _g(self) -> CSRMatrix:
+        if self.global_csr is None:
+            raise RuntimeError(
+                "local-view ParCSRMatrix: the global matrix does not "
+                "exist on this process; use the shard blocks + "
+                "comm.transport primitives (or assemble_global() when "
+                "every shard is local)")
+        return self.global_csr
+
+    def assemble_global(self) -> CSRMatrix:
+        """Concatenate all-local shard blocks into one global CSR (only
+        valid when this view holds every shard — test/oracle use)."""
+        if self.global_csr is not None:
+            return self.global_csr
+        assert self.first_shard == 0 and \
+            len(self._shards) == self.partition.n_shards, \
+            "assemble_global needs every shard local"
+        import scipy.sparse as sp
+        n_cols = self.partition.global_num_cols
+        g = sp.vstack([blk.global_cols_csr(n_cols).to_scipy()
+                       for blk in self._shards]).tocsr()
+        g.sort_indices()
+        return CSRMatrix.from_scipy(g)
 
     # --- properties mirroring the reference API ------------------------------
     @property
@@ -67,9 +194,17 @@ class ParCSRMatrix:
 
     @property
     def nnz(self) -> int:
-        return self.global_csr.nnz
+        return self._g().nnz
+
+    @property
+    def local_nnz(self) -> int:
+        """nnz of the shards held by this process."""
+        return sum(blk.nnz for blk in self.shards())
 
     def copy(self) -> "ParCSRMatrix":
+        if self.global_csr is None:
+            return ParCSRMatrix.from_shard_blocks(
+                list(self._shards), self.partition, self.first_shard)
         return ParCSRMatrix(self.global_csr.copy(), self.partition)
 
     # --- shard views ----------------------------------------------------------
@@ -84,7 +219,7 @@ class ParCSRMatrix:
         for s in range(part.n_shards):
             r0, r1 = part.row_bounds[s], part.row_bounds[s + 1]
             c0, c1 = part.col_bounds[s], part.col_bounds[s + 1]
-            rows = self.global_csr.row_slice(int(r0), int(r1))
+            rows = self._g().row_slice(int(r0), int(r1))
             on_mask_csr = rows.col_slice(int(c0), int(c1))
             # off_proc: all cols outside [c0, c1), condensed
             rows_sp = rows.to_scipy().tocoo()
@@ -113,25 +248,25 @@ class ParCSRMatrix:
     # --- host reference linear algebra ---------------------------------------
     def mult(self, x: np.ndarray) -> np.ndarray:
         """b = A x (par_spmv.cpp:25-59)."""
-        return self.global_csr.mult(x)
+        return self._g().mult(x)
 
     def mult_T(self, x: np.ndarray) -> np.ndarray:
         """b = A^T x (par_spmv.cpp:157-209)."""
-        return self.global_csr.mult_T(x)
+        return self._g().mult_T(x)
 
     def residual(self, x: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return self.global_csr.residual(x, b)
+        return self._g().residual(x, b)
 
     def multiply(self, other: "ParCSRMatrix") -> "ParCSRMatrix":
         """C = A B (par_matmult.cpp:79-113); result inherits A's row
         partition and B's col partition (init_matrix, par_matmult.cpp:45-77)."""
-        c = self.global_csr.multiply(other.global_csr)
+        c = self._g().multiply(other._g())
         return ParCSRMatrix(c, self.partition.product(other.partition))
 
     def mult_T_mat(self, other: "ParCSRMatrix") -> "ParCSRMatrix":
         """C = self^T @ other (AP->mult_T(P) trick, par_matmult.cpp:163)."""
         c = CSRMatrix.from_scipy(
-            (self.global_csr.to_scipy().T @ other.global_csr.to_scipy())
+            (self._g().to_scipy().T @ other._g().to_scipy())
             .tocsr())
         c = c.canonicalize(drop_tol=None).drop()
         return ParCSRMatrix(
@@ -139,19 +274,19 @@ class ParCSRMatrix:
 
     def transpose(self) -> "ParCSRMatrix":
         """Distributed transpose (par_matrix.cpp:694-858)."""
-        return ParCSRMatrix(self.global_csr.transpose(),
+        return ParCSRMatrix(self._g().transpose(),
                             self.partition.transpose())
 
     def add(self, other: "ParCSRMatrix") -> "ParCSRMatrix":
-        return ParCSRMatrix(self.global_csr.add(other.global_csr),
+        return ParCSRMatrix(self._g().add(other._g()),
                             self.partition)
 
     def subtract(self, other: "ParCSRMatrix") -> "ParCSRMatrix":
-        return ParCSRMatrix(self.global_csr.subtract(other.global_csr),
+        return ParCSRMatrix(self._g().subtract(other._g()),
                             self.partition)
 
     def diagonal(self) -> np.ndarray:
-        return self.global_csr.diagonal()
+        return self._g().diagonal()
 
 
 def par_matrix_from_scipy(m, n_shards: int) -> ParCSRMatrix:

@@ -239,7 +239,7 @@ class ParRugeStubenSolver(ParMultilevel):
         with self.setup_times.phase("RAP"):
             import time as _time
             t0 = _time.perf_counter()
-            ac = ps.dist_rap(a, pg)
+            ac = ps.dist_rap(a, pg, coarse_bounds=col_bounds)
             self.rap_stats.append(
                 (level_ctr, ac.nnz, _time.perf_counter() - t0))
         part_c = Partition(pg.n_cols, pg.n_cols, a.partition.n_shards,

@@ -16,7 +16,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from raptor_tpu.comm.transport import InProcessTransport
+from raptor_tpu.comm.transport import (InProcessTransport, Transport,
+                                       split_rows)
 from raptor_tpu.core.matrix import CSRMatrix
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.core.types import CFState, ZERO_TOL
@@ -26,28 +27,55 @@ NEW_C = CFState.NewSelection
 NO_NBR = CFState.NoNeighbors
 
 
+def _per_shard_rows(arr, shards):
+    """Per-LOCAL-shard row slices of a global O(n) vector, or pass a
+    per-shard list through unchanged. Every function here indexes shard
+    data by the shard's own ``first_local_row`` — never by position in a
+    global shard list — so the same code runs when this process owns
+    only its shards (MultiProcessTransport)."""
+    if arr is None:
+        return None
+    if isinstance(arr, (list, tuple)):
+        return [np.asarray(x) for x in arr]
+    arr = np.asarray(arr)
+    return [arr[blk.first_local_row:
+                blk.first_local_row + blk.local_num_rows]
+            for blk in shards]
+
+
+def _matrix_rows(m, shards):
+    """Per-LOCAL-shard row blocks (global cols) of a matrix given either
+    an all-local global CSR (oracle path) or an already-per-shard list."""
+    if isinstance(m, (list, tuple)):
+        return list(m)
+    return [m.row_slice(blk.first_local_row,
+                        blk.first_local_row + blk.local_num_rows)
+            for blk in shards]
+
+
 def dist_classical_strength(a: ParCSRMatrix, theta: float = 0.25,
                             num_variables: int = 1,
-                            variables: Optional[np.ndarray] = None):
+                            variables: Optional[np.ndarray] = None,
+                            tr: Optional[Transport] = None):
     """Distributed classical strength (par_strength.cpp:14-346).
 
     Row-local given the shard's on+off blocks; only unknown-based
     filtering needs one halo fetch (of ``variables``). Returns per-shard
     (s_on_mask, s_off_mask): boolean keep-masks over the blocks' entries
     (the strength pattern, diagonal always kept)."""
-    tr = InProcessTransport(a)
+    tr = tr or InProcessTransport(a)
     shards = a.shards()
-    part = a.partition
 
     if num_variables != 1:
         local_vars = [
-            variables[int(part.col_bounds[s]):int(part.col_bounds[s + 1])]
-            for s in range(len(shards))]
+            variables[blk.first_local_col:
+                      blk.first_local_col + blk.on_proc_num_cols]
+            for blk in shards]
         halo_vars = tr.fetch(local_vars)
     masks = []
     for s, blk in enumerate(shards):
         on, off = blk.on_proc, blk.off_proc
-        r0 = int(part.row_bounds[s])
+        r0 = blk.first_local_row
         rows_on = on.row_ids()
         rows_off = off.row_ids()
         n = on.n_rows
@@ -89,35 +117,42 @@ def dist_classical_strength(a: ParCSRMatrix, theta: float = 0.25,
 
 
 def strength_masks_to_par(a: ParCSRMatrix, masks) -> ParCSRMatrix:
-    """Assemble the global S from per-shard keep masks (validation /
-    hand-off to the host-global pipeline)."""
-    part = a.partition
-    rows_l, cols_l, vals_l = [], [], []
+    """S from per-shard keep masks: each shard filters its own blocks
+    (S shares A's partition, par_strength.cpp:541-556). No global
+    assembly — the result is built shard by shard; when ``a`` is an
+    in-process view the global CSR is attached for the oracle tests."""
+    from raptor_tpu.core.par_matrix import ShardBlocks
+    blocks = []
     for s, blk in enumerate(a.shards()):
-        r0 = int(part.row_bounds[s])
-        c0 = int(part.col_bounds[s])
         mon, moff = masks[s]
-        on, off = blk.on_proc, blk.off_proc
-        rows_l.append(on.row_ids()[mon] + r0)
-        cols_l.append(on.indices[mon] + c0)
-        vals_l.append(on.data[mon])
-        if off.nnz:
-            cmap = np.asarray(blk.off_proc_column_map)
-            rows_l.append(off.row_ids()[moff] + r0)
-            cols_l.append(cmap[off.indices[moff]])
-            vals_l.append(off.data[moff])
-    import scipy.sparse as sp
-    g = sp.csr_matrix(
-        (np.concatenate(vals_l),
-         (np.concatenate(rows_l), np.concatenate(cols_l))),
-        shape=(a.global_num_rows, a.global_num_cols))
-    g.sort_indices()
-    return ParCSRMatrix(CSRMatrix.from_scipy(g), part)
+        on = blk.on_proc.filter_entries(np.asarray(mon, dtype=bool))
+        offm = np.asarray(moff, dtype=bool)
+        off_f = blk.off_proc.filter_entries(offm) if blk.off_proc.nnz \
+            else blk.off_proc
+        # re-condense the off map to the surviving columns
+        cmap = np.asarray(blk.off_proc_column_map)
+        used = np.unique(off_f.indices) if off_f.nnz else \
+            np.zeros(0, dtype=np.int64)
+        new_map = cmap[used]
+        new_idx = np.searchsorted(used, off_f.indices)
+        off = CSRMatrix(off_f.n_rows, len(new_map), off_f.indptr,
+                        new_idx.astype(np.int64), off_f.data)
+        blocks.append(ShardBlocks(
+            on_proc=on, off_proc=off,
+            off_proc_column_map=new_map.astype(np.int64),
+            first_local_row=blk.first_local_row,
+            first_local_col=blk.first_local_col))
+    out = ParCSRMatrix.from_shard_blocks(blocks, a.partition,
+                                         a.first_shard)
+    if not a.is_local_view:
+        out = ParCSRMatrix(out.assemble_global(), a.partition)
+        out._shards = blocks
+    return out
 
 
 def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
-                    states0: Optional[np.ndarray] = None,
-                    max_rounds: int = 10000) -> np.ndarray:
+                    states0=None, max_rounds: int = 10000,
+                    tr: Optional[Transport] = None) -> np.ndarray:
     """Distributed PMIS splitting (par_cf_splitting.cpp:128-141 +
     pmis_main_loop:1273-1426): per round, each shard selects rows whose
     weight dominates every strong neighbor in both directions, using one
@@ -125,11 +160,13 @@ def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     column neighbors. Identical states to the host-global PMIS for any
     shard count (ties have probability zero under random weights).
 
-    Returns the GLOBAL states array (concatenated owner order)."""
-    tr = InProcessTransport(s_par)
-    part = s_par.partition
+    Returns the GLOBAL states array (concatenated owner order; under a
+    multi-process transport every rank gets the full array via
+    allgather)."""
+    tr = tr or InProcessTransport(s_par)
     shards = s_par.shards()
     S = len(shards)
+    states0_l = _per_shard_rows(states0, shards)
 
     # diag-stripped per-shard blocks + local transpose patterns
     blocks = []
@@ -152,7 +189,7 @@ def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     off_counts = []
     for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
             enumerate(blocks):
-        r0 = int(part.row_bounds[s])
+        r0 = shards[s].first_local_row
         n = shards[s].on_proc.n_rows
         w = rand_vals[r0:r0 + n].astype(np.float64).copy()
         w += np.bincount(on_cols, minlength=n)[:n]
@@ -168,9 +205,8 @@ def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     for s, (on_rows, on_cols, off_rows, off_cols, onp, onT) in \
             enumerate(blocks):
         n = shards[s].on_proc.n_rows
-        r0 = int(part.row_bounds[s])
         if states0 is not None:
-            st = np.asarray(states0[r0:r0 + n], dtype=np.int64).copy()
+            st = np.asarray(states0_l[s], dtype=np.int64).copy()
         else:
             st = np.full(n, int(U), dtype=np.int64)
             row_deg = (np.bincount(on_rows, minlength=n)
@@ -253,27 +289,26 @@ def dist_split_pmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             st[to_f] = int(F)
             w[to_f] = 0.0
 
-    return np.concatenate(local_states)
+    return tr.allgather_concat(local_states)
 
 
 def dist_direct_interpolation(a: ParCSRMatrix, s_masks, states_global,
-                              tr: Optional[InProcessTransport] = None):
+                              tr: Optional[Transport] = None,
+                              assemble: bool = True):
     """Distributed direct interpolation
     (par_interpolation.cpp:1474-1776): entirely row-local given the
     shard's on/off blocks, the strength masks, one halo fetch of CF
     states, and an exclusive scan for global coarse numbering.
 
-    Returns the global P (assembled for validation) — per-shard triplets
-    are the natural product in a true multi-host run."""
+    ``assemble=True`` returns the global P CSR (in-process validation);
+    ``assemble=False`` returns (per-LOCAL-shard P row blocks with global
+    coarse cols, n_coarse) — the SPMD product."""
     tr = tr or InProcessTransport(a)
-    part = a.partition
     shards = a.shards()
     S = len(shards)
 
     # coarse numbering: local C counts -> exscan -> global coarse ids
-    local_states = [
-        states_global[int(part.row_bounds[s]):int(part.row_bounds[s + 1])]
-        for s in range(S)]
+    local_states = _per_shard_rows(states_global, shards)
     c_counts = [int(np.count_nonzero(st == int(S_)))
                 for st in local_states]
     c_starts = tr.exscan_sum(c_counts)
@@ -291,7 +326,7 @@ def dist_direct_interpolation(a: ParCSRMatrix, s_masks, states_global,
     for s, blk in enumerate(shards):
         on, off = blk.on_proc, blk.off_proc
         st = local_states[s]
-        r0 = int(part.row_bounds[s])
+        r0 = 0 if not assemble else blk.first_local_row
         n = on.n_rows
         mon, moff = s_masks[s]
         rows_on, rows_off = on.row_ids(), off.row_ids()
@@ -345,8 +380,24 @@ def dist_direct_interpolation(a: ParCSRMatrix, s_masks, states_global,
         rows_g.append(c_rows + r0)
         cols_g.append(local_coarse_id[s][c_rows])
         vals_g.append(np.ones(len(c_rows)))
+        if not assemble:
+            blk_rows = [rows_g.pop() for _ in range(3)][::-1]
+            blk_cols = [cols_g.pop() for _ in range(3)][::-1]
+            blk_vals = [vals_g.pop() for _ in range(3)][::-1]
+            rows_g.append(("shard", blk_rows, blk_cols, blk_vals, n))
 
     import scipy.sparse as sp
+    if not assemble:
+        out = []
+        for tag, rr, cc, vv, n in rows_g:
+            g = sp.csr_matrix(
+                (np.concatenate(vv),
+                 (np.concatenate(rr), np.concatenate(cc))),
+                shape=(n, n_coarse))
+            g.sum_duplicates()
+            g.sort_indices()
+            out.append(CSRMatrix.from_scipy(g))
+        return out, n_coarse
     g = sp.csr_matrix(
         (np.concatenate(vals_g),
          (np.concatenate(rows_g), np.concatenate(cols_g))),
@@ -356,8 +407,9 @@ def dist_direct_interpolation(a: ParCSRMatrix, s_masks, states_global,
     return CSRMatrix.from_scipy(g)
 
 
-def dist_rap(a: ParCSRMatrix, p: CSRMatrix,
-             tr: Optional[InProcessTransport] = None) -> CSRMatrix:
+def dist_rap(a: ParCSRMatrix, p,
+             tr: Optional[Transport] = None,
+             coarse_bounds=None, assemble: bool = True):
     """Distributed Galerkin product C = P^T (A P)
     (util/linalg/par_matmult.cpp:79-363 + mult_T:163-441).
 
@@ -365,28 +417,33 @@ def dist_rap(a: ParCSRMatrix, p: CSRMatrix,
     (init_par_mat_comm, comm_mat.cpp:53-96), compute the local AP rows,
     form the partial P^T AP contribution, and reduce partial coarse rows
     at their owners (init_mat_comm_T, comm_mat.cpp:209-346). The drop
-    rule matches the host SpGEMM (|c| <= zero_tol)."""
+    rule matches the host SpGEMM (|c| <= zero_tol).
+
+    ``p``: global P CSR (in-process) or per-LOCAL-shard row blocks.
+    ``coarse_bounds``: coarse row partition for routing the reduced rows
+    (defaults to an even split — fine for assemble=True, required to be
+    the real coarse partition for SPMD). ``assemble=False`` returns
+    per-LOCAL-shard coarse row blocks."""
     import scipy.sparse as sp
     tr = tr or InProcessTransport(a)
-    part = a.partition
     shards = a.shards()
-    S = len(shards)
-    n_coarse = p.n_cols
+    p_blocks = _matrix_rows(p, shards)
+    n_coarse = p_blocks[0].n_cols
+    if coarse_bounds is None:
+        S_tot = a.partition.n_shards
+        coarse_bounds = np.linspace(0, n_coarse, S_tot + 1
+                                    ).astype(np.int64)
 
     wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
-    halo_rows = tr.fetch_rows(p, wanted)
+    halo_rows = tr.fetch_rows(p_blocks, wanted,
+                              row_bounds=a.partition.row_bounds)
 
     triplets = []
     for s, blk in enumerate(shards):
-        r0, r1 = int(part.row_bounds[s]), int(part.row_bounds[s + 1])
         on, off = blk.on_proc, blk.off_proc
         n = on.n_rows
         # local rows of P (global coarse cols)
-        p_loc = sp.csr_matrix(
-            (p.data[p.indptr[r0]:p.indptr[r1]],
-             p.indices[p.indptr[r0]:p.indptr[r1]],
-             p.indptr[r0:r1 + 1] - p.indptr[r0]),
-            shape=(n, n_coarse))
+        p_loc = p_blocks[s].to_scipy()
         hi, hc, hv = halo_rows[s]
         p_halo = sp.csr_matrix((hv, hc, hi),
                                shape=(len(wanted[s]), n_coarse))
@@ -399,13 +456,18 @@ def dist_rap(a: ParCSRMatrix, p: CSRMatrix,
         cpart = (p_loc.T @ ap).tocoo()
         triplets.append((cpart.row, cpart.col, cpart.data))
 
-    c = tr.reduce_rows(triplets, None, n_coarse, n_coarse)
-    return c.drop(ZERO_TOL)
+    c_blocks = tr.reduce_rows(triplets, coarse_bounds, n_coarse)
+    c_blocks = [c.drop(ZERO_TOL) for c in c_blocks]
+    if not assemble:
+        return c_blocks
+    g = sp.vstack([c.to_scipy() for c in c_blocks]).tocsr()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g).drop(ZERO_TOL)
 
 
 def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
-                    states0: Optional[np.ndarray] = None,
-                    max_rounds: int = 10000) -> np.ndarray:
+                    states0=None, max_rounds: int = 10000,
+                    tr: Optional[Transport] = None) -> np.ndarray:
     """Distributed CLJP splitting (par_cf_splitting.cpp:85-101 +
     cljp_main_loop:1427-1641 with the distance-2 weight updates
     :590-708 and new-coarse exchange :980).
@@ -417,9 +479,9 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     job) and per-round fetches of weights/states/new-C flags plus one
     add-reduction of remote decrements. Bit-identical to the host-global
     CLJP for any shard count (decrements are exact integers)."""
-    tr = InProcessTransport(s_par)
-    part = s_par.partition
+    tr = tr or InProcessTransport(s_par)
     shards = s_par.shards()
+    states0_l = _per_shard_rows(states0, shards)
 
     import scipy.sparse as sp
     blocks = []
@@ -448,7 +510,7 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     # initial weights: rand + strong in-degree
     local_w, off_counts = [], []
     for s, (row_on, row_off, h) in enumerate(blocks):
-        r0 = int(part.row_bounds[s])
+        r0 = shards[s].first_local_row
         n = row_on.shape[0]
         w = rand_vals[r0:r0 + n].astype(np.float64).copy()
         w += np.bincount(row_on.indices, minlength=n)[:n]
@@ -461,9 +523,8 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     local_states = []
     for s, (row_on, row_off, h) in enumerate(blocks):
         n = row_on.shape[0]
-        r0 = int(part.row_bounds[s])
         if states0 is not None:
-            st = np.asarray(states0[r0:r0 + n], dtype=np.int64).copy()
+            st = np.asarray(states0_l[s], dtype=np.int64).copy()
             local_w[s][st != int(U)] = 0.0
         else:
             st = np.full(n, int(U), dtype=np.int64)
@@ -473,8 +534,6 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
 
     edgemark_on = [np.ones(b[0].nnz, dtype=bool) for b in blocks]
     edgemark_off = [np.ones(b[1].nnz, dtype=bool) for b in blocks]
-
-    col_bounds = part.col_bounds
 
     for _ in range(max_rounds):
         if tr.allreduce_sum([int(np.count_nonzero(st == int(U)))
@@ -554,8 +613,8 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
                 if not cands:
                     continue
                 for loc, c in cands:
-                    c_glob = (int(c + col_bounds[s]) if loc == "on"
-                              else int(cmap[c]))
+                    c_glob = (int(c + shards[s].first_local_col)
+                              if loc == "on" else int(cmap[c]))
                     # scan edges of idx
                     for j in range(row_on.indptr[idx],
                                    row_on.indptr[idx + 1]):
@@ -602,13 +661,13 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             st[drop] = int(F)
             w[drop] = 0.0
 
-    return np.concatenate(local_states)
+    return tr.allgather_concat(local_states)
 
 
 def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
-                                     states_global: np.ndarray,
-                                     tr: Optional[InProcessTransport] = None
-                                     ) -> CSRMatrix:
+                                     states_global,
+                                     tr: Optional[Transport] = None,
+                                     assemble: bool = True):
     """Distributed modified classical interpolation
     (par_interpolation.cpp:1012-1474, helper communicate(A,S,states)
     :30-142): each shard fetches the halo rows of A and the S pattern
@@ -624,16 +683,12 @@ def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
     import scipy.sparse as sp
     from raptor_tpu import native
     tr = tr or InProcessTransport(a)
-    part = a.partition
     shards = a.shards()
     s_shards = s_par.shards()
     S = len(shards)
 
     # coarse numbering
-    local_states = [
-        np.asarray(states_global[int(part.row_bounds[s]):
-                                 int(part.row_bounds[s + 1])])
-        for s in range(S)]
+    local_states = _per_shard_rows(states_global, shards)
     c_counts = [int(np.count_nonzero(st == int(S_)))
                 for st in local_states]
     c_starts = tr.exscan_sum(c_counts)
@@ -653,9 +708,9 @@ def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
     for s, blk in enumerate(shards):
         on, off = blk.on_proc, blk.off_proc
         n, h = on.n_rows, len(wanted[s])
-        r0 = int(part.row_bounds[s])
-        c0 = int(part.col_bounds[s])
-        c1 = int(part.col_bounds[s + 1])
+        r0 = blk.first_local_row if assemble else 0
+        c0 = blk.first_local_col
+        c1 = c0 + on.n_cols
         cmap = wanted[s]
         dummy = n + h
 
@@ -752,10 +807,20 @@ def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
             ext_indptr, ext_indices, ext_data, ext_strong, ext_states,
             None, 1)
         keep = rr < n
-        rows_g.append(rr[keep] + r0)
-        cols_g.append(ext_cid[cc[keep]])
-        vals_g.append(vv[keep])
+        if assemble:
+            rows_g.append(rr[keep] + r0)
+            cols_g.append(ext_cid[cc[keep]])
+            vals_g.append(vv[keep])
+        else:
+            g = sp.csr_matrix(
+                (vv[keep], (rr[keep], ext_cid[cc[keep]])),
+                shape=(n, n_coarse))
+            g.sum_duplicates()
+            g.sort_indices()
+            rows_g.append(CSRMatrix.from_scipy(g))
 
+    if not assemble:
+        return rows_g, n_coarse
     g = sp.csr_matrix(
         (np.concatenate(vals_g),
          (np.concatenate(rows_g), np.concatenate(cols_g))),
@@ -765,13 +830,13 @@ def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
     return CSRMatrix.from_scipy(g)
 
 
-def _reset_boundaries(s_par: ParCSRMatrix, states: np.ndarray,
-                      tr: InProcessTransport) -> np.ndarray:
+def _reset_boundaries(s_par: ParCSRMatrix, states: List[np.ndarray],
+                      tr: Transport) -> List[np.ndarray]:
     """Reset shard-boundary rows to Unassigned
     (par_cf_splitting.cpp:184-207): a row is boundary if its S row has
-    off_proc entries or a remote row strongly depends on it."""
-    part = s_par.partition
-    states = np.asarray(states, dtype=np.int64).copy()
+    off_proc entries or a remote row strongly depends on it. Takes and
+    returns per-LOCAL-shard state arrays."""
+    states = [np.asarray(st, dtype=np.int64).copy() for st in states]
     out_deps = []
     for s, blk in enumerate(s_par.shards()):
         h = len(blk.off_proc_column_map)
@@ -781,24 +846,23 @@ def _reset_boundaries(s_par: ParCSRMatrix, states: np.ndarray,
         out_deps.append(dep)
     referenced = tr.reduce(out_deps, op="max", init=0.0)
     for s, blk in enumerate(s_par.shards()):
-        r0 = int(part.row_bounds[s])
         n = blk.on_proc.n_rows
         boundary = np.zeros(n, dtype=bool)
         if blk.off_proc.nnz:
             boundary[np.unique(blk.off_proc.row_ids())] = True
         boundary |= referenced[s][:n] > 0.5
-        sl = states[r0:r0 + n]
+        sl = states[s]
         sl[boundary & (sl != int(NO_NBR))] = int(U)
-        states[r0:r0 + n] = sl
     return states
 
 
-def _dist_rs_on_proc(s_par: ParCSRMatrix, second_pass: bool) -> np.ndarray:
+def _dist_rs_on_proc(s_par: ParCSRMatrix,
+                     second_pass: bool) -> List[np.ndarray]:
     """Classical RS pass(es) on each shard's on_proc block only
-    (par_cf_splitting.cpp split_falgout/split_hmis interiors)."""
+    (par_cf_splitting.cpp split_falgout/split_hmis interiors). Returns
+    per-LOCAL-shard state arrays."""
     from raptor_tpu.ruge_stuben.cf_splitting import (set_initial_states,
                                                      split_rs)
-    part = s_par.partition
     out = []
     for s, blk in enumerate(s_par.shards()):
         on = blk.on_proc
@@ -809,36 +873,37 @@ def _dist_rs_on_proc(s_par: ParCSRMatrix, second_pass: bool) -> np.ndarray:
             has_off[np.unique(blk.off_proc.row_ids())] = True
             st[(st == int(NO_NBR)) & has_off] = int(U)
         out.append(np.asarray(split_rs(on, st, second_pass=second_pass)))
-    return np.concatenate(out)
+    return out
 
 
-def dist_split_falgout(s_par: ParCSRMatrix,
-                       rand_vals: np.ndarray) -> np.ndarray:
+def dist_split_falgout(s_par: ParCSRMatrix, rand_vals: np.ndarray,
+                       tr: Optional[Transport] = None) -> np.ndarray:
     """Distributed Falgout (par_cf_splitting.cpp:103-126): full RS on
     each shard's interior, boundary rows re-decided by distributed CLJP.
     Like the reference, the result depends on the partition (interior
     RS is per-shard); at 1 shard it equals the global Falgout."""
-    tr = InProcessTransport(s_par)
+    tr = tr or InProcessTransport(s_par)
     states = _dist_rs_on_proc(s_par, second_pass=True)
     states = _reset_boundaries(s_par, states, tr)
-    return dist_split_cljp(s_par, rand_vals, states0=states)
+    return dist_split_cljp(s_par, rand_vals, states0=states, tr=tr)
 
 
-def dist_split_hmis(s_par: ParCSRMatrix,
-                    rand_vals: np.ndarray) -> np.ndarray:
+def dist_split_hmis(s_par: ParCSRMatrix, rand_vals: np.ndarray,
+                    tr: Optional[Transport] = None) -> np.ndarray:
     """Distributed HMIS (par_cf_splitting.cpp:142-163): RS first pass on
     the interior, boundary re-decided by distributed PMIS."""
-    tr = InProcessTransport(s_par)
+    tr = tr or InProcessTransport(s_par)
     states = _dist_rs_on_proc(s_par, second_pass=False)
     states = _reset_boundaries(s_par, states, tr)
-    return dist_split_pmis(s_par, rand_vals, states0=states)
+    return dist_split_pmis(s_par, rand_vals, states0=states, tr=tr)
 
 
 # --- smoothed aggregation stages (aggregation/par_mis.cpp,
 # --- par_aggregate.cpp equivalents) -----------------------------------------
 
 def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
-              max_rounds: int = 10000) -> np.ndarray:
+              max_rounds: int = 10000,
+              tr: Optional[Transport] = None) -> np.ndarray:
     """Distributed MIS(2) (aggregation/par_mis.cpp:216-655): Luby-style
     with random weights; distance-2 competition resolved via prefetched
     halo S row patterns plus fringe-id fetches (the reference's
@@ -851,15 +916,12 @@ def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     NEW_U = int(CFState.NewUnselection)
 
     import scipy.sparse as sp
-    tr = InProcessTransport(s_par)
-    part = s_par.partition
+    tr = tr or InProcessTransport(s_par)
     shards = s_par.shards()
     S = len(shards)
-    col_bounds = np.asarray(part.col_bounds)
 
-    r_loc = [np.asarray(rand_vals[int(part.row_bounds[s]):
-                                  int(part.row_bounds[s + 1])],
-                        dtype=np.float64) for s in range(S)]
+    r_loc = [np.asarray(rv, dtype=np.float64)
+             for rv in _per_shard_rows(rand_vals, shards)]
     halo_r = tr.fetch(r_loc)
     wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
     halo_pat = tr.fetch_rows(s_par, wanted)
@@ -1000,28 +1062,24 @@ def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             st[st == NEW_S] = SEL
             st[st == NEW_U] = UNSEL
 
-    return np.concatenate(local_states)
+    return tr.allgather_concat(local_states)
 
 
 def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
-                   states_global: np.ndarray,
-                   rand_vals: Optional[np.ndarray] = None):
+                   states_global,
+                   rand_vals: Optional[np.ndarray] = None,
+                   tr: Optional[Transport] = None):
     """Distributed aggregation (aggregation/par_aggregate.cpp:7-187):
     MIS roots seed aggregates (globally numbered by root rank), pass 1
     joins the first root neighbor in GLOBAL column order, pass 2 joins
     the strongest assigned neighbor (|a_ij| + r[col]), non-cascading.
     Matches the host-global aggregation for any shard count."""
-    tr = InProcessTransport(s_par)
-    part = s_par.partition
+    tr = tr or InProcessTransport(s_par)
     shards_s = s_par.shards()
     shards_a = a.shards()
     S = len(shards_s)
-    col_bounds = np.asarray(part.col_bounds)
 
-    local_states = [
-        np.asarray(states_global[int(part.row_bounds[s]):
-                                 int(part.row_bounds[s + 1])])
-        for s in range(S)]
+    local_states = _per_shard_rows(states_global, shards_s)
     root_counts = [int(np.count_nonzero(st > 0)) for st in local_states]
     starts = tr.exscan_sum(root_counts)
     n_aggs = int(tr.allreduce_sum(root_counts))
@@ -1031,9 +1089,9 @@ def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
         roots = np.nonzero(st > 0)[0]
         agg[roots] = int(a0) + np.arange(len(roots))
         local_agg.append(agg)
-    r_loc = [(np.asarray(rand_vals[int(part.row_bounds[s]):
-                                   int(part.row_bounds[s + 1])],
-                         dtype=np.float64) if rand_vals is not None
+    r_rows = _per_shard_rows(rand_vals, shards_s)
+    r_loc = [(np.asarray(r_rows[s], dtype=np.float64)
+              if r_rows is not None
               else np.zeros(len(local_states[s])))
              for s in range(S)]
     halo_r = tr.fetch(r_loc)
@@ -1045,7 +1103,7 @@ def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
         st, agg = local_states[s], local_agg[s]
         on, off = blk.on_proc, blk.off_proc
         cmap = np.asarray(blk.off_proc_column_map)
-        c0 = int(col_bounds[s])
+        c0 = blk.first_local_col
         hst = halo_st[s].astype(np.int64)
         hagg = halo_agg[s].astype(np.int64)
         for i in np.nonzero(st <= 0)[0]:
@@ -1101,67 +1159,71 @@ def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
         neg = agg < 0
         agg[neg] = -(agg[neg] + 1)
 
-    return n_aggs, np.concatenate(local_agg)
+    return n_aggs, tr.allgather_concat(local_agg)
 
 
 def dist_fit_candidates(a: ParCSRMatrix, n_aggs: int,
-                        aggregates_global: np.ndarray, b: np.ndarray,
+                        aggregates_global, b,
                         tol: float = 1e-10,
-                        tr: Optional[InProcessTransport] = None):
+                        tr: Optional[Transport] = None,
+                        assemble: bool = True):
     """Distributed tentative prolongator, one candidate
     (par_candidates.cpp:7-210, num_candidates==1 asserted there too):
     aggregates may span shards, so the per-aggregate norms reduce over
     an n_aggs-sized allreduce (the reference reduces along its aggregate
-    comm). Returns (T global CSR, R coarse candidate norms)."""
+    comm). Returns (T, R coarse candidate norms); ``assemble=False``
+    gives per-LOCAL-shard T row blocks."""
     import scipy.sparse as sp
     tr = tr or InProcessTransport(a)
-    part = a.partition
-    S = part.n_shards
+    shards = a.shards()
 
-    norm2 = np.zeros(n_aggs)
-    for s in range(S):
-        r0, r1 = int(part.row_bounds[s]), int(part.row_bounds[s + 1])
-        agg = aggregates_global[r0:r1]
-        np.add.at(norm2, agg, b[r0:r1] ** 2)   # per-shard partial
-    # (in-process the loop above IS the allreduce; an MPI transport sums
-    # the n_aggs-sized partials across ranks)
+    agg_l = _per_shard_rows(aggregates_global, shards)
+    b_l = _per_shard_rows(b, shards)
+    partial = np.zeros(n_aggs)
+    for agg, bb in zip(agg_l, b_l):
+        np.add.at(partial, agg, bb ** 2)       # this process's partial
+    norm2 = tr.allreduce_vec([partial])        # summed across processes
     norms = np.sqrt(norm2)
     thr = norms * tol   # per-column threshold as in candidates.cpp
     ok = norms > thr
-    vals = np.where(ok[aggregates_global],
-                    b / np.where(norms[aggregates_global] == 0.0, 1.0,
-                                 norms[aggregates_global]), 0.0)
-    n = len(aggregates_global)
-    t = sp.csr_matrix((vals, (np.arange(n), aggregates_global)),
-                      shape=(n, n_aggs))
-    t.sort_indices()
+    blocks = []
+    for agg, bb in zip(agg_l, b_l):
+        vals = np.where(ok[agg],
+                        bb / np.where(norms[agg] == 0.0, 1.0, norms[agg]),
+                        0.0)
+        n = len(agg)
+        t = sp.csr_matrix((vals, (np.arange(n), agg)), shape=(n, n_aggs))
+        t.sort_indices()
+        blocks.append(CSRMatrix.from_scipy(t))
     R = np.where(ok, norms, 0.0)
-    return CSRMatrix.from_scipy(t), R
+    if not assemble:
+        return blocks, R
+    g = sp.vstack([t.to_scipy() for t in blocks]).tocsr()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g), R
 
 
-def dist_jacobi_prolongation(a: ParCSRMatrix, t: CSRMatrix,
+def dist_jacobi_prolongation(a: ParCSRMatrix, t,
                              omega: float = 4.0 / 3.0,
                              num_smooth_steps: int = 1,
-                             tr: Optional[InProcessTransport] = None
-                             ) -> CSRMatrix:
+                             tr: Optional[Transport] = None,
+                             assemble: bool = True):
     """Distributed P = (I - w D~^{-1} A)^k T
     (par_prolongation.cpp:8-186): per shard, |row sum| weights are local
     (full on+off row), and each smoothing step fetches the halo rows of
     the current P (init_par_mat_comm) for the local product."""
     import scipy.sparse as sp
     tr = tr or InProcessTransport(a)
-    part = a.partition
     shards = a.shards()
-    S = part.n_shards
-    nc = t.n_cols
+    p_blocks = _matrix_rows(t, shards)
+    nc = p_blocks[0].n_cols
 
-    p = t
     for _ in range(num_smooth_steps):
         wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
-        halo_rows = tr.fetch_rows(p, wanted)
+        halo_rows = tr.fetch_rows(p_blocks, wanted,
+                                  row_bounds=a.partition.row_bounds)
         out_parts = []
         for s, blk in enumerate(shards):
-            r0, r1 = int(part.row_bounds[s]), int(part.row_bounds[s + 1])
             on, off = blk.on_proc, blk.off_proc
             n = on.n_rows
             absum = (np.bincount(on.row_ids(), weights=np.abs(on.data),
@@ -1170,10 +1232,7 @@ def dist_jacobi_prolongation(a: ParCSRMatrix, t: CSRMatrix,
                                     weights=np.abs(off.data), minlength=n)
                         if off.nnz else 0.0))
             inv = np.where(absum != 0.0, omega / np.abs(absum), 0.0)
-            p_loc = sp.csr_matrix(
-                (p.data[p.indptr[r0]:p.indptr[r1]],
-                 p.indices[p.indptr[r0]:p.indptr[r1]],
-                 p.indptr[r0:r1 + 1] - p.indptr[r0]), shape=(n, nc))
+            p_loc = p_blocks[s].to_scipy()
             hi, hc, hv = halo_rows[s]
             p_halo = sp.csr_matrix((hv, hc, hi),
                                    shape=(len(wanted[s]), nc))
@@ -1190,20 +1249,22 @@ def dist_jacobi_prolongation(a: ParCSRMatrix, t: CSRMatrix,
             out.eliminate_zeros()
             out.sort_indices()
             out_parts.append(out)
-        g = sp.vstack(out_parts).tocsr()
-        g.sort_indices()
-        p = CSRMatrix.from_scipy(g)
-    return p
+        p_blocks = [CSRMatrix.from_scipy(o) for o in out_parts]
+    if not assemble:
+        return p_blocks
+    g = sp.vstack([pb.to_scipy() for pb in p_blocks]).tocsr()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g)
 
 
-def dist_symmetric_strength(a: ParCSRMatrix, theta: float = 0.25):
+def dist_symmetric_strength(a: ParCSRMatrix, theta: float = 0.25,
+                            tr: Optional[Transport] = None):
     """Distributed symmetric (SA) strength (par_strength.cpp:347-540):
     an off-diagonal entry is kept if it passes its row's threshold OR its
     column's row threshold; thresholds of remote columns arrive via one
     halo fetch. Returns per-shard (on_mask, off_mask) keep-masks."""
-    tr = InProcessTransport(a)
+    tr = tr or InProcessTransport(a)
     shards = a.shards()
-    part = a.partition
 
     # pass 1: per-row threshold theta * (max|neg diag| / min) off-diag
     local_thr = []

@@ -1,0 +1,172 @@
+"""Multi-process distributed setup: the SAME par_setup algorithms that
+run over InProcessTransport run in 2/4 REAL OS processes over
+MultiProcessTransport, each rank holding ONLY its row block (local-view
+ParCSRMatrix — the global matrix never exists in any worker). Results
+must be bit-identical to the in-process transport, which is itself
+golden-verified against the host-global oracle (tests/test_dist_setup.py).
+
+Mirrors the reference's test registration at mpirun -n {1,4,16}
+(core/tests/CMakeLists.txt:2-44).
+"""
+
+import numpy as np
+import pytest
+
+from raptor_tpu.comm.multiproc import MultiProcessTransport, run_spmd
+from raptor_tpu.core.matrix import CSRMatrix
+from raptor_tpu.core.par_matrix import ParCSRMatrix, par_matrix_from_scipy
+from raptor_tpu.core.partition import Partition
+from raptor_tpu.gallery.stencils import diffusion_stencil_2d, stencil_grid
+from raptor_tpu.ruge_stuben import par_setup as ps
+from raptor_tpu.utils.glibc_rand import form_rand_weights
+
+GRID = (20, 20)
+
+
+def _problem(n_shards):
+    A = stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), GRID)
+    Ap = par_matrix_from_scipy(A.to_scipy(), n_shards)
+    w = form_rand_weights(Ap.global_num_rows, 0)
+    return Ap, w
+
+
+def _local_view(blocks, part, rank):
+    """Worker-side: this rank's local-view matrix from its row block."""
+    return ParCSRMatrix.from_local_rows([blocks[rank]], part,
+                                        first_shard=rank)
+
+
+def _rs_worker(rank, group, blocks, part, w, coarsen, interp):
+    a = _local_view(blocks, part, rank)
+    tr = MultiProcessTransport(group, a)
+    masks = ps.dist_classical_strength(a, 0.25, tr=tr)
+    s_par = ps.strength_masks_to_par(a, masks)
+    assert s_par.is_local_view
+    tr_s = MultiProcessTransport(group, s_par)
+    if coarsen == "pmis":
+        states = ps.dist_split_pmis(s_par, w, tr=tr_s)
+    elif coarsen == "cljp":
+        states = ps.dist_split_cljp(s_par, w, tr=tr_s)
+    elif coarsen == "falgout":
+        states = ps.dist_split_falgout(s_par, w, tr=tr_s)
+    else:
+        states = ps.dist_split_hmis(s_par, w, tr=tr_s)
+    if interp == "direct":
+        p_blocks, n_coarse = ps.dist_direct_interpolation(
+            a, masks, states, tr=tr, assemble=False)
+    else:
+        p_blocks, n_coarse = ps.dist_mod_classical_interpolation(
+            a, s_par, states, tr=tr, assemble=False)
+    # coarse partition from the (replicated) states vector
+    sel = np.asarray(states) == 3  # CFState.Selected
+    csum = np.concatenate([[0], np.cumsum(sel)])
+    cb = csum[np.asarray(part.row_bounds)].astype(np.int64)
+    c_blocks = ps.dist_rap(a, p_blocks, tr=tr, coarse_bounds=cb,
+                           assemble=False)
+    return states, p_blocks[0], c_blocks[0], cb
+
+
+def _stack(blocks, n_cols):
+    import scipy.sparse as sp
+    g = sp.vstack([b.to_scipy() for b in blocks]).tocsr()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g)
+
+
+@pytest.mark.parametrize("world", [2, 4])
+@pytest.mark.parametrize("coarsen,interp", [
+    ("pmis", "direct"), ("cljp", "mod_classical"),
+    ("hmis", "direct"), ("falgout", "mod_classical")])
+def test_multiproc_rs_pipeline(world, coarsen, interp):
+    Ap, w = _problem(world)
+    part = Ap.partition
+    ncols = part.global_num_cols
+    blocks = [blk.global_cols_csr(ncols) for blk in Ap.shards()]
+
+    results = run_spmd(world, _rs_worker, blocks, part, w, coarsen,
+                       interp)
+
+    # in-process (oracle-verified) twin
+    masks = ps.dist_classical_strength(Ap, 0.25)
+    s_par = ps.strength_masks_to_par(Ap, masks)
+    split = {"pmis": ps.dist_split_pmis, "cljp": ps.dist_split_cljp,
+             "falgout": ps.dist_split_falgout,
+             "hmis": ps.dist_split_hmis}[coarsen]
+    states_ip = split(s_par, w)
+    if interp == "direct":
+        P_ip = ps.dist_direct_interpolation(Ap, masks, states_ip)
+    else:
+        P_ip = ps.dist_mod_classical_interpolation(Ap, s_par, states_ip)
+    sel = np.asarray(states_ip) == 3
+    csum = np.concatenate([[0], np.cumsum(sel)])
+    cb = csum[np.asarray(part.row_bounds)].astype(np.int64)
+    C_ip = ps.dist_rap(Ap, P_ip, coarse_bounds=cb)
+
+    for rank in range(world):
+        states_r, p_blk, c_blk, cb_r = results[rank]
+        assert np.array_equal(states_r, states_ip), \
+            f"rank {rank} states differ"
+        assert np.array_equal(cb_r, cb)
+    P_mp = _stack([results[r][1] for r in range(world)], P_ip.n_cols)
+    C_mp = _stack([results[r][2] for r in range(world)], C_ip.n_cols)
+    for got, want in ((P_mp, P_ip), (C_mp, C_ip)):
+        assert np.array_equal(got.indptr, want.indptr)
+        assert np.array_equal(got.indices, want.indices)
+        np.testing.assert_allclose(got.data, want.data, rtol=1e-12,
+                                   atol=1e-14)
+
+
+def _sa_worker(rank, group, blocks, part, w, b_cand):
+    a = _local_view(blocks, part, rank)
+    tr = MultiProcessTransport(group, a)
+    masks = ps.dist_symmetric_strength(a, 0.25, tr=tr)
+    s_par = ps.strength_masks_to_par(a, masks)
+    tr_s = MultiProcessTransport(group, s_par)
+    states = ps.dist_mis2(s_par, w, tr=tr_s)
+    n_aggs, aggs = ps.dist_aggregate(a, s_par, states, w, tr=tr_s)
+    t_blocks, R = ps.dist_fit_candidates(a, n_aggs, aggs, b_cand,
+                                         tr=tr, assemble=False)
+    p_blocks = ps.dist_jacobi_prolongation(a, t_blocks, tr=tr,
+                                           assemble=False)
+    return states, aggs, p_blocks[0], R
+
+
+@pytest.mark.parametrize("world", [2, 4])
+def test_multiproc_sa_pipeline(world):
+    Ap, w = _problem(world)
+    part = Ap.partition
+    ncols = part.global_num_cols
+    blocks = [blk.global_cols_csr(ncols) for blk in Ap.shards()]
+    b_cand = np.ones(Ap.global_num_rows)
+
+    results = run_spmd(world, _sa_worker, blocks, part, w, b_cand)
+
+    masks = ps.dist_symmetric_strength(Ap, 0.25)
+    s_par = ps.strength_masks_to_par(Ap, masks)
+    states_ip = ps.dist_mis2(s_par, w)
+    n_aggs, aggs_ip = ps.dist_aggregate(Ap, s_par, states_ip, w)
+    T_ip, R_ip = ps.dist_fit_candidates(Ap, n_aggs, aggs_ip, b_cand)
+    P_ip = ps.dist_jacobi_prolongation(Ap, T_ip)
+
+    for rank in range(world):
+        states_r, aggs_r, _, R_r = results[rank]
+        assert np.array_equal(states_r, states_ip)
+        assert np.array_equal(aggs_r, aggs_ip)
+        np.testing.assert_allclose(R_r, R_ip, rtol=1e-14)
+    P_mp = _stack([results[r][2] for r in range(world)], P_ip.n_cols)
+    assert np.array_equal(P_mp.indptr, P_ip.indptr)
+    assert np.array_equal(P_mp.indices, P_ip.indices)
+    np.testing.assert_allclose(P_mp.data, P_ip.data, rtol=1e-12)
+
+
+def test_local_view_never_holds_global():
+    """A worker-side local view refuses global-matrix access."""
+    Ap, _ = _problem(2)
+    ncols = Ap.partition.global_num_cols
+    blk = Ap.shards()[0].global_cols_csr(ncols)
+    a = ParCSRMatrix.from_local_rows([blk], Ap.partition, first_shard=0)
+    assert a.is_local_view
+    with pytest.raises(RuntimeError, match="local-view"):
+        a.nnz
+    with pytest.raises(RuntimeError, match="local-view"):
+        a.mult(np.ones(Ap.global_num_cols))
