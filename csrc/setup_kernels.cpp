@@ -683,6 +683,73 @@ void level_schedule(i64 n, const i64* indptr, const i64* indices,
     }
 }
 
+// C = A^T B without materializing A^T on the Python side (the
+// reference's transpose-SpGEMM, util/linalg/matmult.cpp:158-226 /
+// par_matmult.cpp:364-441, used for Ac = P^T (A P)). Builds CSC(A) by
+// counting sort, then runs the same Gustavson accumulator per output
+// row c over A's column-c entries in ascending fine-row order — the
+// identical FLOP sequence to spgemm_compute(CSR(A^T), B), so results
+// are bitwise equal to the transpose-then-multiply path.
+i64 spgemm_t_compute(i64 n_rows_a, i64 n_cols_a, i64 n_cols_b,
+                     const i64* a_indptr, const i64* a_indices,
+                     const double* a_data,
+                     const i64* b_indptr, const i64* b_indices,
+                     const double* b_data,
+                     double zero_tol, i64* c_indptr) {
+    g_c_indices.clear();
+    g_c_data.clear();
+    i64 nnz_a = a_indptr[n_rows_a];
+    // CSC of A: col_ptr / rows / vals (rows ascending per column since
+    // the pass below walks rows in order)
+    std::vector<i64> col_ptr(n_cols_a + 1, 0);
+    for (i64 j = 0; j < nnz_a; j++) col_ptr[a_indices[j] + 1]++;
+    for (i64 c = 0; c < n_cols_a; c++) col_ptr[c + 1] += col_ptr[c];
+    std::vector<i64> csc_rows(nnz_a);
+    std::vector<double> csc_vals(nnz_a);
+    {
+        std::vector<i64> fill(col_ptr.begin(), col_ptr.end() - 1);
+        for (i64 i = 0; i < n_rows_a; i++) {
+            for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+                i64 c = a_indices[j];
+                csc_rows[fill[c]] = i;
+                csc_vals[fill[c]] = a_data[j];
+                fill[c]++;
+            }
+        }
+    }
+    std::vector<double> sums(n_cols_b, 0.0);
+    std::vector<i64> stamp(n_cols_b, -1);
+    std::vector<i64> touched;
+    touched.reserve(256);
+    c_indptr[0] = 0;
+    for (i64 c = 0; c < n_cols_a; c++) {
+        touched.clear();
+        for (i64 j = col_ptr[c]; j < col_ptr[c + 1]; j++) {
+            i64 i = csc_rows[j];
+            double av = csc_vals[j];
+            for (i64 t = b_indptr[i]; t < b_indptr[i + 1]; t++) {
+                i64 k = b_indices[t];
+                if (stamp[k] != c) {
+                    stamp[k] = c;
+                    sums[k] = 0.0;
+                    touched.push_back(k);
+                }
+                sums[k] += av * b_data[t];
+            }
+        }
+        std::sort(touched.begin(), touched.end());
+        for (i64 k : touched) {
+            double v = sums[k];
+            if (v > zero_tol || v < -zero_tol) {
+                g_c_indices.push_back(k);
+                g_c_data.push_back(v);
+            }
+        }
+        c_indptr[c + 1] = (i64)g_c_indices.size();
+    }
+    return (i64)g_c_indices.size();
+}
+
 void spgemm_fetch(i64* c_indices, double* c_data) {
     std::memcpy(c_indices, g_c_indices.data(),
                 g_c_indices.size() * sizeof(i64));

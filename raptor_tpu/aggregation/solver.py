@@ -77,7 +77,7 @@ class ParSmoothedAggregationSolver(ParMultilevel):
         self.levels[level_ctr].P = pp
 
         ap = a.multiply(pp)
-        ac = pp.transpose().multiply(ap)
-        ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+        # P^T (A P) via native transpose-SpGEMM (canonical output)
+        ac = pp.mult_T_mat(ap)
         self.levels.append(Level(A=ac))
         self.B = r[:n_aggs * self.num_candidates]

@@ -44,10 +44,13 @@ class CSRMatrix:
     @staticmethod
     def from_scipy(m) -> "CSRMatrix":
         m = sp.csr_matrix(m)
+        # copy=False: skip the copy when dtypes already match (scipy
+        # int32 indices still convert) — the giant setup matrices went
+        # through this several times per level
         return CSRMatrix(m.shape[0], m.shape[1],
-                         m.indptr.astype(np.int64),
-                         m.indices.astype(np.int64),
-                         m.data.astype(np.float64))
+                         m.indptr.astype(np.int64, copy=False),
+                         m.indices.astype(np.int64, copy=False),
+                         m.data.astype(np.float64, copy=False))
 
     def to_scipy(self) -> sp.csr_matrix:
         return sp.csr_matrix(
@@ -128,6 +131,23 @@ class CSRMatrix:
         c.sum_duplicates()
         c.sort_indices()
         return CSRMatrix.from_scipy(c).drop(ZERO_TOL)
+
+    def T_multiply(self, other: "CSRMatrix") -> "CSRMatrix":
+        """C = A^T B without materializing A^T (the reference's
+        transpose-SpGEMM, util/linalg/matmult.cpp:158-226; used for the
+        Galerkin Ac = P^T (A P)). Native kernel accumulates fine rows in
+        ascending order per output row — bitwise identical to
+        ``self.transpose().multiply(other)``. Output is canonical
+        (sorted, deduped, |c| <= zero_tol dropped)."""
+        from raptor_tpu import native
+        if native.available():
+            indptr, indices, data = native.spgemm_T(
+                self.n_rows, self.n_cols, other.n_cols, self.indptr,
+                self.indices, self.data, other.indptr, other.indices,
+                other.data, ZERO_TOL)
+            return CSRMatrix(self.n_cols, other.n_cols, indptr, indices,
+                             data)
+        return self.transpose().multiply(other)
 
     def add(self, other: "CSRMatrix") -> "CSRMatrix":
         c = (self.to_scipy() + other.to_scipy()).tocsr()

@@ -264,11 +264,9 @@ class ParCSRMatrix:
         return ParCSRMatrix(c, self.partition.product(other.partition))
 
     def mult_T_mat(self, other: "ParCSRMatrix") -> "ParCSRMatrix":
-        """C = self^T @ other (AP->mult_T(P) trick, par_matmult.cpp:163)."""
-        c = CSRMatrix.from_scipy(
-            (self._g().to_scipy().T @ other._g().to_scipy())
-            .tocsr())
-        c = c.canonicalize(drop_tol=None).drop()
+        """C = self^T @ other (AP->mult_T(P) trick, par_matmult.cpp:163).
+        Native transpose-SpGEMM — canonical output, no explicit A^T."""
+        c = self._g().T_multiply(other._g())
         return ParCSRMatrix(
             c, self.partition.transpose().product(other.partition))
 

@@ -166,8 +166,9 @@ class ParRugeStubenSolver(ParMultilevel):
             import time as _time
             t0 = _time.perf_counter()
             ap = a.multiply(p)
-            ac = p.transpose().multiply(ap)  # AP->mult_T(P) = P^T (A P)
-            ac = ParCSRMatrix(ac.global_csr.canonicalize(), ac.partition)
+            # AP->mult_T(P) = P^T (A P): native transpose-SpGEMM, already
+            # canonical (sorted/deduped/dropped) — no extra canonicalize
+            ac = p.mult_T_mat(ap)
             self.rap_stats.append(
                 (level_ctr, ap.nnz + ac.nnz, _time.perf_counter() - t0))
         if getattr(self, "sparsify_tol", 0.0) > 0.0:

@@ -79,6 +79,10 @@ def load():
                                         I64, I64, F64, I64, I64, F64,
                                         ctypes.c_double, I64])
         lib.spgemm_compute.restype = ctypes.c_int64
+        lib.spgemm_t_compute.argtypes = ([ctypes.c_int64] * 3
+                                         + [I64, I64, F64, I64, I64, F64,
+                                            ctypes.c_double, I64])
+        lib.spgemm_t_compute.restype = ctypes.c_int64
         lib.spgemm_fetch.argtypes = [I64, F64]
         lib.greedy_coloring.argtypes = [ctypes.c_int64, I64, I64, I64]
         lib.greedy_coloring.restype = ctypes.c_int64
@@ -240,6 +244,28 @@ def spgemm(n_rows, n_cols_b, a_indptr, a_indices, a_data,
         n_rows, n_cols_b, _p(a_indptr, I64), _p(a_indices, I64),
         _p(a_data, F64), _p(b_indptr, I64), _p(b_indices, I64),
         _p(b_data, F64), zero_tol, _p(c_indptr, I64))
+    c_indices = np.empty(nnz, dtype=np.int64)
+    c_data = np.empty(nnz, dtype=np.float64)
+    lib.spgemm_fetch(_p(c_indices, I64), _p(c_data, F64))
+    return c_indptr, c_indices, c_data
+
+
+def spgemm_T(n_rows_a, n_cols_a, n_cols_b, a_indptr, a_indices, a_data,
+             b_indptr, b_indices, b_data, zero_tol):
+    """C = A^T @ B (CSR inputs, no explicit transpose), sorted cols,
+    |c| <= zero_tol dropped. Bitwise equal to
+    spgemm(CSR(A^T), B). Returns (indptr, indices, data)."""
+    lib = load()
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    b_indptr, b_indices = _c(b_indptr), _c(b_indices)
+    a_data = np.ascontiguousarray(a_data, dtype=np.float64)
+    b_data = np.ascontiguousarray(b_data, dtype=np.float64)
+    c_indptr = np.zeros(n_cols_a + 1, dtype=np.int64)
+    nnz = lib.spgemm_t_compute(
+        n_rows_a, n_cols_a, n_cols_b, _p(a_indptr, I64),
+        _p(a_indices, I64), _p(a_data, F64), _p(b_indptr, I64),
+        _p(b_indices, I64), _p(b_data, F64), zero_tol,
+        _p(c_indptr, I64))
     c_indices = np.empty(nnz, dtype=np.int64)
     c_data = np.empty(nnz, dtype=np.float64)
     lib.spgemm_fetch(_p(c_indices, I64), _p(c_data, F64))
