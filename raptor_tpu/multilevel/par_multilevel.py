@@ -186,9 +186,11 @@ class ParRugeStubenSolver(ParMultilevel):
 
     def _extend_hierarchy_distributed(self) -> None:
         """Same level extension through the per-shard + transport stages
-        (ruge_stuben/par_setup.py). Supported configs: CLJP/PMIS
-        coarsening with Direct/ModClassical interpolation; other knobs
-        fall back to the host-global path."""
+        (ruge_stuben/par_setup.py). All five coarsenings (RS/CLJP/
+        Falgout/PMIS/HMIS) and all three interpolations (Direct/
+        ModClassical/Extended) run distributed; RS follows the
+        reference's RS-below-level-3-then-Falgout rule with the
+        distributed hybrids."""
         from raptor_tpu.core.partition import Partition
         from raptor_tpu.ruge_stuben import par_setup as ps
 
@@ -204,23 +206,33 @@ class ParRugeStubenSolver(ParMultilevel):
         s = ps.strength_masks_to_par(a, masks)
 
         ct = self.coarsen_type
-        if ct == CoarsenType.CLJP:
+        if ct == CoarsenType.RS:
+            # reference: split_rs for levels < 3, then Falgout (:76-86);
+            # the per-shard analog of split_rs is the Falgout hybrid
+            # (interior RS + boundary CLJP)
+            states = ps.dist_split_falgout(s, w)
+        elif ct == CoarsenType.CLJP:
             states = ps.dist_split_cljp(s, w)
+        elif ct == CoarsenType.Falgout:
+            states = ps.dist_split_falgout(s, w)
         elif ct == CoarsenType.PMIS:
             states = ps.dist_split_pmis(s, w)
+        elif ct == CoarsenType.HMIS:
+            states = ps.dist_split_hmis(s, w)
         else:
-            raise ValueError(
-                f"distributed setup supports CLJP/PMIS, got {ct}")
+            raise ValueError(f"unknown coarsen type {ct}")
 
         it = self.interp_type
         if it == InterpType.Direct:
             pg = ps.dist_direct_interpolation(a, masks, states)
         elif it == InterpType.ModClassical:
             pg = ps.dist_mod_classical_interpolation(a, s, states)
+        elif it == InterpType.Extended:
+            pg = ps.dist_extended_interpolation(a, s, states)
         else:
-            raise ValueError(
-                f"distributed setup supports Direct/ModClassical, got {it}")
-        if ct == CoarsenType.PMIS:
+            raise ValueError(f"unknown interp type {it}")
+        if it == InterpType.Extended and ct in (CoarsenType.PMIS,
+                                                CoarsenType.HMIS):
             from raptor_tpu.ruge_stuben.interpolation import filter_interp
             pg = filter_interp(pg, self.interp_filter)
 

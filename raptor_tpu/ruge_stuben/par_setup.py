@@ -664,6 +664,228 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
     return tr.allgather_concat(local_states)
 
 
+def _dist_extended_system(a: ParCSRMatrix, s_par: ParCSRMatrix,
+                          states_global, tr: Transport,
+                          with_fringe: bool):
+    """Per-shard "extended" systems for the halo-needing interpolations
+    (the reference's communicate(A,S,states) helper,
+    par_interpolation.cpp:30-142): rows = [local | halo rows
+    (| empty fringe rows) | empty dummy], columns remapped to
+    {0..n-1 local} + {n..n+h-1 halo} (+ {n+h.. fringe}) + {dummy}.
+    Local rows keep on-then-off entry order (on ids < n <= off ids, so
+    already sorted); halo rows are stably re-sorted after remapping —
+    identical layout to the original per-row construction, so kernel
+    accumulation order (and hence bitwise output) is unchanged.
+    Fully vectorized; fringe (distance-2) states/coarse ids are fetched
+    with one fetch_ids round when ``with_fringe`` (extended+i needs
+    them, mod-classical does not read through distance-2 columns).
+
+    Returns (per-shard dicts, n_coarse)."""
+    shards = a.shards()
+    s_shards = s_par.shards()
+    G = a.partition.global_num_cols
+
+    local_states = _per_shard_rows(states_global, shards)
+    c_counts = [int(np.count_nonzero(st == int(S_)))
+                for st in local_states]
+    c_starts = tr.exscan_sum(c_counts)
+    n_coarse = int(tr.allreduce_sum(c_counts))
+    local_cid = []
+    for st, cst in zip(local_states, c_starts):
+        cid = np.cumsum(st == int(S_)) - 1 + int(cst)
+        local_cid.append(np.where(st == int(S_), cid, -1).astype(np.int64))
+    halo_states = tr.fetch([st.astype(np.float64) for st in local_states])
+    halo_cid = tr.fetch([ci.astype(np.float64) for ci in local_cid])
+
+    wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
+    halo_a = tr.fetch_rows(a, wanted)
+    halo_s = tr.fetch_rows(s_par, wanted)
+
+    # fringe = distance-2 global cols (in halo rows, neither local nor
+    # halo); their states/coarse ids arrive via one dynamic fetch
+    # (par_mis.cpp comm_coarse_dist1 analog)
+    fringes = []
+    for sdx, blk in enumerate(shards):
+        if not with_fringe:
+            fringes.append(np.zeros(0, dtype=np.int64))
+            continue
+        c0 = blk.first_local_col
+        c1 = c0 + blk.on_proc_num_cols
+        gc = np.asarray(halo_a[sdx][1], dtype=np.int64)
+        cmap = wanted[sdx]
+        rem = gc[(gc < c0) | (gc >= c1)]
+        if len(cmap) and len(rem):
+            pos = np.clip(np.searchsorted(cmap, rem), 0, len(cmap) - 1)
+            rem = rem[cmap[pos] != rem]
+        fringes.append(np.unique(rem))
+    if with_fringe:
+        fr_states = tr.fetch_ids(
+            [st.astype(np.float64) for st in local_states], fringes)
+        fr_cid = tr.fetch_ids(
+            [ci.astype(np.float64) for ci in local_cid], fringes)
+
+    out = []
+    for sdx, blk in enumerate(shards):
+        on, off = blk.on_proc, blk.off_proc
+        son, soff = s_shards[sdx].on_proc, s_shards[sdx].off_proc
+        n, h = on.n_rows, len(wanted[sdx])
+        c0 = blk.first_local_col
+        c1 = c0 + on.n_cols
+        cmap = wanted[sdx]
+        fr = fringes[sdx]
+        f = len(fr)
+        dummy = n + h + f
+
+        def remap(gcols, n=n, h=h, c0=c0, c1=c1, cmap=cmap, fr=fr,
+                  dummy=dummy):
+            gcols = np.asarray(gcols, dtype=np.int64)
+            outc = np.full(len(gcols), dummy, dtype=np.int64)
+            loc = (gcols >= c0) & (gcols < c1)
+            outc[loc] = gcols[loc] - c0
+            rem = ~loc
+            if rem.any() and len(cmap):
+                pos = np.clip(np.searchsorted(cmap, gcols), 0,
+                              len(cmap) - 1)
+                hit = rem & (cmap[pos] == gcols)
+                outc[hit] = n + pos[hit]
+                rem = rem & ~hit
+            if rem.any() and len(fr):
+                pos = np.clip(np.searchsorted(fr, gcols), 0, len(fr) - 1)
+                hit = rem & (fr[pos] == gcols)
+                outc[hit] = n + h + pos[hit]
+            return outc
+
+        # --- local rows: on entries then off entries (sorted layout) ---
+        non = np.diff(on.indptr)
+        noff = np.diff(off.indptr)
+        tot_loc = non + noff
+        ip_loc = np.concatenate(([0], np.cumsum(tot_loc)))
+        nnz_loc = int(ip_loc[-1])
+        idx_loc = np.empty(nnz_loc, dtype=np.int64)
+        dat_loc = np.empty(nnz_loc)
+        str_loc = np.zeros(nnz_loc, dtype=np.int64)
+        if on.nnz:
+            dst_on = (np.repeat(ip_loc[:-1], non)
+                      + (np.arange(on.nnz) - np.repeat(on.indptr[:-1],
+                                                       non)))
+            idx_loc[dst_on] = on.indices
+            dat_loc[dst_on] = on.data
+            # strong flags: S on-block pattern, diagonal excluded
+            rows_on = on.row_ids()
+            s_rows_on = son.row_ids()
+            sk = s_rows_on * np.int64(G) + son.indices
+            sk = sk[son.indices != s_rows_on]
+            ak = rows_on * np.int64(G) + on.indices
+            str_loc[dst_on] = np.isin(ak, sk).astype(np.int64)
+        if off.nnz:
+            dst_off = (np.repeat(ip_loc[:-1] + non, noff)
+                       + (np.arange(off.nnz)
+                          - np.repeat(off.indptr[:-1], noff)))
+            idx_loc[dst_off] = off.indices + n
+            dat_loc[dst_off] = off.data
+            # off blocks of A and S carry DIFFERENT condensed maps:
+            # match by global column id
+            rows_off = off.row_ids()
+            amap_g = cmap[off.indices]
+            smap = np.asarray(s_shards[sdx].off_proc_column_map)
+            s_rows_off = soff.row_ids()
+            sko = s_rows_off * np.int64(G) + (smap[soff.indices]
+                                              if soff.nnz else 0)
+            ako = rows_off * np.int64(G) + amap_g
+            str_loc[dst_off] = np.isin(ako, sko).astype(np.int64)
+
+        # --- halo rows: remap + stable per-row sort --------------------
+        hi_a, hc_a, hv_a = halo_a[sdx]
+        hi_s, hc_s, _ = halo_s[sdx]
+        rows_h = np.repeat(np.arange(h), np.diff(hi_a))
+        ec = remap(hc_a)
+        order = np.lexsort((ec, rows_h)) if len(ec) else \
+            np.zeros(0, dtype=np.int64)
+        # strong flags by global id against the halo S pattern minus the
+        # row's own diagonal
+        rows_hs = np.repeat(np.arange(h), np.diff(hi_s))
+        sk_h = rows_hs * np.int64(G) + hc_s
+        sk_h = sk_h[hc_s != (cmap[rows_hs] if h else 0)]
+        ak_h = rows_h * np.int64(G) + hc_a
+        str_h = np.isin(ak_h, sk_h).astype(np.int64)
+
+        N = n + h + f + 1  # + empty fringe rows + dummy row
+        ext_indptr = np.zeros(N + 1, dtype=np.int64)
+        ext_indptr[1:n + 1] = ip_loc[1:]
+        ext_indptr[n + 1:n + h + 1] = nnz_loc + (hi_a[1:] - hi_a[0])
+        ext_indptr[n + h + 1:] = ext_indptr[n + h]
+        ext_indices = np.concatenate([idx_loc, ec[order]])
+        ext_data = np.concatenate([dat_loc, hv_a[order]])
+        ext_strong = np.concatenate([str_loc, str_h[order]])
+
+        ext_states = np.concatenate([
+            np.asarray(local_states[sdx], dtype=np.int64),
+            halo_states[sdx].astype(np.int64),
+            (fr_states[sdx].astype(np.int64) if with_fringe and f
+             else np.zeros(0, dtype=np.int64)),
+            [int(U)]])
+        ext_cid = np.concatenate([
+            local_cid[sdx], halo_cid[sdx].astype(np.int64),
+            (fr_cid[sdx].astype(np.int64) if with_fringe and f
+             else np.zeros(0, dtype=np.int64)),
+            [-1]])
+        out.append(dict(indptr=ext_indptr, indices=ext_indices,
+                        data=ext_data, strong=ext_strong,
+                        states=ext_states, cid=ext_cid, n=n, N=N))
+    return out, n_coarse
+
+
+def _dist_interp_from_systems(a, systems, n_coarse, kernel, assemble):
+    """Run a native interpolation kernel per shard over the extended
+    systems and keep the local rows; assemble or return per-shard."""
+    import scipy.sparse as sp
+    from raptor_tpu import native
+    assert native.available(), "native kernel required"
+    shards = a.shards()
+    rows_g, cols_g, vals_g = [], [], []
+    for sdx, blk in enumerate(shards):
+        sy = systems[sdx]
+        n = sy["n"]
+        if kernel == "mod_classical":
+            rr, cc, vv = native.mod_classical_interp(
+                sy["indptr"], sy["indices"], sy["data"], sy["strong"],
+                sy["states"], None, 1)
+        else:
+            idx = sy["indices"]
+            strong = sy["strong"].astype(bool)
+            rows_all = np.repeat(np.arange(sy["N"]),
+                                 np.diff(sy["indptr"]))
+            s_cnt = np.bincount(rows_all[strong], minlength=sy["N"])
+            strong_f = strong & (sy["states"][idx] == int(F))
+            bound = int(sy["N"] + s_cnt.sum()
+                        + s_cnt[idx[strong_f]].sum()) + 1
+            rr, cc, vv = native.extended_interp(
+                sy["indptr"], sy["indices"], sy["data"], sy["strong"],
+                sy["states"], None, 1, bound)
+        keep = rr < n
+        r0 = blk.first_local_row if assemble else 0
+        if assemble:
+            rows_g.append(rr[keep] + r0)
+            cols_g.append(sy["cid"][cc[keep]])
+            vals_g.append(vv[keep])
+        else:
+            g = sp.csr_matrix(
+                (vv[keep], (rr[keep], sy["cid"][cc[keep]])),
+                shape=(n, n_coarse))
+            g.sum_duplicates()
+            g.sort_indices()
+            rows_g.append(CSRMatrix.from_scipy(g))
+    if not assemble:
+        return rows_g, n_coarse
+    g = sp.csr_matrix(
+        (np.concatenate(vals_g),
+         (np.concatenate(rows_g), np.concatenate(cols_g))),
+        shape=(a.global_num_rows, n_coarse))
+    g.sum_duplicates()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g)
+
+
 def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
                                      states_global,
                                      tr: Optional[Transport] = None,
@@ -680,154 +902,34 @@ def dist_mod_classical_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
     Per-row arithmetic is identical to the host-global version; only
     in-row accumulation order differs (local-then-halo instead of
     global-ascending), so values match to roundoff."""
-    import scipy.sparse as sp
-    from raptor_tpu import native
     tr = tr or InProcessTransport(a)
-    shards = a.shards()
-    s_shards = s_par.shards()
-    S = len(shards)
+    systems, n_coarse = _dist_extended_system(a, s_par, states_global,
+                                              tr, with_fringe=False)
+    return _dist_interp_from_systems(a, systems, n_coarse,
+                                     "mod_classical", assemble)
 
-    # coarse numbering
-    local_states = _per_shard_rows(states_global, shards)
-    c_counts = [int(np.count_nonzero(st == int(S_)))
-                for st in local_states]
-    c_starts = tr.exscan_sum(c_counts)
-    n_coarse = int(tr.allreduce_sum(c_counts))
-    local_cid = []
-    for st, c0 in zip(local_states, c_starts):
-        cid = np.cumsum(st == int(S_)) - 1 + int(c0)
-        local_cid.append(np.where(st == int(S_), cid, -1).astype(np.int64))
-    halo_states = tr.fetch([st.astype(np.float64) for st in local_states])
-    halo_cid = tr.fetch([ci.astype(np.float64) for ci in local_cid])
 
-    wanted = [np.asarray(blk.off_proc_column_map) for blk in shards]
-    halo_a = tr.fetch_rows(a, wanted)
-    halo_s = tr.fetch_rows(s_par, wanted)
+def dist_extended_interpolation(a: ParCSRMatrix, s_par: ParCSRMatrix,
+                                states_global,
+                                tr: Optional[Transport] = None,
+                                assemble: bool = True):
+    """Distributed extended+i (distance-2) interpolation
+    (par_interpolation.cpp:301-1010): same extended system as
+    mod-classical PLUS real fringe columns — a strong halo F-neighbor's
+    coarse neighbors can live two shards away, so their CF states and
+    coarse ids are fetched by global id (one fetch_ids round). The
+    kernel never reads through fringe ROWS (extended+i only opens rows
+    of distance-1 strong F neighbors, which are local or halo), so
+    fringe rows stay empty.
 
-    rows_g, cols_g, vals_g = [], [], []
-    for s, blk in enumerate(shards):
-        on, off = blk.on_proc, blk.off_proc
-        n, h = on.n_rows, len(wanted[s])
-        r0 = blk.first_local_row if assemble else 0
-        c0 = blk.first_local_col
-        c1 = c0 + on.n_cols
-        cmap = wanted[s]
-        dummy = n + h
-
-        def remap(gcols):
-            out = np.full(len(gcols), dummy, dtype=np.int64)
-            loc = (gcols >= c0) & (gcols < c1)
-            out[loc] = gcols[loc] - c0
-            rem = ~loc
-            if rem.any():
-                pos = np.searchsorted(cmap, gcols[rem])
-                pos = np.clip(pos, 0, max(0, len(cmap) - 1))
-                ok = rem.copy()
-                ok[rem] = (len(cmap) > 0) & (cmap[pos] == gcols[rem])
-                out[ok] = n + np.searchsorted(cmap, gcols[ok])
-            return out
-
-        # extended rows: local (on|off merged, already sorted since
-        # on-ids < n <= off-ids) then halo rows (remapped, resorted)
-        son, soff = (s_shards[s].on_proc, s_shards[s].off_proc)
-
-        def smask(block, sblock, skip_diag, amap=None, smap=None):
-            # off-diagonal strength pattern only (the diagonal is handled
-            # via the weak sum; marking it strong would make the kernel
-            # treat row i as its own strong-F neighbor). Off blocks carry
-            # DIFFERENT condensed halo maps for A and S, so those are
-            # matched by global column id.
-            mask = np.zeros(block.nnz, dtype=np.int64)
-            for i in range(block.n_rows):
-                arow = block.indices[block.indptr[i]:block.indptr[i + 1]]
-                srow = sblock.indices[sblock.indptr[i]:sblock.indptr[i + 1]]
-                if skip_diag:
-                    srow = srow[srow != i]
-                if amap is not None:
-                    arow = amap[arow]
-                    srow = smap[srow]
-                p = np.searchsorted(arow, srow)
-                assert len(srow) == 0 or (
-                    np.all(p < len(arow)) and np.array_equal(arow[p], srow))
-                mask[block.indptr[i] + p] = 1
-            return mask
-
-        hi_a, hc_a, hv_a = halo_a[s]
-        hi_s, hc_s, _ = halo_s[s]
-
-        indptr = [0]
-        indices, data, strong = [], [], []
-        for i in range(n):
-            o0, o1 = on.indptr[i], on.indptr[i + 1]
-            f0, f1 = off.indptr[i], off.indptr[i + 1]
-            indices.append(np.concatenate([on.indices[o0:o1],
-                                           off.indices[f0:f1] + n]))
-            data.append(np.concatenate([on.data[o0:o1], off.data[f0:f1]]))
-            indptr.append(indptr[-1] + (o1 - o0) + (f1 - f0))
-        m_on = smask(on, son, True)
-        m_off = smask(off, soff, False,
-                      amap=np.asarray(blk.off_proc_column_map),
-                      smap=np.asarray(s_shards[s].off_proc_column_map))
-        for i in range(n):
-            o0, o1 = on.indptr[i], on.indptr[i + 1]
-            f0, f1 = off.indptr[i], off.indptr[i + 1]
-            strong.append(np.concatenate([m_on[o0:o1], m_off[f0:f1]]))
-        for k in range(h):
-            gc = hc_a[hi_a[k]:hi_a[k + 1]]
-            vv = hv_a[hi_a[k]:hi_a[k + 1]]
-            ec = remap(gc)
-            order = np.argsort(ec, kind="stable")
-            ec, vv, gc_s = ec[order], vv[order], gc[order]
-            sset = hc_s[hi_s[k]:hi_s[k + 1]]
-            sset = sset[sset != cmap[k]]       # off-diagonal pattern only
-            p = np.searchsorted(sset, gc_s)
-            p = np.clip(p, 0, max(0, len(sset) - 1))
-            smk = ((len(sset) > 0) & (sset[p] == gc_s)).astype(np.int64)
-            indices.append(ec)
-            data.append(vv)
-            strong.append(smk)
-            indptr.append(indptr[-1] + len(ec))
-
-        ext_indptr = np.asarray(indptr, dtype=np.int64)
-        ext_indices = np.concatenate(indices).astype(np.int64)
-        ext_data = np.concatenate(data)
-        ext_strong = np.concatenate(strong).astype(np.int64)
-        # dummy fringe node: one empty row
-        ext_indptr = np.concatenate([ext_indptr, [ext_indptr[-1]]])
-
-        ext_states = np.concatenate([
-            local_states[s],
-            halo_states[s].astype(np.int64),
-            [int(U)]]).astype(np.int64)
-        ext_cid = np.concatenate([
-            local_cid[s], halo_cid[s].astype(np.int64), [-1]])
-
-        assert native.available(), "native kernel required"
-        rr, cc, vv = native.mod_classical_interp(
-            ext_indptr, ext_indices, ext_data, ext_strong, ext_states,
-            None, 1)
-        keep = rr < n
-        if assemble:
-            rows_g.append(rr[keep] + r0)
-            cols_g.append(ext_cid[cc[keep]])
-            vals_g.append(vv[keep])
-        else:
-            g = sp.csr_matrix(
-                (vv[keep], (rr[keep], ext_cid[cc[keep]])),
-                shape=(n, n_coarse))
-            g.sum_duplicates()
-            g.sort_indices()
-            rows_g.append(CSRMatrix.from_scipy(g))
-
-    if not assemble:
-        return rows_g, n_coarse
-    g = sp.csr_matrix(
-        (np.concatenate(vals_g),
-         (np.concatenate(rows_g), np.concatenate(cols_g))),
-        shape=(a.global_num_rows, n_coarse))
-    g.sum_duplicates()
-    g.sort_indices()
-    return CSRMatrix.from_scipy(g)
+    Bit-matches the host-global extended_interpolation up to in-row
+    accumulation order (local-then-halo-then-fringe vs
+    global-ascending); values agree to roundoff."""
+    tr = tr or InProcessTransport(a)
+    systems, n_coarse = _dist_extended_system(a, s_par, states_global,
+                                              tr, with_fringe=True)
+    return _dist_interp_from_systems(a, systems, n_coarse, "extended",
+                                     assemble)
 
 
 def _reset_boundaries(s_par: ParCSRMatrix, states: List[np.ndarray],

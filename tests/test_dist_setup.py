@@ -219,6 +219,72 @@ def test_distributed_setup_mode_solves(n_shards):
     assert float(r.res[it]) < ml.solve_tol
 
 
+@pytest.mark.parametrize("n_shards", [1, 4, 8])
+@pytest.mark.parametrize("split_name", ["pmis", "hmis", "cljp"])
+def test_dist_extended_matches_global(n_shards, split_name):
+    """Distributed extended+i (par_interpolation.cpp:301-1010): exact
+    pattern + roundoff values vs the host-global oracle; fringe
+    (distance-2) states/coarse ids travel via fetch_ids."""
+    from raptor_tpu.ruge_stuben.interpolation import extended_interpolation
+    from raptor_tpu.ruge_stuben.par_setup import dist_extended_interpolation
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24),
+                         n_shards)
+    S = strength(A, theta=0.25)
+    w = form_rand_weights(A.global_num_rows, 0)
+    split = {"pmis": cf.split_pmis, "hmis": cf.split_hmis,
+             "cljp": cf.split_cljp}[split_name]
+    states = np.asarray(split(S, w))
+    P_dist = dist_extended_interpolation(A, S, states)
+    P_ref = extended_interpolation(A.global_csr, S.global_csr, states)
+    assert np.array_equal(P_dist.indptr, P_ref.indptr)
+    assert np.array_equal(P_dist.indices, P_ref.indices)
+    np.testing.assert_allclose(P_dist.data, P_ref.data, atol=1e-13)
+
+
+@pytest.mark.parametrize("n_shards", [1, 8])
+def test_distributed_setup_mode_hmis_extended_solves(n_shards):
+    """The at-scale config (HMIS + Extended + filter) through
+    setup_mode='distributed' — previously rejected by the dispatch."""
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (40, 40),
+                         n_shards)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.HMIS, InterpType.Extended,
+                             relax_type=RelaxType.SOR)
+    ml.setup_mode = "distributed"
+    ml.setup(A)
+    assert ml.num_levels >= 3
+    dh = DeviceHierarchy(ml, dpar.make_mesh(n_shards))
+    b = A.mult(np.ones(A.global_num_rows))
+    r = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
+    it = int(r.n_iters)
+    assert it < ml.max_iterations
+    assert float(r.res[it]) < ml.solve_tol
+
+
+def test_distributed_setup_mode_hmis_extended_matches_host_global():
+    """At 1 shard the distributed HMIS+Extended hierarchy equals the
+    host-global one level by level."""
+    from raptor_tpu.core.types import CoarsenType, InterpType
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (32, 32), 1)
+    mlg = ParRugeStubenSolver(0.25, CoarsenType.HMIS, InterpType.Extended)
+    mlg.setup(A)
+    mld = ParRugeStubenSolver(0.25, CoarsenType.HMIS, InterpType.Extended)
+    mld.setup_mode = "distributed"
+    mld.setup(A)
+    assert mld.num_levels == mlg.num_levels
+    for lg, ld in zip(mlg.levels, mld.levels):
+        ag, ad = lg.A.global_csr, ld.A.global_csr
+        assert np.array_equal(ag.indptr, ad.indptr)
+        assert np.array_equal(ag.indices, ad.indices)
+        np.testing.assert_allclose(ag.data, ad.data, atol=1e-12)
+
+
 def test_dist_falgout_hmis_single_shard_equals_global():
     A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (24, 24), 1)
     S = strength(A, theta=0.25)

@@ -54,6 +54,9 @@ def _rs_worker(rank, group, blocks, part, w, coarsen, interp):
     if interp == "direct":
         p_blocks, n_coarse = ps.dist_direct_interpolation(
             a, masks, states, tr=tr, assemble=False)
+    elif interp == "extended":
+        p_blocks, n_coarse = ps.dist_extended_interpolation(
+            a, s_par, states, tr=tr, assemble=False)
     else:
         p_blocks, n_coarse = ps.dist_mod_classical_interpolation(
             a, s_par, states, tr=tr, assemble=False)
@@ -76,7 +79,8 @@ def _stack(blocks, n_cols):
 @pytest.mark.parametrize("world", [2, 4])
 @pytest.mark.parametrize("coarsen,interp", [
     ("pmis", "direct"), ("cljp", "mod_classical"),
-    ("hmis", "direct"), ("falgout", "mod_classical")])
+    ("hmis", "direct"), ("falgout", "mod_classical"),
+    ("hmis", "extended"), ("cljp", "extended")])
 def test_multiproc_rs_pipeline(world, coarsen, interp):
     Ap, w = _problem(world)
     part = Ap.partition
@@ -95,6 +99,8 @@ def test_multiproc_rs_pipeline(world, coarsen, interp):
     states_ip = split(s_par, w)
     if interp == "direct":
         P_ip = ps.dist_direct_interpolation(Ap, masks, states_ip)
+    elif interp == "extended":
+        P_ip = ps.dist_extended_interpolation(Ap, s_par, states_ip)
     else:
         P_ip = ps.dist_mod_classical_interpolation(Ap, s_par, states_ip)
     sel = np.asarray(states_ip) == 3
