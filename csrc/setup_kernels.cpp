@@ -12,6 +12,7 @@
 // Unassigned=-1, NewSelection=3, TmpSelection=4, NewUnselection=2).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -680,6 +681,325 @@ void level_schedule(i64 n, const i64* indptr, const i64* indices,
             }
             level[i] = indptr[i + 1] > indptr[i] ? m + 1 : 0;
         }
+    }
+}
+
+namespace {
+// binary search for v in sorted a[0..len)
+inline bool bfind(const i64* a, i64 len, i64 v) {
+    i64 lo = 0, hi = len;
+    while (lo < hi) {
+        i64 mid = (lo + hi) / 2;
+        if (a[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo < len && a[lo] == v;
+}
+// binary search for v in cmap[idx[0..len)] (idx ascending, cmap sorted)
+inline bool bfind_map(const i64* idx, i64 len, const i64* cmap, i64 v) {
+    i64 lo = 0, hi = len;
+    while (lo < hi) {
+        i64 mid = (lo + hi) / 2;
+        if (cmap[idx[mid]] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo < len && cmap[idx[lo]] == v;
+}
+}  // namespace
+
+// One round of distributed-CLJP weight updates
+// (par_cf_splitting.cpp:590-708 update_local/off_proc_dist2_weights):
+// (1) unmark edges out of local new-C rows, (2) distance-2 unmarks for
+// edge pairs that share a new C, local or remote (remote C rows via the
+// prefetched halo patterns hp_*, remote decrements accumulated in
+// off_dec). Exact transliteration of the Python oracle in
+// ruge_stuben/par_setup.py dist_split_cljp — the candidate scan order
+// (on-neighbors then off-neighbors) decides WHICH shared-C edge gets
+// unmarked, so order is part of the contract.
+void dist_cljp_update(
+    i64 n, i64 h, i64 first_local_col,
+    const i64* on_indptr, const i64* on_indices,
+    const i64* off_indptr, const i64* off_indices,
+    const i64* hp_indptr, const i64* hp_cols,
+    const i64* cmap,
+    const i64* st, const i64* hstU, const i64* sel, const i64* hnew,
+    i64* edgemark_on, i64* edgemark_off,
+    double* w, double* off_dec) {
+    // (1) edges out of a local new C along its row
+    for (i64 c = 0; c < n; c++) {
+        if (!sel[c]) continue;
+        for (i64 j = on_indptr[c]; j < on_indptr[c + 1]; j++) {
+            i64 k = on_indices[j];
+            if (st[k] == UNASSIGNED && edgemark_on[j]) {
+                edgemark_on[j] = 0;
+                w[k] -= 1.0;
+            }
+        }
+        for (i64 j = off_indptr[c]; j < off_indptr[c + 1]; j++) {
+            i64 k = off_indices[j];
+            if (hstU[k] && edgemark_off[j]) {
+                edgemark_off[j] = 0;
+                off_dec[k] -= 1.0;
+            }
+        }
+    }
+    // (2) distance-2: edges (idx -> k) where k also points at a new C
+    // that idx points at
+    for (i64 idx = 0; idx < n; idx++) {
+        if (st[idx] == SELECTED) continue;
+        i64 o0 = on_indptr[idx], o1 = on_indptr[idx + 1];
+        i64 f0 = off_indptr[idx], f1 = off_indptr[idx + 1];
+        for (i64 cj = 0; cj < (o1 - o0) + (f1 - f0); cj++) {
+            bool loc_on = cj < (o1 - o0);
+            i64 c = loc_on ? on_indices[o0 + cj]
+                           : off_indices[f0 + (cj - (o1 - o0))];
+            if (loc_on ? !sel[c] : !hnew[c]) continue;
+            i64 c_glob = loc_on ? c + first_local_col : cmap[c];
+            for (i64 j = o0; j < o1; j++) {
+                i64 k = on_indices[j];
+                if (st[k] != UNASSIGNED || !edgemark_on[j]) continue;
+                bool hit = loc_on &&
+                    bfind(on_indices + on_indptr[k],
+                          on_indptr[k + 1] - on_indptr[k], c);
+                if (!hit)
+                    hit = bfind_map(off_indices + off_indptr[k],
+                                    off_indptr[k + 1] - off_indptr[k],
+                                    cmap, c_glob);
+                if (hit) {
+                    edgemark_on[j] = 0;
+                    w[k] -= 1.0;
+                }
+            }
+            for (i64 j = f0; j < f1; j++) {
+                i64 k = off_indices[j];
+                if (!hstU[k] || !edgemark_off[j]) continue;
+                if (bfind(hp_cols + hp_indptr[k],
+                          hp_indptr[k + 1] - hp_indptr[k], c_glob)) {
+                    edgemark_off[j] = 0;
+                    off_dec[k] -= 1.0;
+                }
+            }
+        }
+    }
+}
+
+// Distributed MIS(2) round steps (aggregation/par_mis.cpp:216-655),
+// transliterating ruge_stuben/par_setup.py dist_mis2. States use the
+// CFState encoding. Fringe arrays (fr sorted global ids + their
+// states/rand) stand in for the reference's comm_coarse_dist1 data.
+void dist_mis2_step1(
+    i64 n,
+    const i64* on_indptr, const i64* on_indices,
+    const i64* off_indptr, const i64* off_indices,
+    const double* rr, const double* halo_r,
+    const i64* hst, i64* st) {
+    for (i64 v = 0; v < n; v++) {
+        if (st[v] != UNASSIGNED) continue;
+        bool blocked = false;
+        for (i64 j = on_indptr[v]; j < on_indptr[v + 1] && !blocked;
+             j++) {
+            i64 d = on_indices[j];
+            if (d == v || rr[v] <= rr[d]) continue;
+            if (st[d] == UNASSIGNED || st[d] > SELECTED) blocked = true;
+        }
+        for (i64 j = off_indptr[v]; j < off_indptr[v + 1] && !blocked;
+             j++) {
+            i64 d = off_indices[j];
+            if (rr[v] <= halo_r[d]) continue;
+            if (hst[d] == UNASSIGNED || hst[d] > SELECTED) blocked = true;
+        }
+        if (!blocked) st[v] = TMP_SELECTION;
+    }
+}
+
+void dist_mis2_step2(
+    i64 n, i64 h,
+    const i64* on_indptr, const i64* on_indices,
+    const i64* off_indptr, const i64* off_indices,
+    const i64* hp_indptr, const i64* hp_cols,
+    const double* rr, const double* halo_r,
+    const i64* hst,
+    const i64* fr, i64 n_fr, const i64* fst, const double* frr,
+    i64* st) {
+    for (i64 v = 0; v < n; v++) {
+        if (st[v] != TMP_SELECTION) continue;
+        bool revert = false;
+        for (i64 j = on_indptr[v]; j < on_indptr[v + 1] && !revert;
+             j++) {
+            i64 wn = on_indices[j];
+            for (i64 t = on_indptr[wn]; t < on_indptr[wn + 1]; t++) {
+                i64 u = on_indices[t];
+                if (st[u] > SELECTED && rr[u] > rr[v]) {
+                    revert = true;
+                    break;
+                }
+            }
+            if (revert) break;
+            for (i64 t = off_indptr[wn]; t < off_indptr[wn + 1]; t++) {
+                i64 u = off_indices[t];
+                if (hst[u] > SELECTED && halo_r[u] > rr[v]) {
+                    revert = true;
+                    break;
+                }
+            }
+        }
+        if (!revert) {
+            for (i64 j = off_indptr[v]; j < off_indptr[v + 1] && !revert;
+                 j++) {
+                i64 wn = off_indices[j];
+                for (i64 t = hp_indptr[wn]; t < hp_indptr[wn + 1]; t++) {
+                    i64 gu = hp_cols[t];
+                    // lookup gu in fringe table
+                    i64 lo = 0, hi = n_fr;
+                    while (lo < hi) {
+                        i64 mid = (lo + hi) / 2;
+                        if (fr[mid] < gu) lo = mid + 1; else hi = mid;
+                    }
+                    if (lo < n_fr && fr[lo] == gu) {
+                        if (fst[lo] > SELECTED && frr[lo] > rr[v]) {
+                            revert = true;
+                            break;
+                        }
+                    }
+                }
+            }
+        }
+        if (!revert) st[v] = NEW_SELECTION;
+    }
+}
+
+void dist_mis2_steps34(
+    i64 n, i64 h,
+    const i64* on_indptr, const i64* on_indices,
+    const i64* off_indptr, const i64* off_indices,
+    const i64* hp_indptr, const i64* hp_cols,
+    const i64* hst,
+    const i64* fr, i64 n_fr, const i64* fst,
+    i64* st) {
+    // C flag for local nodes: points at any NEW_SELECTION
+    std::vector<char> C(n, 0), Ch(h, 0);
+    for (i64 wn = 0; wn < n; wn++) {
+        bool c = false;
+        for (i64 j = on_indptr[wn]; j < on_indptr[wn + 1]; j++)
+            if (st[on_indices[j]] == NEW_SELECTION) { c = true; break; }
+        if (!c)
+            for (i64 j = off_indptr[wn]; j < off_indptr[wn + 1]; j++)
+                if (hst[off_indices[j]] == NEW_SELECTION) {
+                    c = true;
+                    break;
+                }
+        C[wn] = c;
+    }
+    for (i64 wn = 0; wn < h; wn++) {
+        for (i64 t = hp_indptr[wn]; t < hp_indptr[wn + 1]; t++) {
+            i64 gu = hp_cols[t];
+            i64 lo = 0, hi2 = n_fr;
+            while (lo < hi2) {
+                i64 mid = (lo + hi2) / 2;
+                if (fr[mid] < gu) lo = mid + 1; else hi2 = mid;
+            }
+            if (lo < n_fr && fr[lo] == gu
+                && fst[lo] == NEW_SELECTION) {
+                Ch[wn] = 1;
+                break;
+            }
+        }
+    }
+    for (i64 v = 0; v < n; v++) {
+        if (st[v] != UNASSIGNED && st[v] != TMP_SELECTION) continue;
+        bool unsel = false;
+        for (i64 j = on_indptr[v]; j < on_indptr[v + 1]; j++) {
+            i64 nb = on_indices[j];
+            if (st[nb] == NEW_SELECTION || C[nb]) { unsel = true; break; }
+        }
+        if (!unsel)
+            for (i64 j = off_indptr[v]; j < off_indptr[v + 1]; j++) {
+                i64 ob = off_indices[j];
+                if (hst[ob] == NEW_SELECTION || Ch[ob]) {
+                    unsel = true;
+                    break;
+                }
+            }
+        if (unsel) st[v] = NEW_UNSELECTION;
+    }
+}
+
+// Distributed aggregation passes (aggregation/par_aggregate.cpp:7-187),
+// transliterating par_setup.py dist_aggregate. Pass 1: first root
+// neighbor in GLOBAL column order; pass 2: strongest assigned neighbor
+// (|a_ij| + rand[col]), non-cascading (encoded negative).
+void dist_aggregate_pass1(
+    i64 n, i64 first_local_col,
+    const i64* s_on_indptr, const i64* s_on_indices,
+    const i64* s_off_indptr, const i64* s_off_indices,
+    const i64* cmap,
+    const i64* st, const i64* hst,
+    const i64* hagg, i64* agg) {
+    for (i64 i = 0; i < n; i++) {
+        if (st[i] > 0) continue;
+        // merge on (globals = local + c0) and off (cmap) by global id
+        i64 j = s_on_indptr[i], jend = s_on_indptr[i + 1];
+        i64 k = s_off_indptr[i], kend = s_off_indptr[i + 1];
+        while (j < jend || k < kend) {
+            i64 gon = j < jend ? s_on_indices[j] + first_local_col
+                               : INT64_MAX;
+            i64 gof = k < kend ? cmap[s_off_indices[k]] : INT64_MAX;
+            if (gon <= gof) {
+                i64 c = s_on_indices[j];
+                if (st[c] > 0) { agg[i] = agg[c]; break; }
+                j++;
+            } else {
+                i64 c = s_off_indices[k];
+                if (hst[c] > 0) { agg[i] = hagg[c]; break; }
+                k++;
+            }
+        }
+    }
+}
+
+void dist_aggregate_pass2(
+    i64 n,
+    const i64* s_on_indptr, const i64* s_on_indices,
+    const i64* s_off_indptr, const i64* s_off_indices,
+    const i64* a_on_indptr, const i64* a_on_indices,
+    const double* a_on_data,
+    const i64* a_off_indptr, const i64* a_off_indices,
+    const double* a_off_data,
+    const i64* amap, const i64* smap,
+    const double* r_loc, const double* halo_r,
+    const i64* hagg, i64* agg) {
+    for (i64 i = 0; i < n; i++) {
+        if (agg[i] >= 0) continue;
+        double best_val = 0.0;
+        i64 best_agg = -1;
+        for (i64 j = s_on_indptr[i]; j < s_on_indptr[i + 1]; j++) {
+            i64 c = s_on_indices[j];
+            // p = position of c in A's on row i (present by S subset of A)
+            i64 lo = a_on_indptr[i], hi = a_on_indptr[i + 1];
+            while (lo < hi) {
+                i64 mid = (lo + hi) / 2;
+                if (a_on_indices[mid] < c) lo = mid + 1; else hi = mid;
+            }
+            double val = std::abs(a_on_data[lo]) + r_loc[c];
+            if (val > best_val && agg[c] >= 0) {
+                best_val = val;
+                best_agg = agg[c];
+            }
+        }
+        for (i64 j = s_off_indptr[i]; j < s_off_indptr[i + 1]; j++) {
+            i64 k = s_off_indices[j];
+            i64 g = smap[k];
+            i64 lo = a_off_indptr[i], hi = a_off_indptr[i + 1];
+            while (lo < hi) {
+                i64 mid = (lo + hi) / 2;
+                if (amap[a_off_indices[mid]] < g) lo = mid + 1;
+                else hi = mid;
+            }
+            double val = std::abs(a_off_data[lo]) + halo_r[k];
+            if (val > best_val && hagg[k] >= 0) {
+                best_val = val;
+                best_agg = hagg[k];
+            }
+        }
+        agg[i] = -(best_agg + 1);  // non-cascading encode
     }
 }
 

@@ -84,6 +84,22 @@ def load():
                                             ctypes.c_double, I64])
         lib.spgemm_t_compute.restype = ctypes.c_int64
         lib.spgemm_fetch.argtypes = [I64, F64]
+        lib.dist_cljp_update.argtypes = ([ctypes.c_int64] * 3
+                                         + [I64] * 13 + [F64, F64])
+        lib.dist_mis2_step1.argtypes = ([ctypes.c_int64] + [I64] * 4
+                                        + [F64, F64, I64, I64])
+        lib.dist_mis2_step2.argtypes = ([ctypes.c_int64] * 2 + [I64] * 6
+                                        + [F64, F64, I64, I64,
+                                           ctypes.c_int64, I64, F64, I64])
+        lib.dist_mis2_steps34.argtypes = ([ctypes.c_int64] * 2
+                                          + [I64] * 8
+                                          + [ctypes.c_int64, I64, I64])
+        lib.dist_aggregate_pass1.argtypes = ([ctypes.c_int64] * 2
+                                             + [I64] * 9)
+        lib.dist_aggregate_pass2.argtypes = (
+            [ctypes.c_int64] + [I64, I64, I64, I64, I64, I64, F64,
+                                I64, I64, F64, I64, I64, F64, F64,
+                                I64, I64])
         lib.greedy_coloring.argtypes = [ctypes.c_int64, I64, I64, I64]
         lib.greedy_coloring.restype = ctypes.c_int64
         lib.level_schedule.argtypes = [ctypes.c_int64, I64, I64,
@@ -228,6 +244,87 @@ def glibc_rand_doubles(seed: int, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.float64)
     lib.glibc_rand_doubles(seed, n, _p(out, F64))
     return out
+
+
+def dist_cljp_update(n, h, first_local_col, on_indptr, on_indices,
+                     off_indptr, off_indices, hp_indptr, hp_cols, cmap,
+                     st, hstU, sel, hnew, edgemark_on, edgemark_off,
+                     w, off_dec):
+    """One round of distributed-CLJP weight updates (in place on
+    edgemark_on/off, w, off_dec)."""
+    lib = load()
+    args = [_c(x) for x in (on_indptr, on_indices, off_indptr,
+                            off_indices, hp_indptr, hp_cols, cmap, st,
+                            hstU, sel, hnew)]
+    em_on, em_off = _c(edgemark_on), _c(edgemark_off)
+    lib.dist_cljp_update(
+        n, h, first_local_col, *[_p(a, I64) for a in args],
+        _p(em_on, I64), _p(em_off, I64), _p(w, F64), _p(off_dec, F64))
+    return em_on, em_off
+
+
+def dist_mis2_step1(on_indptr, on_indices, off_indptr, off_indices,
+                    rr, halo_r, hst, st):
+    lib = load()
+    a = [_c(x) for x in (on_indptr, on_indices, off_indptr, off_indices)]
+    hst = _c(hst)
+    lib.dist_mis2_step1(len(st), *[_p(x, I64) for x in a],
+                        _p(rr, F64), _p(halo_r, F64), _p(hst, I64),
+                        _p(st, I64))
+
+
+def dist_mis2_step2(h, on_indptr, on_indices, off_indptr, off_indices,
+                    hp_indptr, hp_cols, rr, halo_r, hst, fr, fst, frr,
+                    st):
+    lib = load()
+    a = [_c(x) for x in (on_indptr, on_indices, off_indptr, off_indices,
+                         hp_indptr, hp_cols)]
+    hst, fr, fst = _c(hst), _c(fr), _c(fst)
+    lib.dist_mis2_step2(len(st), h, *[_p(x, I64) for x in a],
+                        _p(rr, F64), _p(halo_r, F64), _p(hst, I64),
+                        _p(fr, I64), len(fr), _p(fst, I64),
+                        _p(frr, F64), _p(st, I64))
+
+
+def dist_mis2_steps34(h, on_indptr, on_indices, off_indptr, off_indices,
+                      hp_indptr, hp_cols, hst, fr, fst, st):
+    lib = load()
+    a = [_c(x) for x in (on_indptr, on_indices, off_indptr, off_indices,
+                         hp_indptr, hp_cols)]
+    hst, fr, fst = _c(hst), _c(fr), _c(fst)
+    lib.dist_mis2_steps34(len(st), h, *[_p(x, I64) for x in a],
+                          _p(hst, I64), _p(fr, I64), len(fr),
+                          _p(fst, I64), _p(st, I64))
+
+
+def dist_aggregate_pass1(first_local_col, s_on_indptr, s_on_indices,
+                         s_off_indptr, s_off_indices, cmap, st, hst,
+                         hagg, agg):
+    lib = load()
+    a = [_c(x) for x in (s_on_indptr, s_on_indices, s_off_indptr,
+                         s_off_indices, cmap, st, hst, hagg)]
+    lib.dist_aggregate_pass1(len(st), first_local_col,
+                             *[_p(x, I64) for x in a], _p(agg, I64))
+
+
+def dist_aggregate_pass2(s_on_indptr, s_on_indices, s_off_indptr,
+                         s_off_indices, a_on_indptr, a_on_indices,
+                         a_on_data, a_off_indptr, a_off_indices,
+                         a_off_data, amap, smap, r_loc, halo_r, hagg,
+                         agg):
+    lib = load()
+    ii = [_c(x) for x in (s_on_indptr, s_on_indices, s_off_indptr,
+                          s_off_indices)]
+    ai = [_c(x) for x in (a_on_indptr, a_on_indices)]
+    oi = [_c(x) for x in (a_off_indptr, a_off_indices)]
+    amap, smap, hagg = _c(amap), _c(smap), _c(hagg)
+    a_on_data = np.ascontiguousarray(a_on_data, dtype=np.float64)
+    a_off_data = np.ascontiguousarray(a_off_data, dtype=np.float64)
+    lib.dist_aggregate_pass2(
+        len(agg), *[_p(x, I64) for x in ii], *[_p(x, I64) for x in ai],
+        _p(a_on_data, F64), *[_p(x, I64) for x in oi],
+        _p(a_off_data, F64), _p(amap, I64), _p(smap, I64),
+        _p(r_loc, F64), _p(halo_r, F64), _p(hagg, I64), _p(agg, I64))
 
 
 def spgemm(n_rows, n_cols_b, a_indptr, a_indices, a_data,

@@ -532,8 +532,15 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             st[deg == 0] = int(NO_NBR)
         local_states.append(st)
 
-    edgemark_on = [np.ones(b[0].nnz, dtype=bool) for b in blocks]
-    edgemark_off = [np.ones(b[1].nnz, dtype=bool) for b in blocks]
+    edgemark_on = [np.ones(b[0].nnz, dtype=np.int64) for b in blocks]
+    edgemark_off = [np.ones(b[1].nnz, dtype=np.int64) for b in blocks]
+    from raptor_tpu import native
+    use_native = native.available()
+    # int64 copies of the block patterns for the native kernel
+    blk64 = [(np.asarray(b[0].indptr, dtype=np.int64),
+              np.asarray(b[0].indices, dtype=np.int64),
+              np.asarray(b[1].indptr, dtype=np.int64),
+              np.asarray(b[1].indices, dtype=np.int64)) for b in blocks]
 
     for _ in range(max_rounds):
         if tr.allreduce_sum([int(np.count_nonzero(st == int(U)))
@@ -580,6 +587,17 @@ def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             sel = new_c[s]
             hstU = halo_st[s] == float(int(U))
             hnew = halo_new[s] > 0.5
+
+            if use_native:
+                hi, hc, _ = halo_pat[s]
+                on_ip, on_idx, off_ip, off_idx = blk64[s]
+                native.dist_cljp_update(
+                    n, h, shards[s].first_local_col, on_ip, on_idx,
+                    off_ip, off_idx, hi, hc, wanted[s],
+                    np.ascontiguousarray(st), hstU.astype(np.int64),
+                    sel.astype(np.int64), hnew.astype(np.int64),
+                    edgemark_on[s], edgemark_off[s], w, off_dec[s])
+                continue
 
             # (1) edges out of a local new C along its row
             for c in np.nonzero(sel)[0]:
@@ -1047,6 +1065,12 @@ def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
 
     local_states = [np.full(b[0].shape[0], U_, dtype=np.int64)
                     for b in blocks]
+    from raptor_tpu import native
+    use_native = native.available()
+    blk64 = [(np.asarray(b[0].indptr, dtype=np.int64),
+              np.asarray(b[0].indices, dtype=np.int64),
+              np.asarray(b[2].indptr, dtype=np.int64),
+              np.asarray(b[2].indices, dtype=np.int64)) for b in blocks]
 
     for _ in range(max_rounds):
         if tr.allreduce_sum(
@@ -1062,6 +1086,15 @@ def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             st, rr = local_states[s], r_loc[s]
             n = len(st)
             hst = halo_st[s].astype(np.int64)
+            if use_native:
+                # in-kernel early TMP assignment is equivalent: U and
+                # TMP neighbors both block (U_ == Unassigned test vs
+                # state > Selected test)
+                on_ip, on_idx, off_ip, off_idx = blk64[s]
+                native.dist_mis2_step1(on_ip, on_idx, off_ip, off_idx,
+                                       rr, halo_r[s], hst, st)
+                tmp_sets.append(None)
+                continue
             tmp = np.zeros(n, dtype=bool)
             for v in np.nonzero(st == U_)[0]:
                 dn = onm.indices[onm.indptr[v]:onm.indptr[v + 1]]
@@ -1088,6 +1121,12 @@ def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             fst = fringe_st2[s].astype(np.int64)
             frr = fringe_r[s]
             hi, hc, _ = halo_pat[s]
+            if use_native:
+                on_ip, on_idx, off_ip, off_idx = blk64[s]
+                native.dist_mis2_step2(
+                    len(wanted[s]), on_ip, on_idx, off_ip, off_idx,
+                    hi, hc, rr, halo_r[s], hst, fr, fst, frr, st)
+                continue
             for v in np.nonzero(st == TMP)[0]:
                 revert = False
                 # local mid nodes w
@@ -1131,6 +1170,12 @@ def dist_mis2(s_par: ParCSRMatrix, rand_vals: np.ndarray,
             fr = fringe[s]
             fst = fringe_st3[s].astype(np.int64)
             hi, hc, _ = halo_pat[s]
+            if use_native:
+                on_ip, on_idx, off_ip, off_idx = blk64[s]
+                native.dist_mis2_steps34(
+                    len(wanted[s]), on_ip, on_idx, off_ip, off_idx,
+                    hi, hc, hst, fr, fst, st)
+                continue
             # C flag for local nodes: points at any NEW_S (local or halo)
             C = np.zeros(n, dtype=bool)
             for w in range(n):
@@ -1198,6 +1243,9 @@ def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
              for s in range(S)]
     halo_r = tr.fetch(r_loc)
 
+    from raptor_tpu import native
+    use_native = native.available()
+
     # pass 1: first root neighbor in global column order
     halo_st = tr.fetch([st.astype(np.float64) for st in local_states])
     halo_agg = tr.fetch([ag.astype(np.float64) for ag in local_agg])
@@ -1208,6 +1256,11 @@ def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
         c0 = blk.first_local_col
         hst = halo_st[s].astype(np.int64)
         hagg = halo_agg[s].astype(np.int64)
+        if use_native:
+            native.dist_aggregate_pass1(
+                c0, on.indptr, on.indices, off.indptr, off.indices,
+                cmap, np.ascontiguousarray(st), hst, hagg, agg)
+            continue
         for i in np.nonzero(st <= 0)[0]:
             ons = on.indices[on.indptr[i]:on.indptr[i + 1]]
             offs = off.indices[off.indptr[i]:off.indptr[i + 1]]
@@ -1236,6 +1289,13 @@ def dist_aggregate(a: ParCSRMatrix, s_par: ParCSRMatrix,
         amap = np.asarray(shards_a[s].off_proc_column_map)
         smap = np.asarray(blk.off_proc_column_map)
         hagg = halo_agg2[s].astype(np.int64)
+        if use_native:
+            native.dist_aggregate_pass2(
+                on.indptr, on.indices, off.indptr, off.indices,
+                aon.indptr, aon.indices, aon.data, aoff.indptr,
+                aoff.indices, aoff.data, amap, smap, r_loc[s],
+                halo_r[s], hagg, agg)
+            continue
         for i in np.nonzero(agg < 0)[0]:
             best_val, best_agg = 0.0, -1
             arow = aon.indices[aon.indptr[i]:aon.indptr[i + 1]]

@@ -61,7 +61,8 @@ def _rs_worker(rank, group, blocks, part, w, coarsen, interp):
         p_blocks, n_coarse = ps.dist_mod_classical_interpolation(
             a, s_par, states, tr=tr, assemble=False)
     # coarse partition from the (replicated) states vector
-    sel = np.asarray(states) == 3  # CFState.Selected
+    from raptor_tpu.core.types import CFState
+    sel = np.asarray(states) == CFState.Selected
     csum = np.concatenate([[0], np.cumsum(sel)])
     cb = csum[np.asarray(part.row_bounds)].astype(np.int64)
     c_blocks = ps.dist_rap(a, p_blocks, tr=tr, coarse_bounds=cb,
@@ -103,7 +104,8 @@ def test_multiproc_rs_pipeline(world, coarsen, interp):
         P_ip = ps.dist_extended_interpolation(Ap, s_par, states_ip)
     else:
         P_ip = ps.dist_mod_classical_interpolation(Ap, s_par, states_ip)
-    sel = np.asarray(states_ip) == 3
+    from raptor_tpu.core.types import CFState
+    sel = np.asarray(states_ip) == CFState.Selected
     csum = np.concatenate([[0], np.cumsum(sel)])
     cb = csum[np.asarray(part.row_bounds)].astype(np.int64)
     C_ip = ps.dist_rap(Ap, P_ip, coarse_bounds=cb)
