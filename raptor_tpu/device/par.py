@@ -71,6 +71,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _np_as(x: np.ndarray, npdt) -> np.ndarray:
+    """NumPy dtype view/convert without copying when already right."""
+    return np.asarray(x, dtype=npdt)
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -288,6 +293,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     assert S == mesh.devices.size, (S, mesh.devices.size)
     shards = a.shards()
     plan: CommPlan = build_comm_plan(a, lane_pad=lane_pad)
+    # staging arrays are built directly in the device dtype: a float64
+    # staging copy + conversion pass would double host packing traffic
+    npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
 
     R = _round_up(max(1, part.max_local_rows), lane_pad)
     C = _round_up(max(1, part.max_local_cols), lane_pad)
@@ -405,11 +413,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 break
         A_pad = _round_up(A128, bd_ba) if bd_ba else A128
         bd_idx = np.zeros((S, Pn, A_pad, 128), dtype=np.int8)
-        bd_vals = np.zeros((S, Pn, A_pad, 128), dtype=np.float64)
+        bd_vals = np.zeros((S, Pn, A_pad, 128), dtype=npdt)
         rest_shards = [bdia_split_rest(blk, bd_spec) for blk in fmt_blocks]
     else:
         bd_idx = np.zeros((S, 0, 1, 128), dtype=np.int8)
-        bd_vals = np.zeros((S, 0, 1, 128), dtype=np.float64)
+        bd_vals = np.zeros((S, 0, 1, 128), dtype=npdt)
 
     # bdia 'rest' entries: boundary-compacted local-gather ELL
     if use_dia == "bdia":
@@ -422,7 +430,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         Wr = Br = 0
     rest_rows = np.full((S, Br), fmt_R, dtype=np.int32)
     rest_cols = np.zeros((S, Wr, Br), dtype=np.int32)
-    rest_vals = np.zeros((S, Wr, Br), dtype=np.float64)
+    rest_vals = np.zeros((S, Wr, Br), dtype=npdt)
 
     if use_dia == "dia":
         if len(union) == 0:
@@ -438,8 +446,8 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         else:
             W_on = 1
         on_cols = np.zeros((S, W_on, R), dtype=np.int32)
-        on_vals = np.zeros((S, W_on, R), dtype=np.float64)
-        dia_vals = np.zeros((S, K, fmt_R), dtype=np.float64)
+        on_vals = np.zeros((S, W_on, R), dtype=npdt)
+        dia_vals = np.zeros((S, K, fmt_R), dtype=npdt)
     else:
         if use_dia == "bdia" and not need_transpose:
             W_on = 1   # ELL copy only serves spmv_T; skip when unused
@@ -447,59 +455,68 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
                                if s.on_proc.nnz else 0) for s in shards))
         on_cols = np.zeros((S, W_on, R), dtype=np.int32)
-        on_vals = np.zeros((S, W_on, R), dtype=np.float64)
-        dia_vals = np.zeros((S, 1, fmt_R), dtype=np.float64)
+        on_vals = np.zeros((S, W_on, R), dtype=npdt)
+        dia_vals = np.zeros((S, 1, fmt_R), dtype=npdt)
         dia_pad, dia_offsets = 1, (0,)
 
     off_rows = np.full((S, B), R, dtype=np.int32)
     off_cols = np.zeros((S, W_off, B), dtype=np.int32)
-    off_vals = np.zeros((S, W_off, B), dtype=np.float64)
-    row_mask = np.zeros((S, R), dtype=np.float64)
-    col_mask = np.zeros((S, C), dtype=np.float64)
+    off_vals = np.zeros((S, W_off, B), dtype=npdt)
+    row_mask = np.zeros((S, R), dtype=npdt)
+    col_mask = np.zeros((S, C), dtype=npdt)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
-            dia_vals[s] = dia_arrays(fmt_blocks[s], union, fmt_R)
+            dia_vals[s] = dia_arrays(fmt_blocks[s], union, fmt_R,
+                                     dtype=npdt)
             if embed_kind != "none":
-                on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
-                                                    on_cols.shape[1])
+                on_cols[s], on_vals[s] = ell_arrays(
+                    blk.on_proc, R, on_cols.shape[1], dtype=npdt)
         else:
             if not (use_dia == "bdia" and not need_transpose):
-                on_cols[s], on_vals[s] = ell_arrays(blk.on_proc, R,
-                                                    on_cols.shape[1])
+                on_cols[s], on_vals[s] = ell_arrays(
+                    blk.on_proc, R, on_cols.shape[1], dtype=npdt)
             if use_dia == "bdia":
                 bd_idx[s], bd_vals[s] = bdia_arrays(
-                    fmt_blocks[s], bd_spec, bd_idx.shape[2])
+                    fmt_blocks[s], bd_spec, bd_idx.shape[2], dtype=npdt)
                 if Br:
                     (rest_rows[s], rest_cols[s],
                      rest_vals[s]) = ell_boundary_arrays(
-                        rest_shards[s], Wr, Br, fmt_R)
+                        rest_shards[s], Wr, Br, fmt_R, dtype=npdt)
         if B:
             off_rows[s], off_cols[s], off_vals[s] = ell_boundary_arrays(
-                blk.off_proc, W_off, B, R)
+                blk.off_proc, W_off, B, R, dtype=npdt)
         row_mask[s, :blk.local_num_rows] = 1.0
         col_mask[s, :blk.on_proc_num_cols] = 1.0
 
-    def shard_leaf(x, spec_dtype=None):
-        return _shard_leading(x, mesh, spec_dtype)
+    # batch all leaves into ONE device_put: per-leaf puts pay the
+    # host->device round-trip latency ~20 times per matrix (seconds per
+    # hierarchy through a remote relay)
+    staged = dict(
+        on_cols=on_cols, on_vals=_np_as(on_vals, npdt),
+        off_rows=off_rows,
+        off_cols=off_cols, off_vals=_np_as(off_vals, npdt),
+        dia_vals=_np_as(dia_vals, npdt),
+        bd_idx=bd_idx, bd_vals=_np_as(bd_vals, npdt),
+        rest_rows=rest_rows, rest_cols=rest_cols,
+        rest_vals=_np_as(rest_vals, npdt),
+        emb_idx=emb_idx, emb_mask=_np_as(emb_mask, npdt),
+        send_idx=plan.send_idx, send_mask=_np_as(plan.send_mask, npdt),
+        halo_src=plan.halo_src, slot_to_halo=plan.slot_to_halo,
+        recv_mask=_np_as(plan.recv_mask, npdt),
+        row_mask=_np_as(row_mask, npdt),
+        col_mask=_np_as(col_mask, npdt),
+    )
+    names = list(staged)
+    arrs = [np.asarray(staged[k]) for k in names]
+    shardings = [
+        jax.sharding.NamedSharding(
+            mesh, P(_leading_axes(mesh), *([None] * (a.ndim - 1))))
+        for a in arrs]
+    put = jax.device_put(arrs, shardings)
+    dev = dict(zip(names, put))
 
     return DeviceParCSR(
-        on_cols=shard_leaf(on_cols), on_vals=shard_leaf(on_vals, dtype),
-        off_rows=shard_leaf(off_rows),
-        off_cols=shard_leaf(off_cols), off_vals=shard_leaf(off_vals, dtype),
-        dia_vals=shard_leaf(dia_vals, dtype),
-        bd_idx=shard_leaf(bd_idx), bd_vals=shard_leaf(bd_vals, dtype),
-        rest_rows=shard_leaf(rest_rows),
-        rest_cols=shard_leaf(rest_cols),
-        rest_vals=shard_leaf(rest_vals, dtype),
-        emb_idx=shard_leaf(emb_idx),
-        emb_mask=shard_leaf(emb_mask, dtype),
-        send_idx=shard_leaf(plan.send_idx),
-        send_mask=shard_leaf(plan.send_mask, dtype),
-        halo_src=shard_leaf(plan.halo_src),
-        slot_to_halo=shard_leaf(plan.slot_to_halo),
-        recv_mask=shard_leaf(plan.recv_mask, dtype),
-        row_mask=shard_leaf(row_mask, dtype),
-        col_mask=shard_leaf(col_mask, dtype),
+        **dev,
         rows_pad=R, cols_pad=C, halo_pad=plan.halo_pad, slot=plan.slot,
         dia_pad=dia_pad, dia_offsets=dia_offsets,
         bd_offsets=bd_offsets, bd_padb=bd_padb, bd_ba=bd_ba,

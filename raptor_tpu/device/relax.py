@@ -38,6 +38,10 @@ from raptor_tpu.device.formats import ell_arrays, ell_spmv, off_spmv
 from raptor_tpu.device.par import DeviceParCSR, halo_exchange
 
 
+def _np(x, npdt):
+    return np.asarray(x, dtype=npdt)
+
+
 def _split_ldu(a: CSRMatrix) -> Tuple[np.ndarray, CSRMatrix, CSRMatrix]:
     """diag, strict lower L, strict upper U of a local square block."""
     sp_a = a.to_scipy()
@@ -178,11 +182,14 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
     per_shard = []
     colorings = []
     for blk in shards:
-        diag, low, up = _split_ldu(blk.on_proc)
         if need_tri:
+            diag, low, up = _split_ldu(blk.on_proc)
             fl = _level_schedule(low, reverse=False)
             bl = _level_schedule(up, reverse=True)
         else:
+            # Chebyshev / l1-Jacobi only read the diagonal: skip the
+            # O(nnz) scipy tril/triu split entirely
+            diag = blk.on_proc.diagonal()
             low, up = empty, empty
             fl, bl = [np.zeros(0, dtype=np.int64)], [np.zeros(0,
                                                               np.int64)]
@@ -259,20 +266,32 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
         lmax, v = nw, w / nw
     cheb_lo, cheb_hi = 0.3 * float(lmax), 1.1 * float(lmax)
 
-    put = lambda x, dt=None: dpar._shard_leading(x, mesh, dt or dtype)
-    puti = lambda x: dpar._shard_leading(x, mesh, None)
+    # one batched device_put for every leaf (per-leaf puts pay the
+    # host->device round trip ~17x per level)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
+    staged = dict(
+        diag=_np(diag_a, npdt), inv_diag=_np(1.0 / diag_a, npdt),
+        has_diag=_np(has, npdt), inv_l1_diag=_np(1.0 / l1, npdt),
+        u_cols=u_cols, u_vals=_np(u_vals, npdt),
+        l_cols=l_cols, l_vals=_np(l_vals, npdt),
+        fwd_rows=f_rows, fwd_mask=_np(f_mask, npdt),
+        fwd_cols=f_cols, fwd_vals=_np(f_vals, npdt),
+        bwd_rows=b_rows, bwd_mask=_np(b_mask, npdt),
+        bwd_cols=b_cols, bwd_vals=_np(b_vals, npdt),
+        color_mask=_np(color_mask, npdt),
+    )
+    names = list(staged)
+    arrs = [np.asarray(staged[k]) for k in names]
+    ax = dpar._leading_axes(mesh)
+    shardings = [NamedSharding(mesh, P(ax, *([None] * (x.ndim - 1))))
+                 for x in arrs]
+    dev = dict(zip(names, jax.device_put(arrs, shardings)))
     return DeviceRelax(
-        diag=put(diag_a), inv_diag=put(1.0 / diag_a),
-        has_diag=put(has), inv_l1_diag=put(1.0 / l1),
         cheb_lo=cheb_lo, cheb_hi=cheb_hi,
-        u_cols=puti(u_cols), u_vals=put(u_vals),
-        l_cols=puti(l_cols), l_vals=put(l_vals),
-        fwd_rows=puti(f_rows), fwd_mask=put(f_mask),
-        fwd_cols=puti(f_cols), fwd_vals=put(f_vals),
-        bwd_rows=puti(b_rows), bwd_mask=put(b_mask),
-        bwd_cols=puti(b_cols), bwd_vals=put(b_vals),
-        color_mask=put(color_mask),
         n_fwd_levels=NLf, n_bwd_levels=NLb, n_colors=NC,
+        **dev,
     )
 
 
