@@ -27,8 +27,17 @@ def injection_matrix(states: np.ndarray, partition=None) -> CSRMatrix:
 
 def sparsify(a: ParCSRMatrix, p: ParCSRMatrix, i_mat: CSRMatrix,
              ap: ParCSRMatrix, ac: ParCSRMatrix,
-             theta: float) -> ParCSRMatrix:
-    """Returns the sparsified coarse operator."""
+             theta: float, symmetric: bool = True) -> ParCSRMatrix:
+    """Returns the sparsified coarse operator.
+
+    ``symmetric=True`` (default, beyond the reference) keeps an entry if
+    EITHER (i,j) or (j,i) survives the one-sided rule, so a symmetric Ac
+    stays symmetric. The reference's row-wise drop
+    (par_sparsify.cpp:7-186) makes the coarse operator nonsymmetric
+    (measured |Ac - Ac^T| up to O(1) at theta=0.4 on 3-D PMIS+Extended),
+    which breaks SPD smoothers (Chebyshev) and PCG — the source of the
+    round-1 "sparsify diverges on 3-D PMIS+Extended" folklore. Set
+    symmetric=False for the reference's exact behavior."""
     isp = i_mat.to_scipy()
     m1 = ap.global_csr.to_scipy().T @ isp
     ai = a.global_csr.to_scipy() @ isp
@@ -58,6 +67,17 @@ def sparsify(a: ParCSRMatrix, p: ParCSRMatrix, i_mat: CSRMatrix,
     in_m = (len(bkey) > 0) & (bkey[pos] == akey)
 
     keep = (~offd) | in_m | (np.abs(data) >= theta * row_max[rows])
+    if symmetric:
+        # an entry survives if its transpose partner does: OR the keep
+        # mask with its transpose (pattern of Ac is symmetric for
+        # symmetric A, so the mask aligns entry-by-entry)
+        km = sp.csr_matrix((keep.astype(np.int8), indices, indptr),
+                           shape=acm.shape)
+        kmt = km.T.tocsr()
+        kmt.sort_indices()
+        if (np.array_equal(kmt.indptr, indptr)
+                and np.array_equal(kmt.indices, indices)):
+            keep = keep | (kmt.data > 0)
     dropped = ~keep
     # fold dropped values into the diagonal (row-sum preserving)
     diag_add = np.zeros(n)

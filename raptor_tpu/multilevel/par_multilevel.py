@@ -179,7 +179,8 @@ class ParRugeStubenSolver(ParMultilevel):
                                                     sparsify)
             with self.setup_times.phase("sparsify"):
                 i_mat = injection_matrix(np.asarray(states))
-                ac = sparsify(a, p, i_mat, ap, ac, self.sparsify_tol)
+                ac = sparsify(a, p, i_mat, ap, ac, self.sparsify_tol,
+                              getattr(self, "sparsify_symmetric", True))
                 ac = ParCSRMatrix(ac.global_csr.canonicalize(),
                                   ac.partition)
         self.levels.append(Level(A=ac))
