@@ -684,6 +684,77 @@ void level_schedule(i64 n, const i64* indptr, const i64* indices,
     }
 }
 
+// Classical strength-of-connection keep mask in ONE pass over the CSR
+// (strength.cpp:12-200 semantics, matching the vectorized NumPy oracle
+// in ruge_stuben/strength.py bit-for-bit: same comparisons, same
+// min/max row scaling, diagonal always kept). ``variables`` may be null
+// (single-unknown). Writes 0/1 into keep[nnz].
+void classical_strength_mask(i64 n, const i64* indptr, const i64* indices,
+                             const double* data, double theta,
+                             const i64* variables, i64 num_variables,
+                             i64* keep) {
+    for (i64 i = 0; i < n; i++) {
+        double diag = 0.0;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (indices[j] == i) { diag = data[j]; break; }
+        bool neg = diag < 0.0;
+        double mn = INFINITY, mx = -INFINITY;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            if (c == i) continue;
+            if (num_variables != 1 && variables[c] != variables[i])
+                continue;
+            double v = data[j];
+            if (v < mn) mn = v;
+            if (v > mx) mx = v;
+        }
+        double thr = (neg ? mx : mn) * theta;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            if (c == i) { keep[j] = 1; continue; }
+            if (num_variables != 1 && variables[c] != variables[i]) {
+                keep[j] = 0;
+                continue;
+            }
+            double v = data[j];
+            keep[j] = neg ? (v > thr) : (v < thr);
+        }
+    }
+}
+
+// Symmetric (SA) strength keep mask (strength.cpp:201-327): an
+// off-diagonal survives if it passes its row's OR its column's
+// threshold. Two passes: thresholds, then the mask.
+void symmetric_strength_mask(i64 n, const i64* indptr, const i64* indices,
+                             const double* data, double theta,
+                             i64* keep) {
+    std::vector<double> thr(n);
+    std::vector<char> neg(n);
+    for (i64 i = 0; i < n; i++) {
+        double diag = 0.0;
+        double mn = INFINITY, mx = -INFINITY;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            double v = data[j];
+            if (c == i) { diag = v; continue; }
+            if (v < mn) mn = v;
+            if (v > mx) mx = v;
+        }
+        neg[i] = diag < 0.0;
+        thr[i] = (neg[i] ? mx : mn) * theta;
+    }
+    for (i64 i = 0; i < n; i++) {
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            if (c == i) { keep[j] = 1; continue; }
+            double v = data[j];
+            bool srow = neg[i] ? (v > thr[i]) : (v < thr[i]);
+            bool scol = neg[c] ? (v > thr[c]) : (v < thr[c]);
+            keep[j] = srow || scol;
+        }
+    }
+}
+
 namespace {
 // binary search for v in sorted a[0..len)
 inline bool bfind(const i64* a, i64 len, i64 v) {
@@ -1074,10 +1145,11 @@ void spgemm_fetch(i64* c_indices, double* c_data) {
     std::memcpy(c_indices, g_c_indices.data(),
                 g_c_indices.size() * sizeof(i64));
     std::memcpy(c_data, g_c_data.data(), g_c_data.size() * sizeof(double));
+    // keep capacity: the Galerkin chain calls spgemm/spgemm_T once per
+    // level, and re-growing a few-hundred-MB buffer from zero costs
+    // seconds of page faults each time
     g_c_indices.clear();
-    g_c_indices.shrink_to_fit();
     g_c_data.clear();
-    g_c_data.shrink_to_fit();
 }
 
 }  // extern "C"

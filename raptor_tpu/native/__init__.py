@@ -84,6 +84,11 @@ def load():
                                             ctypes.c_double, I64])
         lib.spgemm_t_compute.restype = ctypes.c_int64
         lib.spgemm_fetch.argtypes = [I64, F64]
+        lib.classical_strength_mask.argtypes = (
+            [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I64,
+             ctypes.c_int64, I64])
+        lib.symmetric_strength_mask.argtypes = (
+            [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I64])
         lib.dist_cljp_update.argtypes = ([ctypes.c_int64] * 3
                                          + [I64] * 13 + [F64, F64])
         lib.dist_mis2_step1.argtypes = ([ctypes.c_int64] + [I64] * 4
@@ -244,6 +249,38 @@ def glibc_rand_doubles(seed: int, n: int) -> np.ndarray:
     out = np.empty(n, dtype=np.float64)
     lib.glibc_rand_doubles(seed, n, _p(out, F64))
     return out
+
+
+def classical_strength_mask(indptr, indices, data, theta,
+                            variables=None, num_variables=1):
+    """0/1 keep mask over CSR entries (classical strength, one pass)."""
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n = len(indptr) - 1
+    keep = np.empty(len(indices), dtype=np.int64)
+    if variables is None:
+        variables = np.zeros(1, dtype=np.int64)
+        num_variables = 1
+    else:
+        variables = _c(variables)
+    lib.classical_strength_mask(n, _p(indptr, I64), _p(indices, I64),
+                                _p(data, F64), float(theta),
+                                _p(variables, I64), int(num_variables),
+                                _p(keep, I64))
+    return keep
+
+
+def symmetric_strength_mask(indptr, indices, data, theta):
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n = len(indptr) - 1
+    keep = np.empty(len(indices), dtype=np.int64)
+    lib.symmetric_strength_mask(n, _p(indptr, I64), _p(indices, I64),
+                                _p(data, F64), float(theta),
+                                _p(keep, I64))
+    return keep
 
 
 def dist_cljp_update(n, h, first_local_col, on_indptr, on_indices,

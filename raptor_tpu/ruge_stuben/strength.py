@@ -45,6 +45,14 @@ def _row_scales(a_coo, n_rows, neg_diag):
 def classical_strength(a: CSRMatrix, theta: float = 0.25,
                        num_variables: int = 1,
                        variables: np.ndarray = None) -> CSRMatrix:
+    from raptor_tpu import native
+    if native.available():
+        # single fused pass (bit-identical to the NumPy path below,
+        # which remains the oracle/fallback)
+        keep = native.classical_strength_mask(
+            a.indptr, a.indices, a.data, theta,
+            variables if num_variables != 1 else None, num_variables)
+        return a.filter_entries(keep.astype(bool))
     n = a.n_rows
     rows, cols, data = a.row_ids(), a.indices, a.data
     diag = a.diagonal()
@@ -68,6 +76,11 @@ def classical_strength(a: CSRMatrix, theta: float = 0.25,
 
 
 def symmetric_strength(a: CSRMatrix, theta: float = 0.25) -> CSRMatrix:
+    from raptor_tpu import native
+    if native.available():
+        keep = native.symmetric_strength_mask(a.indptr, a.indices,
+                                              a.data, theta)
+        return a.filter_entries(keep.astype(bool))
     n = a.n_rows
     rows, cols, data = a.row_ids(), a.indices, a.data
     diag = a.diagonal()
