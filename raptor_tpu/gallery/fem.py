@@ -125,12 +125,28 @@ def q1_linear_elasticity(nx: int, ny: int, E: float = 1.0,
 
 
 def par_fem(kind: str, nx: int, ny: int, n_shards: int, **kw):
-    """Partitioned FE gallery entry: kind in {'laplace', 'elasticity'}."""
+    """Partitioned FE gallery entry — the reference's 6 MFEM problems
+    (external/mfem_wrapper.hpp:15-45): kind in {'laplace', 'elasticity',
+    'dg_diffusion', 'dg_elasticity', 'grad_div',
+    'adaptive_laplacian'}."""
+    variables = None
     if kind == "laplace":
         a = q1_laplacian(nx, ny)
-        variables = None
     elif kind == "elasticity":
         a, variables = q1_linear_elasticity(nx, ny, **kw)
+    elif kind == "dg_diffusion":
+        from raptor_tpu.gallery.dg import dg_diffusion
+        a = dg_diffusion(nx, ny, **kw)
+    elif kind == "dg_elasticity":
+        from raptor_tpu.gallery.dg import dg_elasticity
+        a = dg_elasticity(nx, ny, **kw)
+        variables = (np.arange(a.n_rows) % 2).astype(np.int64)
+    elif kind == "grad_div":
+        from raptor_tpu.gallery.dg import grad_div
+        a = grad_div(nx, ny, **kw)
+    elif kind == "adaptive_laplacian":
+        from raptor_tpu.gallery.dg import adaptive_laplacian
+        a = adaptive_laplacian(nx, **kw)
     else:
         raise ValueError(kind)
     part = Partition.create(a.n_rows, a.n_cols, n_shards)
