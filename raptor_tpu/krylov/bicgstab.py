@@ -145,32 +145,33 @@ def bicgstab(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
         data, specs, strip, apply = precond
         pdata, pspecs = (data,), (specs,)
 
-    cache_key = ("bicgstab", mesh, tol, max_iter, inner_mode, norm_mode,
+    tolv = jnp.asarray(tol, dtype=b.dtype)
+    cache_key = ("bicgstab", mesh, max_iter, inner_mode, norm_mode,
                  partial, precond_key(precond))
     hit = _RUN_CACHE.get(cache_key)
     if hit is not None:
-        return BiCGStabResult(*hit[0](A, x0, b, *pdata))
+        return BiCGStabResult(*hit[0](A, x0, b, tolv, *pdata))
 
     @jax.jit
-    def run(A, x0, b, *pd):
-        def body(A, x0, b, *pd):
+    def run(A, x0, b, tolv, *pd):
+        def body(A, x0, b, tolv, *pd):
             A = jax.tree.map(lambda l: l[0], A)
             pfn = None
             if precond is not None:
                 d = strip(pd[0])
                 pfn = lambda x0_, r_: apply(d, x0_, r_)
-            x, res, k = _bicgstab_shard(A, x0[0], b[0], tol, max_iter,
+            x, res, k = _bicgstab_shard(A, x0[0], b[0], tolv, max_iter,
                                         pfn, inner_mode, norm_mode,
                                         partial)
             return x[None], res, k
 
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=dpar.leaf_specs((A, x0, b)) + pspecs,
-            out_specs=(P(ROW_AXIS, None), P(), P()))(A, x0, b, *pd)
+            in_specs=dpar.leaf_specs((A, x0, b)) + (P(),) + pspecs,
+            out_specs=(P(ROW_AXIS, None), P(), P()))(A, x0, b, tolv, *pd)
 
     _RUN_CACHE.put(cache_key, (run, precond))
-    return BiCGStabResult(*run(A, x0, b, *pdata))
+    return BiCGStabResult(*run(A, x0, b, tolv, *pdata))
 
 
 # Named variants mirroring the reference API (par_bicgstab.hpp:14-27)

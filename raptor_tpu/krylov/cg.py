@@ -110,28 +110,34 @@ def cg(mesh, A: DeviceParCSR, x0, b, tol: float = 1e-5,
         data, specs, strip, apply = precond
         pdata, pspecs = (data,), (specs,)
 
-    cache_key = ("cg", mesh, tol, max_iter, precond_key(precond))
+    # tol is a traced operand: one compile serves every tolerance
+    # (through a remote-compile relay each distinct program costs
+    # seconds to minutes)
+    tolv = jnp.asarray(tol, dtype=b.dtype)
+    cache_key = ("cg", mesh, max_iter, precond_key(precond))
     hit = _RUN_CACHE.get(cache_key)
     if hit is not None:
         # the cached entry keeps the precond closures alive, so the ids
         # in the key stay valid for the entry's lifetime
-        return CGResult(*hit[0](A, x0, b, *pdata))
+        return CGResult(*hit[0](A, x0, b, tolv, *pdata))
 
     @jax.jit
-    def run(A, x0, b, *pd):
-        def body(A, x0, b, *pd):
+    def run(A, x0, b, tolv, *pd):
+        def body(A, x0, b, tolv, *pd):
             A = jax.tree.map(lambda l: l[0], A)
             pfn = None
             if precond is not None:
                 d = strip(pd[0])
                 pfn = lambda x0_, r_: apply(d, x0_, r_)
-            x, res, k, indef = _cg_shard(A, x0[0], b[0], tol, max_iter, pfn)
+            x, res, k, indef = _cg_shard(A, x0[0], b[0], tolv, max_iter,
+                                         pfn)
             return x[None], res, k, indef
 
         return jax.shard_map(
             body, mesh=mesh,
-            in_specs=dpar.leaf_specs((A, x0, b)) + pspecs,
-            out_specs=(P(dpar.ROW_AXIS, None), P(), P(), P()))(A, x0, b, *pd)
+            in_specs=dpar.leaf_specs((A, x0, b)) + (P(),) + pspecs,
+            out_specs=(P(dpar.ROW_AXIS, None), P(), P(), P()))(
+                A, x0, b, tolv, *pd)
 
     _RUN_CACHE.put(cache_key, (run, precond))
-    return CGResult(*run(A, x0, b, *pdata))
+    return CGResult(*run(A, x0, b, tolv, *pdata))

@@ -263,7 +263,7 @@ class DeviceHierarchy:
                                    dtype=jnp.float64)
         ax = dpar._leading_axes(mesh)
 
-        def shard_ir(levels, lu, piv, ct, dA64s, x, b):
+        def shard_ir(levels, lu, piv, ct, dA64s, x, b, tol):
             b_norm = jnp.sqrt(dot_shard(b, b))
             b_norm = jnp.where(b_norm > 1e-300, b_norm, 1.0)
 
@@ -294,32 +294,35 @@ class DeviceHierarchy:
                 cond, body, (x, r, rel, jnp.array(0), hist))
             return x, hist, k
 
-        key = ("mixed", tol, max_iter)
+        # tol is a traced operand: one compile per (hierarchy, max_iter)
+        # serves every tolerance
+        tolv = jnp.asarray(tol, dtype=jnp.float64)
+        key = ("mixed", max_iter)
         if not hasattr(self, "_mixed_jit"):
             self._mixed_jit = {}
         if key not in self._mixed_jit:
-            def run(levels, lu, piv, ct, dA64g, x, b):
-                def body(levels, lu, piv, ct, dA64g, x, b):
+            def run(levels, lu, piv, ct, dA64g, x, b, tolv):
+                def body(levels, lu, piv, ct, dA64g, x, b, tolv):
                     levels = jax.tree.map(lambda l: l[0], levels)
                     dA64s = jax.tree.map(lambda l: l[0], dA64g)
                     xo, hist, k = shard_ir(levels, lu, piv, ct[0],
-                                           dA64s, x[0], b[0])
+                                           dA64s, x[0], b[0], tolv)
                     return xo[None], hist, k
 
                 in_specs = (dpar.leaf_specs(self.levels, ax), P(), P(),
                             P(ax, None), dpar.leaf_specs(dA64g, ax),
-                            P(ax, None), P(ax, None))
+                            P(ax, None), P(ax, None), P())
                 return jax.shard_map(
                     body, mesh=mesh, in_specs=in_specs,
                     out_specs=(P(ax, None), P(), P()))(
-                        levels, lu, piv, ct, dA64g, x, b)
+                        levels, lu, piv, ct, dA64g, x, b, tolv)
 
             with dpar.use_comm_axes(ax):
                 self._mixed_jit[key] = jax.jit(run)
         with dpar.use_comm_axes(ax):
             xo, hist, k = self._mixed_jit[key](
                 self.levels, self.lu, self.piv, self.coarse_take, dA64,
-                x, b)
+                x, b, tolv)
         hist = np.asarray(hist)
         hist = hist[hist >= 0.0]
         return dpar.host_vector(np.asarray(xo), self.row_bounds), hist

@@ -64,3 +64,32 @@ def test_mixed_precision_pcg():
     it = int(r.n_iters)
     assert it < 60
     assert float(r.res[it]) < 1e-11
+
+
+def test_pcg_time_split():
+    """comm_t/precond_t per-iteration splits (par_cg.cpp:121-239
+    out-params), measured by chained timing."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.krylov.profile import pcg_time_split
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (40, 40),
+                         4)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP,
+                             InterpType.ModClassical,
+                             relax_type=RelaxType.Chebyshev)
+    ml.num_smooth_sweeps = 2
+    ml.setup(A)
+    mesh = dpar.make_mesh(4)
+    dh = DeviceHierarchy(ml, mesh)
+    dA = dpar.device_put_matrix(A, mesh, need_transpose=False)
+    b = dpar.device_put_vector(A.mult(np.ones(A.global_num_rows)),
+                               A.partition.row_bounds, dA.rows_pad, mesh)
+    split = pcg_time_split(mesh, dA, b, precond=dh.precond_pack())
+    assert set(split) == {"total_t", "spmv_t", "comm_t", "precond_t"}
+    assert split["total_t"] > 0 and split["precond_t"] > 0
+    # the preconditioner application dominates a PCG iteration
+    assert split["precond_t"] > split["spmv_t"]
