@@ -291,3 +291,104 @@ def par_matrix_from_scipy(m, n_shards: int) -> ParCSRMatrix:
     csr = CSRMatrix.from_scipy(m)
     return ParCSRMatrix(
         csr, Partition.create(csr.n_rows, csr.n_cols, n_shards))
+
+class ParCOOMatrix:
+    """Row-partitioned COO (core/par_matrix.hpp:345-423): the assembly
+    format — add_value/add_global_value accumulate triplets, finalize
+    converts to ParCSR (finalize(), par_matrix.cpp:114-162)."""
+
+    def __init__(self, partition: Partition):
+        self.partition = partition
+        self._rows: List[int] = []
+        self._cols: List[int] = []
+        self._vals: List[float] = []
+
+    def add_global_value(self, row: int, col: int, val: float) -> None:
+        self._rows.append(row)
+        self._cols.append(col)
+        self._vals.append(val)
+
+    def add_values(self, rows, cols, vals) -> None:
+        self._rows.extend(np.asarray(rows).tolist())
+        self._cols.extend(np.asarray(cols).tolist())
+        self._vals.extend(np.asarray(vals).tolist())
+
+    def finalize(self) -> "ParCSRMatrix":
+        import scipy.sparse as sp
+        part = self.partition
+        g = sp.csr_matrix(
+            (self._vals, (self._rows, self._cols)),
+            shape=(part.global_num_rows, part.global_num_cols))
+        g.sum_duplicates()
+        g.sort_indices()
+        return ParCSRMatrix(CSRMatrix.from_scipy(g), part)
+
+
+class ParCSCMatrix:
+    """Column-compressed view of a row-partitioned matrix
+    (core/par_matrix.hpp:701-790). Setup-phase only, like the serial
+    CSCMatrix: the reference uses it for column-driven passes
+    (CF-splitting transposes, distributed transpose)."""
+
+    def __init__(self, par_csr: "ParCSRMatrix"):
+        from raptor_tpu.core.matrix import CSCMatrix
+        self.partition = par_csr.partition
+        self.csc = CSCMatrix.from_csr(par_csr._g())
+
+    def to_par_csr(self) -> "ParCSRMatrix":
+        return ParCSRMatrix(self.csc.to_csr(), self.partition)
+
+    def transpose(self) -> "ParCSRMatrix":
+        return ParCSRMatrix(self.csc.transpose(),
+                            self.partition.transpose())
+
+
+class ParBSRMatrix:
+    """Row-partitioned blocked matrix (core/par_matrix.hpp:613-699):
+    a scalar ParCSR re-partitioned on block boundaries + the block size.
+    ``to_device`` is the CSR->BSR redistribution + block-ELL packing
+    (par_matrix.cpp:872-997 ≡ device/bsr.py device_put_bsr);
+    ``hierarchy`` builds the blocked AMG solver."""
+
+    def __init__(self, par_csr: "ParCSRMatrix", b_rows: int,
+                 b_cols: int = None):
+        b_cols = b_cols or b_rows
+        assert par_csr.global_num_rows % b_rows == 0
+        assert par_csr.global_num_cols % b_cols == 0
+        self.b_rows, self.b_cols = int(b_rows), int(b_cols)
+        from raptor_tpu.multilevel.bsr_hierarchy import block_partition
+        part = block_partition(par_csr.global_num_rows,
+                               par_csr.global_num_cols, b_rows,
+                               par_csr.partition.n_shards)
+        self.par_csr = ParCSRMatrix(par_csr._g(), part)
+
+    @property
+    def partition(self) -> Partition:
+        return self.par_csr.partition
+
+    @property
+    def global_num_rows(self) -> int:
+        return self.par_csr.global_num_rows
+
+    def local_bsr(self, s: int):
+        """Shard s's rows as a serial BSRMatrix (global block cols)."""
+        from raptor_tpu.core.matrix import BSRMatrix
+        part = self.par_csr.partition
+        r0 = int(part.row_bounds[s])
+        r1 = int(part.row_bounds[s + 1])
+        gb = self.par_csr._g().to_scipy()[r0:r1].tobsr(
+            blocksize=(self.b_rows, self.b_cols))
+        return BSRMatrix(r1 - r0, self.par_csr.global_num_cols,
+                         self.b_rows, self.b_cols,
+                         gb.indptr.astype(np.int64),
+                         gb.indices.astype(np.int64),
+                         np.asarray(gb.data))
+
+    def to_device(self, mesh, dtype=None):
+        import jax.numpy as jnp
+        from raptor_tpu.device.bsr import device_put_bsr
+        return device_put_bsr(self.par_csr, self.b_rows, self.b_cols,
+                              mesh, dtype=dtype or jnp.float64)
+
+    def mult(self, x: np.ndarray) -> np.ndarray:
+        return self.par_csr.mult(x)

@@ -465,6 +465,35 @@ def dist_rap(a: ParCSRMatrix, p,
     return CSRMatrix.from_scipy(g).drop(ZERO_TOL)
 
 
+def dist_transpose(a: ParCSRMatrix,
+                   tr: Optional[Transport] = None,
+                   assemble: bool = True):
+    """Distributed transpose (core/par_matrix.cpp:694-858): each shard
+    emits its entries as (col, row, val) triplets and the transpose rows
+    are assembled at their owners via the transpose matrix communication
+    (reduce_rows) — no global matrix on any rank.
+
+    ``assemble=False`` returns per-LOCAL-shard row blocks of A^T."""
+    import scipy.sparse as sp
+    tr = tr or InProcessTransport(a)
+    shards = a.shards()
+    part = a.partition
+    G = part.global_num_cols
+    triplets = []
+    for blk in shards:
+        g = blk.global_cols_csr(G)
+        rows = g.row_ids() + blk.first_local_row
+        triplets.append((g.indices.copy(), rows.astype(np.int64),
+                         g.data))
+    t_blocks = tr.reduce_rows(triplets, part.col_bounds,
+                              part.global_num_rows)
+    if not assemble:
+        return t_blocks
+    g = sp.vstack([b.to_scipy() for b in t_blocks]).tocsr()
+    g.sort_indices()
+    return CSRMatrix.from_scipy(g)
+
+
 def dist_split_cljp(s_par: ParCSRMatrix, rand_vals: np.ndarray,
                     states0=None, max_rounds: int = 10000,
                     tr: Optional[Transport] = None) -> np.ndarray:
