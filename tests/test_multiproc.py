@@ -178,3 +178,59 @@ def test_local_view_never_holds_global():
         a.nnz
     with pytest.raises(RuntimeError, match="local-view"):
         a.mult(np.ones(Ap.global_num_cols))
+
+
+def _full_setup_worker(rank, group, blocks, part, w, coarsen, interp):
+    from raptor_tpu.comm.spmd import spmd_rs_setup
+    from raptor_tpu.core.types import CoarsenType, InterpType
+    a = _local_view(blocks, part, rank)
+    h = spmd_rs_setup(
+        a, w, lambda m: MultiProcessTransport(group, m),
+        coarsen=CoarsenType[coarsen], interp=InterpType[interp])
+    out = []
+    for lvl in h.levels:
+        blk = lvl.a_local.shards()[0]
+        out.append((blk.global_cols_csr(
+            lvl.a_local.partition.global_num_cols),
+            None if lvl.p_block is None else lvl.p_block))
+    return out, h.coarse_lu[0]
+
+
+@pytest.mark.parametrize("world", [2, 4])
+@pytest.mark.parametrize("coarsen,interp", [
+    ("HMIS", "Extended"), ("CLJP", "ModClassical")])
+def test_spmd_full_hierarchy(world, coarsen, interp):
+    """spmd_rs_setup builds the WHOLE multi-level hierarchy per rank in
+    real processes; every level's operator equals the in-process
+    setup_mode='distributed' solver's hierarchy."""
+    from raptor_tpu.core.types import CoarsenType, InterpType
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    Ap, w = _problem(world)
+    part = Ap.partition
+    ncols = part.global_num_cols
+    blocks = [blk.global_cols_csr(ncols) for blk in Ap.shards()]
+
+    results = run_spmd(world, _full_setup_worker, blocks, part, w,
+                       coarsen, interp)
+
+    ml = ParRugeStubenSolver(0.25, CoarsenType[coarsen],
+                             InterpType[interp])
+    ml.setup_mode = "distributed"
+    ml.weights = w
+    ml.setup(Ap)
+
+    n_levels = len(results[0][0])
+    assert n_levels == ml.num_levels
+    for li in range(n_levels):
+        A_mp = _stack([results[r][0][li][0] for r in range(world)],
+                      ml.levels[li].A.global_num_cols)
+        A_ref = ml.levels[li].A.global_csr
+        assert np.array_equal(A_mp.indptr, A_ref.indptr), f"level {li}"
+        assert np.array_equal(A_mp.indices, A_ref.indices)
+        np.testing.assert_allclose(A_mp.data, A_ref.data, rtol=1e-12,
+                                   atol=1e-14)
+    # replicated coarse LU identical across ranks
+    for r in range(1, world):
+        np.testing.assert_allclose(results[r][1], results[0][1],
+                                   rtol=1e-12)
