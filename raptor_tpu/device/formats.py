@@ -219,6 +219,82 @@ def _bdia_d_slot(a: CSRMatrix):
     return rows, d, slot
 
 
+def bell_stats(a: CSRMatrix):
+    """(W_b, n_slots) for the BELL layout: per-target-128-block count of
+    (block-offset, occurrence) plane slots. W_b is the padded slot width
+    (max over target blocks)."""
+    if a.nnz == 0:
+        return 0, 0
+    rows, d, slot = _bdia_d_slot(a)
+    blk = (rows // LANE).astype(np.int64)
+    c128 = max(1, (a.n_cols + LANE - 1) // LANE)
+    span = np.int64(int(slot.max()) + 2)
+    key = (blk * np.int64(2 * c128 + 3) + (d + c128)) * span + slot
+    uk = np.unique(key)
+    u_blk = uk // (np.int64(2 * c128 + 3) * span)
+    a128 = max(1, (a.n_rows + LANE - 1) // LANE)
+    counts = np.bincount(u_blk.astype(np.int64), minlength=a128)
+    return int(counts.max()), int(len(uk))
+
+
+def bell_arrays(a: CSRMatrix, a128: int, w_b: int, dtype=np.float64):
+    """Pack CSR into BELL (block-ELL of plane slots): for each target
+    128-row block, up to W_b slots, each holding ONE source 128-column
+    block with per-row lane ids and values.
+
+    Returns (src [W_b, a128] int32 source block ids (pad: 0, vals 0),
+    idx [W_b, a128, 128] int8 lane ids, vals [W_b, a128, 128]).
+
+    SpMV is then slot-parallel: gather the source row-blocks of x
+    (the same row-block gather the embedded transfer operators use),
+    lane-gather within each block (the TPU's native 128-wide shuffle),
+    fma, and sum over W_b — streaming passes sized by OCCUPIED blocks,
+    where full BDIA planes would stream every block of every plane
+    (fill as low as 0.1 on unstructured coarse Galerkin operators) and
+    the ELL fallback would gather per entry."""
+    src = np.zeros((w_b, a128), dtype=np.int32)
+    idx = np.zeros((w_b, a128, LANE), dtype=np.int8)
+    vals = np.zeros((w_b, a128, LANE), dtype=dtype)
+    if a.nnz == 0 or w_b == 0:
+        return src, idx, vals
+    rows, d, slot = _bdia_d_slot(a)
+    blk = (rows // LANE).astype(np.int64)
+    srcb = (a.indices // LANE).astype(np.int64)
+    lane = (a.indices % LANE).astype(np.int64)
+    sub = (rows % LANE).astype(np.int64)
+    c128 = max(1, (a.n_cols + LANE - 1) // LANE)
+    span = np.int64(int(slot.max()) + 2)
+    key = (blk * np.int64(2 * c128 + 3) + (d + c128)) * span + slot
+    uk, first, inv = np.unique(key, return_index=True,
+                               return_inverse=True)
+    u_blk = blk[first]
+    u_src = srcb[first]
+    counts = np.bincount(u_blk, minlength=a128)
+    starts = np.cumsum(counts) - counts
+    # uk is sorted block-major, so slot rank within its block:
+    w_of = np.arange(len(uk)) - starts[u_blk]
+    src[w_of, u_blk] = u_src
+    w_e = w_of[inv]
+    b_e = blk
+    idx[w_e, b_e, sub] = lane
+    vals[w_e, b_e, sub] = a.data
+    return src, idx, vals
+
+
+def bell_spmv(src: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
+              x: jnp.ndarray, rows_pad: int) -> jnp.ndarray:
+    """b = A x for a BELL block: row-block gather + lane gather + fma,
+    summed over the slot axis. Padding slots read x-block 0 with vals 0."""
+    W, A128 = src.shape
+    C128 = -(-x.shape[0] // LANE)
+    x2 = jnp.pad(x, (0, C128 * LANE - x.shape[0])).reshape(C128, LANE)
+    w = x2[src.reshape(-1)]                         # [(W*A128), 128]
+    g = jnp.take_along_axis(
+        w, idx.reshape(-1, LANE).astype(jnp.int32), axis=1)
+    out = (vals.reshape(-1, LANE) * g).reshape(W, A128, LANE).sum(axis=0)
+    return out.reshape(-1)[:rows_pad]
+
+
 def bdia_plane_counts(a: CSRMatrix):
     """All (d, slot) planes of a matrix with their entry counts:
     returns (planes [(d, slot), ...], counts np.ndarray)."""

@@ -36,6 +36,7 @@ from raptor_tpu.comm.plan import CommPlan, build_comm_plan
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.device.formats import (
     bdia_arrays, bdia_plane_counts, bdia_split_rest, bdia_spmv,
+    bell_arrays, bell_spmv, bell_stats,
     dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays,
     ell_boundary_arrays, ell_spmv, ell_spmv_T, off_spmv, off_spmv_T,
     select_planes)
@@ -113,6 +114,7 @@ def _shard_leading(x: np.ndarray, mesh: Mesh, dtype=None) -> jnp.ndarray:
 
 _DATA_FIELDS = ["on_cols", "on_vals", "off_rows", "off_cols", "off_vals",
                 "dia_vals", "bd_idx", "bd_vals",
+                "bl_src", "bl_idx", "bl_vals",
                 "rest_rows", "rest_cols", "rest_vals", "emb_idx",
                 "emb_mask",
                 "send_idx", "send_mask", "halo_src",
@@ -148,6 +150,14 @@ class DeviceParCSR:
     # with per-entry lane ids — sublane shift + lane gather SpMV
     bd_idx: jnp.ndarray     # [S, P, A_pad, 128] int8 lane ids
     bd_vals: jnp.ndarray    # [S, P, A_pad, 128]
+    # BELL (on_format == "bell"): slot-compacted plane blocks — per
+    # target 128-block, W_b (source block, lanes, vals) slots; SpMV is
+    # row-block gather + lane gather + fma, streaming only OCCUPIED
+    # blocks (unstructured coarse Galerkin operators where full BDIA
+    # planes are mostly zeros and ELL would gather per entry)
+    bl_src: jnp.ndarray     # [S, W_b, A_pad] int32 source block ids
+    bl_idx: jnp.ndarray     # [S, W_b, A_pad, 128] int8 lane ids
+    bl_vals: jnp.ndarray    # [S, W_b, A_pad, 128]
     # bdia 'rest': entries of dropped (near-empty) planes, compacted to
     # the rows that have them — per-entry gather over local x
     rest_rows: jnp.ndarray  # [S, Br] int32 (pad = rows_pad)
@@ -389,12 +399,43 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             pad_ok = (max((abs(d) for d, _ in bd_spec), default=0) <= 256)
             use_dia = ("bdia" if bd_spec and pad_ok
                        and kept_nnz >= 0.6 * total else "ell")
+            # BELL beats both when the selected planes would stream
+            # mostly zeros (low fill) or when too much falls to the
+            # per-entry paths: compare streamed-slot estimates
+            # (REST_PEN ~ measured per-entry gather penalty vs streaming)
+            stats = [bell_stats(blk) for blk in fmt_blocks]
+            Wb = max((w for w, _ in stats), default=0)
+            if Wb > 0 and A128 > 2:
+                # measured per-entry gather cost is orders of magnitude
+                # above a streamed slot; 128 is a conservative penalty
+                REST_PEN = 128
+                bell_slots = Wb * A128 * 128
+                if use_dia == "bdia":
+                    bdia_slots = (len(bd_spec) * A128 * 128
+                                  + REST_PEN * (total - kept_nnz))
+                    # near-ties stay BDIA (it has the Pallas kernel)
+                    if bell_slots < 0.8 * bdia_slots:
+                        use_dia = "bell"
+                else:
+                    if bell_slots < REST_PEN * total:
+                        use_dia = "bell"
+    if use_dia == "bell":
+        bl_Wb = Wb     # stats computed over fmt_blocks (embedding kept)
     if use_dia == "ell":
-        # embedding only pays off through DIA/BDIA
+        # embedding only pays off through DIA/BDIA/BELL
         embed_kind, fmt_R = "none", R
         fmt_blocks = [blk.on_proc for blk in shards]
         emb_idx = np.zeros((S, 1), dtype=np.int32)
         emb_mask = np.zeros((S, 1), dtype=np.float64)
+
+    if use_dia == "bell":
+        bl_src = np.zeros((S, bl_Wb, A128), dtype=np.int32)
+        bl_idx = np.zeros((S, bl_Wb, A128, 128), dtype=np.int8)
+        bl_vals = np.zeros((S, bl_Wb, A128, 128), dtype=npdt)
+    else:
+        bl_src = np.zeros((S, 0, 1), dtype=np.int32)
+        bl_idx = np.zeros((S, 0, 1, 128), dtype=np.int8)
+        bl_vals = np.zeros((S, 0, 1, 128), dtype=npdt)
 
     bd_offsets, bd_padb, bd_ba = (), 1, 0
     rest_shards = fmt_blocks
@@ -449,7 +490,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         on_vals = np.zeros((S, W_on, R), dtype=npdt)
         dia_vals = np.zeros((S, K, fmt_R), dtype=npdt)
     else:
-        if use_dia == "bdia" and not need_transpose:
+        if use_dia in ("bdia", "bell") and not need_transpose:
             W_on = 1   # ELL copy only serves spmv_T; skip when unused
         else:
             W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
@@ -472,9 +513,13 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 on_cols[s], on_vals[s] = ell_arrays(
                     blk.on_proc, R, on_cols.shape[1], dtype=npdt)
         else:
-            if not (use_dia == "bdia" and not need_transpose):
+            if not ((use_dia in ("bdia", "bell"))
+                    and not need_transpose):
                 on_cols[s], on_vals[s] = ell_arrays(
                     blk.on_proc, R, on_cols.shape[1], dtype=npdt)
+            if use_dia == "bell":
+                bl_src[s], bl_idx[s], bl_vals[s] = bell_arrays(
+                    fmt_blocks[s], A128, bl_Wb, dtype=npdt)
             if use_dia == "bdia":
                 bd_idx[s], bd_vals[s] = bdia_arrays(
                     fmt_blocks[s], bd_spec, bd_idx.shape[2], dtype=npdt)
@@ -497,6 +542,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         off_cols=off_cols, off_vals=_np_as(off_vals, npdt),
         dia_vals=_np_as(dia_vals, npdt),
         bd_idx=bd_idx, bd_vals=_np_as(bd_vals, npdt),
+        bl_src=bl_src, bl_idx=bl_idx, bl_vals=_np_as(bl_vals, npdt),
         rest_rows=rest_rows, rest_cols=rest_cols,
         rest_vals=_np_as(rest_vals, npdt),
         emb_idx=emb_idx, emb_mask=_np_as(emb_mask, npdt),
@@ -521,9 +567,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         dia_pad=dia_pad, dia_offsets=dia_offsets,
         bd_offsets=bd_offsets, bd_padb=bd_padb, bd_ba=bd_ba,
         on_format=use_dia, embed_kind=embed_kind, on_rows_pad=fmt_R,
-        # transpose path exists unless the bdia W_on==1 shortcut skipped
-        # the ELL copy (dia/embed keeps it; plain dia transposes in-format)
-        has_t=not (use_dia == "bdia" and not need_transpose),
+        # transpose path exists unless the bdia/bell W_on==1 shortcut
+        # skipped the ELL copy (dia/embed keeps it; plain dia transposes
+        # in-format)
+        has_t=not (use_dia in ("bdia", "bell")
+                   and not need_transpose),
         global_num_rows=part.global_num_rows,
         global_num_cols=part.global_num_cols,
     )
@@ -592,6 +640,9 @@ def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
             out = dia_spmv_pallas(A.dia_offsets, A.dia_vals, x, A.dia_pad)
         if out is None:
             out = dia_spmv(A.dia_offsets, A.dia_vals, x, A.dia_pad)
+    elif A.on_format == "bell":
+        out = bell_spmv(A.bl_src, A.bl_idx, A.bl_vals, x,
+                        A.on_rows_pad)
     elif A.on_format == "bdia":
         from raptor_tpu.device.pallas_kernels import (
             bdia_spmv_pallas, use_pallas)
