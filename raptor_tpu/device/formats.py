@@ -283,15 +283,26 @@ def bell_arrays(a: CSRMatrix, a128: int, w_b: int, dtype=np.float64):
 
 def bell_spmv(src: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
               x: jnp.ndarray, rows_pad: int) -> jnp.ndarray:
-    """b = A x for a BELL block: row-block gather + lane gather + fma,
-    summed over the slot axis. Padding slots read x-block 0 with vals 0."""
+    """b = A x for a BELL block: per slot-layer, row-block gather + lane
+    gather + fma, accumulated over the W_b layers by a ``fori_loop``.
+    Padding slots read x-block 0 with vals 0.
+
+    The loop (not one fused mega-gather) is load-bearing: a single
+    [W*A128, 128] take_along_axis makes XLA materialize multi-GB index
+    temporaries; per-layer [A128, 128] gathers are the same shape class
+    as the embedded-operator row-block gather and stream cleanly."""
     W, A128 = src.shape
     C128 = -(-x.shape[0] // LANE)
     x2 = jnp.pad(x, (0, C128 * LANE - x.shape[0])).reshape(C128, LANE)
-    w = x2[src.reshape(-1)]                         # [(W*A128), 128]
-    g = jnp.take_along_axis(
-        w, idx.reshape(-1, LANE).astype(jnp.int32), axis=1)
-    out = (vals.reshape(-1, LANE) * g).reshape(W, A128, LANE).sum(axis=0)
+    idx32 = idx.astype(jnp.int32)
+
+    def layer(w):
+        wrow = x2[src[w]]                           # [A128, 128]
+        return vals[w] * jnp.take_along_axis(wrow, idx32[w], axis=1)
+
+    # carry starts from layer 0 (derived from the inputs, so it has the
+    # same mesh-varying type as the loop body under shard_map)
+    out = jax.lax.fori_loop(1, W, lambda w, o: o + layer(w), layer(0))
     return out.reshape(-1)[:rows_pad]
 
 

@@ -198,7 +198,7 @@ class DeviceParCSR:
 
 
 MAX_DIA_OFFSETS = 64
-MAX_BDIA_PLANES = 256
+MAX_BDIA_PLANES = 1024
 
 
 def _block_anchors(firsts: np.ndarray, space: int) -> np.ndarray:
@@ -405,7 +405,12 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             # (REST_PEN ~ measured per-entry gather penalty vs streaming)
             stats = [bell_stats(blk) for blk in fmt_blocks]
             Wb = max((w for w, _ in stats), default=0)
-            if Wb > 0 and A128 > 2:
+            # BELL auto-selection is opt-in: its XLA row-gather SpMV is
+            # fast on CPU meshes but measured slow on this TPU (needs a
+            # Pallas kernel); the high-plane-budget BDIA path covers the
+            # unstructured coarse operators meanwhile
+            bell_on = os.environ.get("RAPTOR_TPU_BELL", "0") == "1"
+            if bell_on and Wb > 0 and A128 > 2:
                 # measured per-entry gather cost is orders of magnitude
                 # above a streamed slot; 128 is a conservative penalty
                 REST_PEN = 128
@@ -420,7 +425,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                     if bell_slots < REST_PEN * total:
                         use_dia = "bell"
     if use_dia == "bell":
-        bl_Wb = Wb     # stats computed over fmt_blocks (embedding kept)
+        if force_format == "bell":
+            bl_Wb = max((bell_stats(blk)[0] for blk in fmt_blocks),
+                        default=0)
+        else:
+            bl_Wb = Wb  # stats computed over fmt_blocks (embedding kept)
     if use_dia == "ell":
         # embedding only pays off through DIA/BDIA/BELL
         embed_kind, fmt_R = "none", R

@@ -86,3 +86,22 @@ def test_shard_invariance(test_data):
         results.append(dpar.host_vector(b, A.partition.row_bounds))
     for r in results[1:]:
         np.testing.assert_allclose(r, results[0], rtol=1e-14)
+
+
+def test_bell_format_forced():
+    """BELL (slot-compacted plane blocks) matches the host SpMV when
+    forced; auto-selection keeps it opt-in (RAPTOR_TPU_BELL)."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.gallery.stencils import laplace_stencil_27pt
+    A = par_stencil_grid(laplace_stencil_27pt(), (12, 12, 12), 4)
+    mesh = dpar.make_mesh(4)
+    dA = dpar.device_put_matrix(A, mesh, dtype=jnp.float64,
+                                force_format="bell")
+    assert dA.on_format == "bell"
+    x = np.random.default_rng(0).random(A.global_num_cols)
+    xd = dpar.device_put_vector(x, A.partition.col_bounds, dA.cols_pad,
+                                mesh, dtype=jnp.float64)
+    y = dpar._shard_op(dpar.spmv_shard, mesh, dA, xd)
+    yh = dpar.host_vector(np.asarray(y), A.partition.row_bounds)
+    np.testing.assert_allclose(yh, A.mult(x), atol=1e-12)
