@@ -76,8 +76,20 @@ class ParSmoothedAggregationSolver(ParMultilevel):
         pp = ParCSRMatrix(p, part)
         self.levels[level_ctr].P = pp
 
-        ap = a.multiply(pp)
-        # P^T (A P) via native transpose-SpGEMM (canonical output)
-        ac = pp.mult_T_mat(ap)
+        if getattr(self, "setup_mode", "global") == "distributed":
+            # Galerkin product over the transport seam too
+            # (par_matmult.cpp:79-441 for the SA pipeline)
+            from raptor_tpu.ruge_stuben import par_setup as ps
+            with self.setup_times.phase("RAP"):
+                ac_csr = ps.dist_rap(a, p, coarse_bounds=col_bounds)
+            ac = ParCSRMatrix(
+                ac_csr.canonicalize(),
+                Partition(p.n_cols, p.n_cols, a.partition.n_shards,
+                          col_bounds, col_bounds))
+        else:
+            with self.setup_times.phase("RAP"):
+                ap = a.multiply(pp)
+                # P^T (A P) via native transpose-SpGEMM (canonical)
+                ac = pp.mult_T_mat(ap)
         self.levels.append(Level(A=ac))
         self.B = r[:n_aggs * self.num_candidates]

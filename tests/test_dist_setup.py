@@ -436,3 +436,22 @@ def test_dist_symmetric_strength_matches_global(n_shards):
     assert np.array_equal(S_dist.indptr, S_ref.indptr)
     assert np.array_equal(S_dist.indices, S_ref.indices)
     np.testing.assert_allclose(S_dist.data, S_ref.data, atol=1e-14)
+
+
+def test_distributed_sa_hierarchy_matches_global():
+    """SA setup_mode='distributed' (now including the RAP over the
+    transport seam) equals the host-global hierarchy at 1 shard."""
+    from raptor_tpu.aggregation.solver import ParSmoothedAggregationSolver
+
+    A = par_stencil_grid(diffusion_stencil_2d(1.0, 0.0), (30, 30), 1)
+    mlg = ParSmoothedAggregationSolver(strong_threshold=0.0)
+    mlg.setup(A)
+    mld = ParSmoothedAggregationSolver(strong_threshold=0.0)
+    mld.setup_mode = "distributed"
+    mld.setup(A)
+    assert mld.num_levels == mlg.num_levels
+    for lg, ld in zip(mlg.levels, mld.levels):
+        ag, ad = lg.A.global_csr, ld.A.global_csr
+        assert np.array_equal(ag.indptr, ad.indptr)
+        assert np.array_equal(ag.indices, ad.indices)
+        np.testing.assert_allclose(ag.data, ad.data, atol=1e-12)
