@@ -127,3 +127,64 @@ def spmd_rs_setup(a_local: ParCSRMatrix, weights: np.ndarray,
     coarse_lu = scipy.linalg.lu_factor(ac)
     levels.append(SpmdLevel(a, None, None))
     return SpmdHierarchy(levels, coarse_lu)
+
+
+def spmd_sa_setup(a_local: ParCSRMatrix, weights: np.ndarray,
+                  make_transport, theta: float = 0.0,
+                  prolong_weight: float = 4.0 / 3.0,
+                  prolong_smooth_steps: int = 1,
+                  interp_tol: float = 1e-10,
+                  max_coarse: int = 50,
+                  max_levels: int = 25) -> SpmdHierarchy:
+    """Whole-hierarchy smoothed-aggregation setup per rank
+    (aggregation/par_smoothed_aggregation_solver.hpp:14-150 over MPI):
+    symmetric strength -> MIS(2) -> aggregation -> tentative candidates
+    -> Jacobi-smoothed P -> RAP, looped; candidate vector R chains to the
+    next level's B. Same transport contract as ``spmd_rs_setup``."""
+    from raptor_tpu.ruge_stuben import par_setup as ps
+
+    levels: List[SpmdLevel] = []
+    a = a_local
+    b_cand = np.ones(a.global_num_rows)
+    for _ in range(max_levels - 1):
+        n = a.global_num_rows
+        if n <= max_coarse:
+            break
+        w = weights[:n]
+        tr = make_transport(a)
+        masks = ps.dist_symmetric_strength(a, theta, tr=tr)
+        s = ps.strength_masks_to_par(a, masks)
+        tr_s = make_transport(s)
+        states = np.asarray(ps.dist_mis2(s, w, tr=tr_s))
+        n_aggs, aggs = ps.dist_aggregate(a, s, states, w, tr=tr_s)
+        t_blocks, R = ps.dist_fit_candidates(a, n_aggs, aggs, b_cand,
+                                             interp_tol, tr=tr,
+                                             assemble=False)
+        p_blocks = ps.dist_jacobi_prolongation(
+            a, t_blocks, prolong_weight, prolong_smooth_steps, tr=tr,
+            assemble=False)
+
+        part = a.partition
+        # coarse cols partitioned by root ownership (roots in row order)
+        sel = states > 0
+        csum = np.concatenate([[0], np.cumsum(sel)])
+        cb = csum[np.asarray(part.row_bounds)].astype(np.int64)
+        c_blocks = ps.dist_rap(a, p_blocks, tr=tr, coarse_bounds=cb,
+                               assemble=False)
+        levels.append(SpmdLevel(a, p_blocks[0], states))
+
+        part_c = Partition(n_aggs, n_aggs, part.n_shards, cb, cb)
+        a = ParCSRMatrix.from_local_rows(c_blocks, part_c,
+                                         first_shard=a.first_shard)
+        b_cand = R[:n_aggs]
+
+    import scipy.linalg
+    tr = make_transport(a)
+    ncols = a.partition.global_num_cols
+    flats = [np.asarray(blk.global_cols_csr(ncols).to_scipy().todense())
+             .reshape(-1) for blk in a.shards()]
+    full = tr.allgather_concat(flats)
+    ac = full.reshape(a.global_num_rows, ncols)
+    coarse_lu = scipy.linalg.lu_factor(ac)
+    levels.append(SpmdLevel(a, None, None))
+    return SpmdHierarchy(levels, coarse_lu)

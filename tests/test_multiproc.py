@@ -234,3 +234,45 @@ def test_spmd_full_hierarchy(world, coarsen, interp):
     for r in range(1, world):
         np.testing.assert_allclose(results[r][1], results[0][1],
                                    rtol=1e-12)
+
+
+def _sa_setup_worker(rank, group, blocks, part, w):
+    from raptor_tpu.comm.spmd import spmd_sa_setup
+    a = _local_view(blocks, part, rank)
+    h = spmd_sa_setup(a, w, lambda m: MultiProcessTransport(group, m))
+    out = []
+    for lvl in h.levels:
+        blk = lvl.a_local.shards()[0]
+        out.append(blk.global_cols_csr(
+            lvl.a_local.partition.global_num_cols))
+    return out
+
+
+@pytest.mark.parametrize("world", [2, 4])
+def test_spmd_sa_full_hierarchy(world):
+    """spmd_sa_setup: the whole SA hierarchy per rank equals the
+    in-process setup_mode='distributed' SA solver's hierarchy."""
+    from raptor_tpu.aggregation.solver import ParSmoothedAggregationSolver
+
+    Ap, w = _problem(world)
+    part = Ap.partition
+    ncols = part.global_num_cols
+    blocks = [blk.global_cols_csr(ncols) for blk in Ap.shards()]
+
+    results = run_spmd(world, _sa_setup_worker, blocks, part, w)
+
+    ml = ParSmoothedAggregationSolver(strong_threshold=0.0)
+    ml.setup_mode = "distributed"
+    ml.weights = w
+    ml.setup(Ap)
+
+    n_levels = len(results[0])
+    assert n_levels == ml.num_levels
+    for li in range(n_levels):
+        A_mp = _stack([results[r][li] for r in range(world)],
+                      ml.levels[li].A.global_num_cols)
+        A_ref = ml.levels[li].A.global_csr
+        assert np.array_equal(A_mp.indptr, A_ref.indptr), f"level {li}"
+        assert np.array_equal(A_mp.indices, A_ref.indices)
+        np.testing.assert_allclose(A_mp.data, A_ref.data, rtol=1e-12,
+                                   atol=1e-14)
