@@ -63,6 +63,104 @@ def ell_spmv_T(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray,
         contrib.reshape(-1))
 
 
+# --- windowed ELL (transfer operators / matrices with narrow per-tile spans) --
+#
+# Per-entry ELL gathers are ~1000x slower than streaming on TPU, but the
+# matrices that fall back to ELL (3-D extended+i prolongators and their
+# transposes; reference ruge_stuben/par_interpolation.cpp:301) have
+# LOCAL column footprints: every tile of ba*128 consecutive rows reads x
+# only inside a window of WR 128-element blocks (the distance-2 grid
+# neighborhood). Windowed ELL stores, per tile, the window start plus
+# window-relative column ids; the Pallas kernel (wind_ell_spmv_pallas)
+# DMAs the x window into VMEM once per tile and resolves every entry with
+# a lane gather + select scan over the WR window rows — streaming VPU
+# work, no general gathers. This is the TPU-native kernel for P apply /
+# P^T apply (reference util/linalg/par_spmv.cpp:91-209).
+
+def wind_ell_stats(a: CSRMatrix, rows_pad: int, ba: int):
+    """(W, WR) for the windowed-ELL layout at tile size ba*128 rows.
+
+    W is the ELL row width; WR the max per-tile column-window height in
+    128-blocks, measured from the 8-aligned window base (8-sublane DMA
+    tiling) and rounded up to a multiple of 8."""
+    row_nnz = np.diff(a.indptr)
+    W = int(row_nnz.max()) if a.nnz else 0
+    TR = ba * LANE
+    T = -(-_round_up(max(rows_pad, a.n_rows, 1), TR) // TR)
+    if a.nnz == 0:
+        return W, 8, T
+    rows = np.repeat(np.arange(a.n_rows), row_nnz)
+    q = (a.indices // LANE).astype(np.int64)
+    tid = rows // TR
+    lo = np.full(T, np.iinfo(np.int64).max, dtype=np.int64)
+    hi = np.zeros(T, dtype=np.int64)
+    np.minimum.at(lo, tid, q)
+    np.maximum.at(hi, tid, q)
+    occ = lo <= hi
+    span = int(np.max(hi[occ] - (lo[occ] & ~7) + 1, initial=1))
+    return W, int(_round_up(span, 8)), T
+
+
+def wind_ell_arrays(a: CSRMatrix, rows_pad: int, W: int, WR: int, ba: int,
+                    cols_pad: int, dtype=np.float64):
+    """Pack CSR into windowed ELL.
+
+    Returns (ws [T] int32 8-aligned window starts (in 128-blocks of the
+    source vector), rel [W, R] int32 window-relative cols = col - 128*ws,
+    vals [W, R]). R = rows_pad rounded up to ba*128. Padding entries have
+    rel 0 / val 0 (they read window row 0 lane 0 and contribute nothing).
+    ws is clamped so ws + WR never exceeds the padded source height the
+    SpMV wrapper builds (wind_src_height)."""
+    TR = ba * LANE
+    R = _round_up(max(rows_pad, a.n_rows, 1), TR)
+    T = R // TR
+    cap = max(0, wind_src_height(cols_pad, WR) - WR)
+    ws = np.zeros(T, dtype=np.int32)
+    rel = np.zeros((W, R), dtype=np.int32)
+    vals = np.zeros((W, R), dtype=dtype)
+    if a.nnz:
+        row_nnz = np.diff(a.indptr)
+        rows = np.repeat(np.arange(a.n_rows), row_nnz)
+        pos = np.arange(a.nnz) - np.repeat(a.indptr[:-1], row_nnz)
+        q = (a.indices // LANE).astype(np.int64)
+        tid = rows // TR
+        lo = np.full(T, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lo, tid, q)
+        lo[lo == np.iinfo(np.int64).max] = 0
+        ws[:] = np.minimum(lo & ~7, cap)
+        r = a.indices - ws[tid].astype(np.int64) * LANE
+        assert r.min() >= 0 and r.max() < WR * LANE, \
+            (int(r.min()), int(r.max()), WR * LANE)
+        rel[pos, rows] = r
+        vals[pos, rows] = a.data
+    return ws, rel, vals
+
+
+def wind_src_height(cols_pad: int, WR: int) -> int:
+    """Padded source-vector height (in 128-blocks) the windowed SpMV
+    uses: both the host packer (for clamping ws) and the device wrapper
+    compute it with this one formula."""
+    return _round_up(max(-(-cols_pad // LANE), WR), 8)
+
+
+def wind_ell_cols(ws: jnp.ndarray, rel: jnp.ndarray, ba: int) -> jnp.ndarray:
+    """Reconstruct absolute ELL cols [W, R] from the windowed layout."""
+    W, R = rel.shape
+    T = R // (ba * LANE)
+    return (rel.reshape(W, T, ba * LANE)
+            + ws[None, :, None].astype(rel.dtype) * LANE).reshape(W, R)
+
+
+def wind_ell_spmv(ws: jnp.ndarray, rel: jnp.ndarray, vals: jnp.ndarray,
+                  x: jnp.ndarray, ba: int, WR: int,
+                  rows_pad: int) -> jnp.ndarray:
+    """XLA reference/fallback for windowed ELL (CPU meshes, f64)."""
+    cols = wind_ell_cols(ws, rel, ba)
+    need = wind_src_height(x.shape[0], WR) * LANE
+    x2 = jnp.pad(x, (0, need - x.shape[0]))
+    return (vals * x2[cols]).sum(axis=0)[:rows_pad]
+
+
 # --- boundary-compacted off_proc block ----------------------------------------
 #
 # Off-proc (halo) entries only exist on the shard-boundary rows — a surface,

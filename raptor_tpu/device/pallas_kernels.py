@@ -174,6 +174,90 @@ def _bdia_call(kernel, d_offsets, idx, vals, x2, P, A_pad, L, ba, win):
     )(x2, idx, vals)
 
 
+def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
+                         vals: jnp.ndarray, x: jnp.ndarray, WR: int,
+                         ba: int, rows_pad: int) -> jnp.ndarray:
+    """Windowed-ELL SpMV: the transfer-operator kernel.
+
+    Per tile of ba*128 rows, the x window ([WR, 128] blocks starting at
+    the 8-aligned ws[tile]) is DMAed into VMEM once; every ELL entry is
+    then resolved by a lane gather (the VPU's native 128-wide shuffle)
+    out of its window row, selected by a scan over the WR rows. Total
+    work is W*WR streaming VPU passes per tile — no general gathers.
+    This is the TPU answer to the reference's P->mult / P->mult_T row
+    loops (util/linalg/par_spmv.cpp:91-209), whose per-entry XLA-gather
+    fallback was ~1000x slower.
+
+    Returns None (caller falls back to formats.wind_ell_spmv) for f64 or
+    empty layouts."""
+    from raptor_tpu.device.formats import wind_src_height, LANE
+    if vals.dtype.itemsize > 4:
+        return None     # Mosaic has no 64-bit support; XLA path handles f64
+    W, R = vals.shape
+    TR = ba * LANE
+    if W == 0 or R % TR or WR % 8:
+        return None
+    T = R // TR
+    H = wind_src_height(x.shape[0], WR)
+    x2 = jnp.pad(x, (0, H * LANE - x.shape[0])).reshape(H, LANE)
+
+    def kernel(ws_ref, rel_ref, val_ref, x_ref, out_ref, win, ls, sem):
+        s = pl.multiple_of(ws_ref[pl.program_id(0)], 8)
+        cp = pltpu.make_async_copy(x_ref.at[pl.ds(s, WR)], win, sem)
+        cp.start()
+        # precompute lane ids while the DMA is in flight; the window-row
+        # id stays implicit (rel >> 7 compared against the scan index)
+        for w in range(W):
+            ls[w] = jax.lax.bitwise_and(rel_ref[w].reshape(ba, LANE), 127)
+        cp.wait()
+
+        def jbody(j, acc):
+            row = jnp.broadcast_to(win[pl.ds(j, 1)], (ba, LANE))
+            for w in range(W):
+                g = jnp.take_along_axis(row, ls[w], axis=1)
+                q = jax.lax.shift_right_logical(
+                    rel_ref[w].reshape(ba, LANE), 7)
+                acc += jnp.where(q == j, g, 0.0) \
+                    * val_ref[w].reshape(ba, LANE)
+            return acc
+
+        acc0 = jnp.zeros((ba, LANE), dtype=val_ref.dtype)
+        out_ref[:] = jax.lax.fori_loop(0, WR, jbody, acc0).reshape(-1)
+
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((W, TR), lambda i, ws: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((W, TR), lambda i, ws: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((TR,), lambda i, ws: (i,),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((WR, LANE), vals.dtype),
+                pltpu.VMEM((W, ba, LANE), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R,), vals.dtype,
+                                           vma=jax.typeof(vals).vma),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * W * R,
+                bytes_accessed=(2 * W * R + 2 * R) * vals.dtype.itemsize,
+                transcendentals=0),
+        )(jnp.asarray(ws, jnp.int32), rel, vals, x2)
+    return out[:rows_pad]
+
+
 def use_pallas() -> bool:
     import os
     if os.environ.get("RAPTOR_TPU_PALLAS", "1") == "0":

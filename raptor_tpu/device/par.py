@@ -39,7 +39,8 @@ from raptor_tpu.device.formats import (
     bell_arrays, bell_spmv, bell_stats,
     dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays,
     ell_boundary_arrays, ell_spmv, ell_spmv_T, off_spmv, off_spmv_T,
-    select_planes)
+    select_planes, wind_ell_arrays, wind_ell_cols, wind_ell_spmv,
+    wind_ell_stats)
 
 ROW_AXIS = "rows"
 
@@ -116,11 +117,12 @@ _DATA_FIELDS = ["on_cols", "on_vals", "off_rows", "off_cols", "off_vals",
                 "dia_vals", "bd_idx", "bd_vals",
                 "bl_src", "bl_idx", "bl_vals",
                 "rest_rows", "rest_cols", "rest_vals", "emb_idx",
-                "emb_mask",
+                "emb_mask", "wl_ws",
                 "send_idx", "send_mask", "halo_src",
                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
 _META_FIELDS = ["rows_pad", "cols_pad", "halo_pad", "slot", "dia_pad",
                 "dia_offsets", "bd_offsets", "bd_padb", "bd_ba",
+                "wl_wr", "wl_ba",
                 "on_format", "embed_kind", "on_rows_pad", "has_t",
                 "global_num_rows", "global_num_cols"]
 
@@ -169,6 +171,13 @@ class DeviceParCSR:
     emb_idx: jnp.ndarray    # [S, fmt_R/128] (cols: inverse block map) /
                             # [S, R/128] (rows: forward block map) int32
     emb_mask: jnp.ndarray   # [S, fmt_R/128] 1.0 on anchored blocks (cols)
+    # windowed ELL (on_format == "well"): on_cols holds WINDOW-RELATIVE
+    # cols; per tile of wl_ba*128 rows, x is read only inside the window
+    # of wl_wr 128-blocks starting at wl_ws[tile] — the Pallas kernel
+    # streams the window through VMEM and resolves entries with lane
+    # gathers (transfer operators whose spans defeat DIA/BDIA, e.g.
+    # 3-D extended+i P / P^T)
+    wl_ws: jnp.ndarray      # [S, T] int32 8-aligned window starts
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
     halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
@@ -185,7 +194,9 @@ class DeviceParCSR:
     bd_offsets: tuple       # static plane block-offsets (P,)
     bd_padb: int            # max |block offset|
     bd_ba: int              # pallas sublane block size (0 = XLA fallback)
-    on_format: str          # "ell" | "dia" | "bdia"
+    wl_wr: int              # windowed-ELL window height (128-blocks)
+    wl_ba: int              # windowed-ELL tile size (128-row blocks)
+    on_format: str          # "ell" | "dia" | "bdia" | "bell" | "well"
     embed_kind: str         # "none" | "cols" | "rows"
     on_rows_pad: int        # row space of the PACKED on block
     has_t: bool             # transpose path available (ELL copy packed)
@@ -199,6 +210,7 @@ class DeviceParCSR:
 
 MAX_DIA_OFFSETS = 64
 MAX_BDIA_PLANES = 1024
+WELL_MAX_WR = 1024      # windowed-ELL window cap (512 KB f32 VMEM)
 
 
 def _block_anchors(firsts: np.ndarray, space: int) -> np.ndarray:
@@ -437,6 +449,40 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         emb_idx = np.zeros((S, 1), dtype=np.int32)
         emb_mask = np.zeros((S, 1), dtype=np.float64)
 
+    # windowed ELL: rescue matrices headed for per-entry ELL gathers —
+    # or for a sparse-filled BDIA plane set — whose per-tile column
+    # footprint is narrow (3-D transfer operators). Stats unified across
+    # shards for SPMD uniformity. Cost model in VPU element-ops:
+    # well = 3*W*WR*R (a lane-gather+select pass over every tile per
+    # ELL slot per window row) vs bdia = 3*P*fmt_R streaming planes +
+    # ~128/entry for the per-entry 'rest' gathers.
+    wl_ba, wl_wr, wl_T = 8, 0, 1
+    if (use_dia in ("ell", "bdia") or force_format == "well") \
+            and os.environ.get("RAPTOR_TPU_WELL", "1") == "1":
+        stats = [wind_ell_stats(blk.on_proc, R, wl_ba) for blk in shards]
+        wW = max(w for w, _, _ in stats)
+        wWR = max(wr for _, wr, _ in stats)
+        R_w = _round_up(R, wl_ba * 128)
+        auto_ok = False
+        if force_format is None and wWR <= WELL_MAX_WR and R >= 2048:
+            cost_well = 3 * wW * wWR * R_w
+            if use_dia == "ell":
+                auto_ok = True
+            elif use_dia == "bdia":
+                rest_nnz = total - kept_nnz
+                cost_bdia = 3 * len(bd_spec) * A128 * 128 \
+                    + 128 * rest_nnz
+                # bias toward BDIA near ties (its kernel is the more
+                # mature one)
+                auto_ok = cost_well < 0.7 * cost_bdia
+        if wW > 0 and (force_format == "well" or auto_ok):
+            use_dia, wl_wr = "well", wWR
+            wl_T = _round_up(R, wl_ba * 128) // (wl_ba * 128)
+            # well packs the ORIGINAL blocks; drop any embedding
+            embed_kind = "none"
+            emb_idx = np.zeros((S, 1), dtype=np.int32)
+            emb_mask = np.zeros((S, 1), dtype=np.float64)
+
     if use_dia == "bell":
         bl_src = np.zeros((S, bl_Wb, A128), dtype=np.int32)
         bl_idx = np.zeros((S, bl_Wb, A128, 128), dtype=np.int8)
@@ -498,6 +544,15 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         on_cols = np.zeros((S, W_on, R), dtype=np.int32)
         on_vals = np.zeros((S, W_on, R), dtype=npdt)
         dia_vals = np.zeros((S, K, fmt_R), dtype=npdt)
+    elif use_dia == "well":
+        # on_cols holds WINDOW-RELATIVE cols over the wl-tiled row space
+        W_on = max(1, wW)
+        R_w = wl_T * wl_ba * 128
+        fmt_R = R_w
+        on_cols = np.zeros((S, W_on, R_w), dtype=np.int32)
+        on_vals = np.zeros((S, W_on, R_w), dtype=npdt)
+        dia_vals = np.zeros((S, 1, 1), dtype=npdt)
+        dia_pad, dia_offsets = 1, (0,)
     else:
         if use_dia in ("bdia", "bell") and not need_transpose:
             W_on = 1   # ELL copy only serves spmv_T; skip when unused
@@ -514,6 +569,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     off_vals = np.zeros((S, W_off, B), dtype=npdt)
     row_mask = np.zeros((S, R), dtype=npdt)
     col_mask = np.zeros((S, C), dtype=npdt)
+    wl_ws = np.zeros((S, wl_T), dtype=np.int32)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
             dia_vals[s] = dia_arrays(fmt_blocks[s], union, fmt_R,
@@ -521,6 +577,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             if embed_kind != "none":
                 on_cols[s], on_vals[s] = ell_arrays(
                     blk.on_proc, R, on_cols.shape[1], dtype=npdt)
+        elif use_dia == "well":
+            wl_ws[s], on_cols[s], on_vals[s] = wind_ell_arrays(
+                blk.on_proc, R, on_cols.shape[1], wl_wr, wl_ba, C,
+                dtype=npdt)
         else:
             if not ((use_dia in ("bdia", "bell"))
                     and not need_transpose):
@@ -555,6 +615,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         rest_rows=rest_rows, rest_cols=rest_cols,
         rest_vals=_np_as(rest_vals, npdt),
         emb_idx=emb_idx, emb_mask=_np_as(emb_mask, npdt),
+        wl_ws=wl_ws,
         send_idx=plan.send_idx, send_mask=_np_as(plan.send_mask, npdt),
         halo_src=plan.halo_src, slot_to_halo=plan.slot_to_halo,
         recv_mask=_np_as(plan.recv_mask, npdt),
@@ -575,6 +636,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         rows_pad=R, cols_pad=C, halo_pad=plan.halo_pad, slot=plan.slot,
         dia_pad=dia_pad, dia_offsets=dia_offsets,
         bd_offsets=bd_offsets, bd_padb=bd_padb, bd_ba=bd_ba,
+        wl_wr=wl_wr, wl_ba=wl_ba,
         on_format=use_dia, embed_kind=embed_kind, on_rows_pad=fmt_R,
         # transpose path exists unless the bdia/bell W_on==1 shortcut
         # skipped the ELL copy (dia/embed keeps it; plain dia transposes
@@ -649,6 +711,17 @@ def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
             out = dia_spmv_pallas(A.dia_offsets, A.dia_vals, x, A.dia_pad)
         if out is None:
             out = dia_spmv(A.dia_offsets, A.dia_vals, x, A.dia_pad)
+    elif A.on_format == "well":
+        from raptor_tpu.device.pallas_kernels import (
+            wind_ell_spmv_pallas, use_pallas)
+        out = None
+        if use_pallas():
+            out = wind_ell_spmv_pallas(A.wl_ws, A.on_cols, A.on_vals, x,
+                                       A.wl_wr, A.wl_ba, A.rows_pad)
+        if out is None:
+            out = wind_ell_spmv(A.wl_ws, A.on_cols, A.on_vals, x,
+                                A.wl_ba, A.wl_wr, A.rows_pad)
+        return out
     elif A.on_format == "bell":
         out = bell_spmv(A.bl_src, A.bl_idx, A.bl_vals, x,
                         A.on_rows_pad)
@@ -676,6 +749,11 @@ def on_spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
     if A.on_format == "dia" and A.embed_kind == "none":
         return dia_spmv_T(A.dia_offsets, A.dia_vals, x, A.cols_pad,
                           A.dia_pad)
+    if A.on_format == "well":
+        # reconstruct absolute cols; OOB pad scatters carry val 0
+        cols = wind_ell_cols(A.wl_ws, A.on_cols, A.wl_ba)
+        xp = jnp.pad(x, (0, A.on_vals.shape[1] - x.shape[0]))
+        return ell_spmv_T(cols, A.on_vals, xp, A.cols_pad)
     if not A.has_t:
         raise ValueError(
             "matrix was packed with need_transpose=False; rebuild with "

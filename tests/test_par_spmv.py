@@ -105,3 +105,57 @@ def test_bell_format_forced():
     y = dpar._shard_op(dpar.spmv_shard, mesh, dA, xd)
     yh = dpar.host_vector(np.asarray(y), A.partition.row_bounds)
     np.testing.assert_allclose(yh, A.mult(x), atol=1e-12)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_well_format_forced(n_shards):
+    """Windowed ELL (transfer-operator format) matches the host SpMV and
+    SpMV^T when forced, including non-multiple-of-tile row counts."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.gallery.stencils import laplace_stencil_27pt
+    A = par_stencil_grid(laplace_stencil_27pt(), (14, 14, 14), n_shards)
+    mesh = dpar.make_mesh(n_shards)
+    dA = dpar.device_put_matrix(A, mesh, dtype=jnp.float64,
+                                force_format="well")
+    assert dA.on_format == "well"
+    rng = np.random.default_rng(3)
+    x = rng.random(A.global_num_cols)
+    xd = dpar.device_put_vector(x, A.partition.col_bounds, dA.cols_pad,
+                                mesh, dtype=jnp.float64)
+    y = dpar._shard_op(dpar.spmv_shard, mesh, dA, xd)
+    yh = dpar.host_vector(np.asarray(y), A.partition.row_bounds)
+    np.testing.assert_allclose(yh, A.mult(x), atol=1e-12)
+    # transpose path (reconstructed absolute cols)
+    r = rng.random(A.global_num_rows)
+    rd = dpar.device_put_vector(r, A.partition.row_bounds, dA.rows_pad,
+                                mesh, dtype=jnp.float64)
+    z = dpar.spmv_T(mesh, dA, rd)
+    zh = dpar.host_vector(np.asarray(z), A.partition.col_bounds)
+    np.testing.assert_allclose(zh, A.mult_T(r), atol=1e-12)
+
+
+def test_well_auto_selected_for_3d_transfer():
+    """A 3-D extended+i prolongator auto-selects windowed ELL (the
+    per-entry ELL fallback it replaces was the whole 3-D solve cost)."""
+    import jax.numpy as jnp
+
+    from raptor_tpu.core.types import CoarsenType, InterpType
+    from raptor_tpu.gallery.stencils import laplace_stencil_27pt
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = par_stencil_grid(laplace_stencil_27pt(), (16, 16, 16), 1)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.PMIS, InterpType.Extended)
+    ml.max_levels = 2
+    ml.setup(A)
+    P = ml.levels[0].P
+    mesh = dpar.make_mesh(1)
+    dP = dpar.device_put_matrix(P, mesh, dtype=jnp.float64, embed="cols",
+                                need_transpose=False)
+    assert dP.on_format == "well", dP.on_format
+    x = np.random.default_rng(1).random(P.global_num_cols)
+    xd = dpar.device_put_vector(x, P.partition.col_bounds, dP.cols_pad,
+                                mesh, dtype=jnp.float64)
+    y = dpar._shard_op(dpar.spmv_shard, mesh, dP, xd)
+    yh = dpar.host_vector(np.asarray(y), P.partition.row_bounds)
+    np.testing.assert_allclose(yh, P.mult(x), atol=1e-12)
