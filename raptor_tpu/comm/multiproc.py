@@ -40,33 +40,23 @@ from raptor_tpu.comm.transport import (Transport, _extract_rows,
 from raptor_tpu.core.matrix import CSRMatrix
 
 
-class ProcessGroup:
-    """Rank-local handle on the process world: tagged P2P over one
-    multiprocessing inbox queue per rank + a shared collective seq."""
+class GroupBase:
+    """Collectives over an abstract tagged P2P send/recv — shared by the
+    fork-queue group (single machine) and the TCP socket group
+    (multi-host/DCN, comm/netgroup.py)."""
 
-    def __init__(self, rank: int, world: int, inboxes):
-        self.rank = int(rank)
-        self.world = int(world)
-        self.inboxes = inboxes
-        self._seq = 0
-        self._stash: Dict[Tuple, object] = {}
+    rank: int
+    world: int
 
     def next_seq(self) -> int:
         self._seq += 1
         return self._seq
 
     def send(self, dst: int, tag, payload) -> None:
-        if dst == self.rank:
-            self._stash[(tag, self.rank)] = payload
-            return
-        self.inboxes[dst].put((tag, self.rank, payload))
+        raise NotImplementedError
 
     def recv(self, tag, src: int):
-        key = (tag, src)
-        while key not in self._stash:
-            t, s, payload = self.inboxes[self.rank].get()
-            self._stash[(t, s)] = payload
-        return self._stash.pop(key)
+        raise NotImplementedError
 
     # --- generic collectives ------------------------------------------------
     def alltoall(self, payloads: List) -> List:
@@ -94,6 +84,31 @@ class ProcessGroup:
     def allgather(self, value) -> List:
         """Every rank's value, indexed by rank."""
         return self.alltoall([value] * self.world)
+
+
+class ProcessGroup(GroupBase):
+    """Rank-local handle on the process world: tagged P2P over one
+    multiprocessing inbox queue per rank + a shared collective seq."""
+
+    def __init__(self, rank: int, world: int, inboxes):
+        self.rank = int(rank)
+        self.world = int(world)
+        self.inboxes = inboxes
+        self._seq = 0
+        self._stash: Dict[Tuple, object] = {}
+
+    def send(self, dst: int, tag, payload) -> None:
+        if dst == self.rank:
+            self._stash[(tag, self.rank)] = payload
+            return
+        self.inboxes[dst].put((tag, self.rank, payload))
+
+    def recv(self, tag, src: int):
+        key = (tag, src)
+        while key not in self._stash:
+            t, s, payload = self.inboxes[self.rank].get()
+            self._stash[(t, s)] = payload
+        return self._stash.pop(key)
 
 
 class MultiProcessTransport(Transport):
@@ -159,18 +174,34 @@ class MultiProcessTransport(Transport):
 
     # --- collectives -------------------------------------------------------
     def allreduce_sum(self, local_scalars: List[float]) -> float:
-        return float(self.group.gather0_bcast(
-            float(np.sum(local_scalars)), lambda parts: float(np.sum(parts))))
+        return float(np.sum(self.group.allgather(
+            float(np.sum(local_scalars)))))
 
     def allreduce_vec(self, partials: List[np.ndarray],
                       op: str = "add") -> np.ndarray:
+        """Reduce-scatter + allgather over chunks via all-to-all — every
+        link carries ~n/world elements both phases (MPI's large-vector
+        allreduce), instead of rank 0 serializing O(world * n)
+        (the round-2 star topology this replaces)."""
         mine = np.sum(partials, axis=0) if op == "add" \
             else np.maximum.reduce(partials)
+        world = self.group.world
+        if world == 1:
+            return mine
+        flat = np.ascontiguousarray(mine).reshape(-1)
+        chunks = np.array_split(flat, world)
+        got = self.group.alltoall(chunks)        # got[src] = src's copy of my chunk
+        red = (np.sum(got, axis=0) if op == "add"
+               else np.maximum.reduce(got))
+        full = np.concatenate(self.group.allgather(red))
+        return full.reshape(mine.shape).astype(mine.dtype, copy=False)
 
-        def combine(parts):
-            return (np.sum(parts, axis=0) if op == "add"
-                    else np.maximum.reduce(parts))
-        return self.group.gather0_bcast(mine, combine)
+    def allgather_obj(self, obj) -> List:
+        return self.group.allgather(obj)
+
+    def alltoall_obj(self, payloads: List[List]) -> List[List]:
+        assert len(payloads) == 1
+        return [self.group.alltoall(list(payloads[0]))]
 
     def exscan_sum(self, local_scalars: List[float]) -> List[float]:
         all_sums = self.group.allgather(float(np.sum(local_scalars)))

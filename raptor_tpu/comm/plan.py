@@ -101,3 +101,69 @@ def build_comm_plan(a: ParCSRMatrix, lane_pad: int = 1) -> CommPlan:
 
     return CommPlan(S, Q, H, send_idx, send_mask, halo_src, halo_mask,
                     slot_to_halo, recv_mask, n_halo)
+
+
+def build_comm_plan_spmd(a: ParCSRMatrix, tr, lane_pad: int = 1) -> CommPlan:
+    """Rank-local plan build over a ``Transport``: the init_par_comm
+    handshake (core/comm_pkg.hpp:432-495) — each rank derives its recv
+    schedule from its own off_proc column map, learns its send schedule
+    from an all-to-all of wanted-column lists, and agrees on the global
+    pads (Q, H) by an allgather of local maxima. Produces arrays whose
+    leading dim covers only the LOCAL shards; with every shard local it
+    is value-identical to ``build_comm_plan``."""
+    part = a.partition
+    S = part.n_shards
+    shards = a.shards()
+    SL = len(shards)
+    fs = a.first_shard
+
+    cmaps = [np.asarray(blk.off_proc_column_map) for blk in shards]
+    owners_l = [part.col_owner(m) for m in cmaps]
+    # requester side: what each of my shards wants from every owner
+    req = []
+    halo_pos = []
+    for i in range(SL):
+        per_o = [np.zeros(0, dtype=np.int64)] * S
+        pos_o = [np.zeros(0, dtype=np.int64)] * S
+        for o in np.unique(owners_l[i]):
+            sel = owners_l[i] == o
+            per_o[int(o)] = cmaps[i][sel]
+            pos_o[int(o)] = np.nonzero(sel)[0]
+        req.append(per_o)
+        halo_pos.append(pos_o)
+    got = tr.alltoall_obj(req)   # got[i][r] = cols requester r wants of me
+
+    q_loc = max([1] + [len(g) for gi in got for g in gi]
+                + [len(x) for ri in req for x in ri])
+    h_loc = max([1] + [len(m) for m in cmaps])
+    Q = int(max(tr.allgather_obj(q_loc)))
+    H = _round_up(int(max(tr.allgather_obj(h_loc))), lane_pad)
+
+    send_idx = np.zeros((SL, S, Q), dtype=np.int32)
+    send_mask = np.zeros((SL, S, Q), dtype=np.float64)
+    halo_src = np.zeros((SL, H), dtype=np.int32)
+    halo_mask = np.zeros((SL, H), dtype=np.float64)
+    slot_to_halo = np.zeros((SL, S, Q), dtype=np.int32)
+    recv_mask = np.zeros((SL, S, Q), dtype=np.float64)
+    n_halo = np.array([len(m) for m in cmaps], dtype=np.int64)
+
+    for i in range(SL):
+        s = fs + i
+        c0 = int(part.col_bounds[s])
+        for r in range(S):
+            cr = len(got[i][r])
+            if cr:
+                send_idx[i, r, :cr] = (np.asarray(got[i][r],
+                                                  dtype=np.int64) - c0)
+                send_mask[i, r, :cr] = 1.0
+        for o in range(S):
+            c = len(halo_pos[i][o])
+            if c:
+                hpos = halo_pos[i][o]
+                halo_src[i, hpos] = o * Q + np.arange(c, dtype=np.int32)
+                halo_mask[i, hpos] = 1.0
+                slot_to_halo[i, o, :c] = hpos
+                recv_mask[i, o, :c] = 1.0
+
+    return CommPlan(S, Q, H, send_idx, send_mask, halo_src, halo_mask,
+                    slot_to_halo, recv_mask, n_halo)

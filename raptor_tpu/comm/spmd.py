@@ -32,8 +32,13 @@ class SpmdLevel:
     """One rank's slice of one hierarchy level."""
 
     a_local: ParCSRMatrix            # local view
-    p_block: Optional[CSRMatrix]     # this rank's P rows (global cols)
+    p_blocks: Optional[List[CSRMatrix]]  # this rank's P row blocks
+                                         # (global cols), one per local shard
     states: Optional[np.ndarray]     # replicated CF states of this level
+
+    @property
+    def p_block(self) -> Optional[CSRMatrix]:
+        return None if self.p_blocks is None else self.p_blocks[0]
 
 
 @dataclasses.dataclass
@@ -110,7 +115,7 @@ def spmd_rs_setup(a_local: ParCSRMatrix, weights: np.ndarray,
         cb = _coarse_bounds(states, part.row_bounds)
         c_blocks = ps.dist_rap(a, p_blocks, tr=tr, coarse_bounds=cb,
                                assemble=False)
-        levels.append(SpmdLevel(a, p_blocks[0], states))
+        levels.append(SpmdLevel(a, p_blocks, states))
 
         part_c = Partition(n_coarse, n_coarse, part.n_shards, cb, cb)
         a = ParCSRMatrix.from_local_rows(c_blocks, part_c,
@@ -171,7 +176,7 @@ def spmd_sa_setup(a_local: ParCSRMatrix, weights: np.ndarray,
         cb = csum[np.asarray(part.row_bounds)].astype(np.int64)
         c_blocks = ps.dist_rap(a, p_blocks, tr=tr, coarse_bounds=cb,
                                assemble=False)
-        levels.append(SpmdLevel(a, p_blocks[0], states))
+        levels.append(SpmdLevel(a, p_blocks, states))
 
         part_c = Partition(n_aggs, n_aggs, part.n_shards, cb, cb)
         a = ParCSRMatrix.from_local_rows(c_blocks, part_c,

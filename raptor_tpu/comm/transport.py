@@ -127,6 +127,21 @@ class Transport:
                     n_cols: int) -> List[CSRMatrix]:
         raise NotImplementedError
 
+    # --- small-object collectives (stat agreement / plan handshakes) -------
+    def allgather_obj(self, obj) -> List:
+        """Every rank's ``obj``, indexed by rank. Used to agree on
+        global format/padding statistics: each rank contributes its
+        local stats and every rank runs the same deterministic decision
+        on the gathered list (MPI_Allgather of plain data)."""
+        raise NotImplementedError
+
+    def alltoall_obj(self, payloads: List[List]) -> List[List]:
+        """``payloads[i][d]`` goes from my i-th local shard to shard
+        ``d``; returns ``got[i][src]`` = what shard ``src`` sent my i-th
+        local shard (the init_par_comm handshake wire,
+        core/comm_pkg.hpp:432-495)."""
+        raise NotImplementedError
+
     # --- shared glue -------------------------------------------------------
     def _src_blocks(self, src, row_bounds):
         """Normalize a matrix-row source to (per-LOCAL-shard global-col
@@ -204,6 +219,14 @@ class InProcessTransport(Transport):
                          local_arrays: List[np.ndarray]) -> np.ndarray:
         return (np.concatenate(local_arrays) if len(local_arrays) > 1
                 else np.asarray(local_arrays[0]))
+
+    def allgather_obj(self, obj) -> List:
+        return [obj]
+
+    def alltoall_obj(self, payloads: List[List]) -> List[List]:
+        # all shards local: a pure transpose
+        S = self.S
+        return [[payloads[src][i] for src in range(S)] for i in range(S)]
 
     def fetch_ids(self, local_vals: List[np.ndarray],
                   wanted_ids: List[np.ndarray]) -> List[np.ndarray]:

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from raptor_tpu.comm.plan import CommPlan, build_comm_plan
+from raptor_tpu.comm.plan import (CommPlan, build_comm_plan,
+                                  build_comm_plan_spmd)
 from raptor_tpu.core.par_matrix import ParCSRMatrix
 from raptor_tpu.device.formats import (
     bdia_arrays, bdia_plane_counts, bdia_split_rest, bdia_spmv,
@@ -298,34 +299,54 @@ def _remap_rows(blk, anchor: np.ndarray, space: int):
     return CSRMatrix(space, blk.n_cols, indptr, indices, data)
 
 
+def _gall(tr, obj):
+    """Gathered list of ``obj`` over all ranks (``[obj]`` in-process).
+    The caller runs the same deterministic reduction on the list on
+    every rank — the SPMD stat-agreement seam."""
+    return [obj] if tr is None else tr.allgather_obj(obj)
+
+
 def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                       dtype=jnp.float64, lane_pad: int = 1,
                       force_format: Optional[str] = None,
                       embed: Optional[str] = None,
-                      need_transpose: bool = True) -> DeviceParCSR:
+                      need_transpose: bool = True,
+                      tr=None) -> DeviceParCSR:
     """Build the device plan from a host ParCSRMatrix and shard it.
 
     The on_proc block format is chosen per matrix: DIA when every shard's
     block has <= MAX_DIA_OFFSETS distinct diagonals (stencil-structured);
     else BDIA when the 128-quantized block-offset planes fit the budget
     (quasi-banded, e.g. coarse Galerkin operators); else transposed-ELL
-    (BDIA keeps the ELL arrays too, for the transpose path)."""
+    (BDIA keeps the ELL arrays too, for the transpose path).
+
+    ``tr`` (a ``comm.Transport``): SPMD mode — ``a`` is a local view,
+    this process packs ONLY its shards, format/padding statistics are
+    agreed through transport allgathers, the halo plan comes from the
+    rank-local handshake, and placement uses
+    ``jax.make_array_from_single_device_arrays`` against the global
+    mesh (each controller uploads its addressable devices only). The
+    in-process path is the tr=None degenerate case of the same code."""
     part = a.partition
     S = part.n_shards
     assert S == mesh.devices.size, (S, mesh.devices.size)
     shards = a.shards()
-    plan: CommPlan = build_comm_plan(a, lane_pad=lane_pad)
+    SL = len(shards)
+    plan: CommPlan = (build_comm_plan(a, lane_pad=lane_pad) if tr is None
+                      else build_comm_plan_spmd(a, tr, lane_pad=lane_pad))
     # staging arrays are built directly in the device dtype: a float64
     # staging copy + conversion pass would double host packing traffic
     npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
 
     R = _round_up(max(1, part.max_local_rows), lane_pad)
     C = _round_up(max(1, part.max_local_cols), lane_pad)
-    W_off = max((int(np.diff(s.off_proc.indptr).max())
-                 if s.off_proc.nnz else 0) for s in shards)
+    W_off = max(_gall(tr, max(
+        (int(np.diff(s.off_proc.indptr).max())
+         if s.off_proc.nnz else 0) for s in shards)))
     # boundary row count (rows with >= 1 off_proc entry), uniform pad
-    B = max(int(np.count_nonzero(np.diff(s.off_proc.indptr)))
-            for s in shards)
+    B = max(_gall(tr, max(
+        int(np.count_nonzero(np.diff(s.off_proc.indptr)))
+        for s in shards)))
     B = _round_up(B, lane_pad) if B else 0
 
     # optional embedding: move a transfer operator's short axis (coarse
@@ -334,17 +355,20 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     # then costs one small scatter (cols) or gather (rows) plus
     # streaming planes, instead of a full-length gather.
     embed_kind = "none"
-    emb_idx = np.zeros((S, 1), dtype=np.int32)
-    emb_mask = np.zeros((S, 1), dtype=np.float64)
+    emb_idx = np.zeros((SL, 1), dtype=np.int32)
+    emb_mask = np.zeros((SL, 1), dtype=np.float64)
     fmt_blocks = [blk.on_proc for blk in shards]
     fmt_R = R
+    # embed feasibility from the (replicated) partition, so every rank
+    # decides identically without communication
+    max_on_cols = int(part.max_local_cols)
+    max_on_rows = int(part.max_local_rows)
     if (embed == "cols" and R % 128 == 0 and C % 128 == 0
-            and -(-max(blk.on_proc.n_cols
-                       for blk in shards) // 128) <= R // 128):
+            and -(-max_on_cols // 128) <= R // 128):
         # inverse block map: fine 128-block j <- coarse block inv[j]
         embed_kind, fmt_R = "cols", R
-        emb_idx = np.zeros((S, R // 128), dtype=np.int32)
-        emb_mask = np.zeros((S, R // 128), dtype=np.float64)
+        emb_idx = np.zeros((SL, R // 128), dtype=np.int32)
+        emb_mask = np.zeros((SL, R // 128), dtype=np.float64)
         new_blocks = []
         for s, blk in enumerate(shards):
             m = blk.on_proc.to_scipy().tocsc()
@@ -359,11 +383,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             new_blocks.append(_remap_cols(blk.on_proc, anchor, R))
         fmt_blocks = new_blocks
     elif (embed == "rows" and R % 128 == 0 and C % 128 == 0
-            and -(-max(blk.on_proc.n_rows
-                       for blk in shards) // 128) <= C // 128):
+            and -(-max_on_rows // 128) <= C // 128):
         # forward block map: coarse block k -> fine block bm[k]
         embed_kind, fmt_R = "rows", C
-        emb_idx = np.zeros((S, R // 128), dtype=np.int32)
+        emb_idx = np.zeros((SL, R // 128), dtype=np.int32)
         new_blocks = []
         for s, blk in enumerate(shards):
             bo = blk.on_proc
@@ -378,8 +401,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         fmt_blocks = new_blocks
 
     # decide on_proc format: DIA when the union of all shards' diagonal
-    # offset sets is small (static across shards for SPMD uniformity)
-    shard_offs = [dia_detect(blk, MAX_DIA_OFFSETS) for blk in fmt_blocks]
+    # offset sets is small (static across shards for SPMD uniformity);
+    # the per-shard stats are allgathered in SPMD mode so every rank
+    # reaches the same decision
+    shard_offs_l = [dia_detect(blk, MAX_DIA_OFFSETS) for blk in fmt_blocks]
+    shard_offs = [o for part_l in _gall(tr, shard_offs_l) for o in part_l]
     union = (np.unique(np.concatenate([o for o in shard_offs]))
              if all(o is not None for o in shard_offs) else None)
     A128 = -(-fmt_R // 128)
@@ -392,10 +418,14 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             # merge per-shard plane counts, keep the planes dense enough
             # that a streaming pass beats per-entry gather; the leftover
             # entries run through the compacted-gather 'rest' path
-            merged = {}
+            merged_l = {}
             for blk in fmt_blocks:
                 planes, counts = bdia_plane_counts(blk)
                 for p, c in zip(planes, counts):
+                    merged_l[p] = merged_l.get(p, 0) + int(c)
+            merged = {}
+            for md in _gall(tr, merged_l):
+                for p, c in md.items():
                     merged[p] = merged.get(p, 0) + int(c)
             itemsz = jnp.dtype(dtype).itemsize
             mem_cap = int(os.environ.get("RAPTOR_TPU_BDIA_MEM",
@@ -415,7 +445,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             # mostly zeros (low fill) or when too much falls to the
             # per-entry paths: compare streamed-slot estimates
             # (REST_PEN ~ measured per-entry gather penalty vs streaming)
-            stats = [bell_stats(blk) for blk in fmt_blocks]
+            stats = [st for p_l in _gall(
+                tr, [bell_stats(blk) for blk in fmt_blocks])
+                for st in p_l]
             Wb = max((w for w, _ in stats), default=0)
             # BELL auto-selection is opt-in: its XLA row-gather SpMV is
             # fast on CPU meshes but measured slow on this TPU (needs a
@@ -438,16 +470,16 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                         use_dia = "bell"
     if use_dia == "bell":
         if force_format == "bell":
-            bl_Wb = max((bell_stats(blk)[0] for blk in fmt_blocks),
-                        default=0)
+            bl_Wb = max(_gall(tr, max(
+                (bell_stats(blk)[0] for blk in fmt_blocks), default=0)))
         else:
             bl_Wb = Wb  # stats computed over fmt_blocks (embedding kept)
     if use_dia == "ell":
         # embedding only pays off through DIA/BDIA/BELL
         embed_kind, fmt_R = "none", R
         fmt_blocks = [blk.on_proc for blk in shards]
-        emb_idx = np.zeros((S, 1), dtype=np.int32)
-        emb_mask = np.zeros((S, 1), dtype=np.float64)
+        emb_idx = np.zeros((SL, 1), dtype=np.int32)
+        emb_mask = np.zeros((SL, 1), dtype=np.float64)
 
     # windowed ELL: rescue matrices headed for per-entry ELL gathers —
     # or for a sparse-filled BDIA plane set — whose per-tile column
@@ -459,7 +491,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     wl_ba, wl_wr, wl_T = 8, 0, 1
     if (use_dia in ("ell", "bdia") or force_format == "well") \
             and os.environ.get("RAPTOR_TPU_WELL", "1") == "1":
-        stats = [wind_ell_stats(blk.on_proc, R, wl_ba) for blk in shards]
+        stats = [st for p_l in _gall(
+            tr, [wind_ell_stats(blk.on_proc, R, wl_ba) for blk in shards])
+            for st in p_l]
         wW = max(w for w, _, _ in stats)
         wWR = max(wr for _, wr, _ in stats)
         R_w = _round_up(R, wl_ba * 128)
@@ -480,17 +514,17 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             wl_T = _round_up(R, wl_ba * 128) // (wl_ba * 128)
             # well packs the ORIGINAL blocks; drop any embedding
             embed_kind = "none"
-            emb_idx = np.zeros((S, 1), dtype=np.int32)
-            emb_mask = np.zeros((S, 1), dtype=np.float64)
+            emb_idx = np.zeros((SL, 1), dtype=np.int32)
+            emb_mask = np.zeros((SL, 1), dtype=np.float64)
 
     if use_dia == "bell":
-        bl_src = np.zeros((S, bl_Wb, A128), dtype=np.int32)
-        bl_idx = np.zeros((S, bl_Wb, A128, 128), dtype=np.int8)
-        bl_vals = np.zeros((S, bl_Wb, A128, 128), dtype=npdt)
+        bl_src = np.zeros((SL, bl_Wb, A128), dtype=np.int32)
+        bl_idx = np.zeros((SL, bl_Wb, A128, 128), dtype=np.int8)
+        bl_vals = np.zeros((SL, bl_Wb, A128, 128), dtype=npdt)
     else:
-        bl_src = np.zeros((S, 0, 1), dtype=np.int32)
-        bl_idx = np.zeros((S, 0, 1, 128), dtype=np.int8)
-        bl_vals = np.zeros((S, 0, 1, 128), dtype=npdt)
+        bl_src = np.zeros((SL, 0, 1), dtype=np.int32)
+        bl_idx = np.zeros((SL, 0, 1, 128), dtype=np.int8)
+        bl_vals = np.zeros((SL, 0, 1, 128), dtype=npdt)
 
     bd_offsets, bd_padb, bd_ba = (), 1, 0
     rest_shards = fmt_blocks
@@ -508,25 +542,27 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 bd_ba = cand
                 break
         A_pad = _round_up(A128, bd_ba) if bd_ba else A128
-        bd_idx = np.zeros((S, Pn, A_pad, 128), dtype=np.int8)
-        bd_vals = np.zeros((S, Pn, A_pad, 128), dtype=npdt)
+        bd_idx = np.zeros((SL, Pn, A_pad, 128), dtype=np.int8)
+        bd_vals = np.zeros((SL, Pn, A_pad, 128), dtype=npdt)
         rest_shards = [bdia_split_rest(blk, bd_spec) for blk in fmt_blocks]
     else:
-        bd_idx = np.zeros((S, 0, 1, 128), dtype=np.int8)
-        bd_vals = np.zeros((S, 0, 1, 128), dtype=npdt)
+        bd_idx = np.zeros((SL, 0, 1, 128), dtype=np.int8)
+        bd_vals = np.zeros((SL, 0, 1, 128), dtype=npdt)
 
     # bdia 'rest' entries: boundary-compacted local-gather ELL
     if use_dia == "bdia":
-        Wr = max((int(np.diff(r.indptr).max()) if r.nnz else 0)
-                 for r in rest_shards)
-        Br = max(int(np.count_nonzero(np.diff(r.indptr)))
-                 for r in rest_shards)
+        Wr = max(_gall(tr, max(
+            (int(np.diff(r.indptr).max()) if r.nnz else 0)
+            for r in rest_shards)))
+        Br = max(_gall(tr, max(
+            int(np.count_nonzero(np.diff(r.indptr)))
+            for r in rest_shards)))
         Br = _round_up(Br, lane_pad) if Br else 0
     else:
         Wr = Br = 0
-    rest_rows = np.full((S, Br), fmt_R, dtype=np.int32)
-    rest_cols = np.zeros((S, Wr, Br), dtype=np.int32)
-    rest_vals = np.zeros((S, Wr, Br), dtype=npdt)
+    rest_rows = np.full((SL, Br), fmt_R, dtype=np.int32)
+    rest_cols = np.zeros((SL, Wr, Br), dtype=np.int32)
+    rest_vals = np.zeros((SL, Wr, Br), dtype=npdt)
 
     if use_dia == "dia":
         if len(union) == 0:
@@ -537,39 +573,41 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         if embed_kind != "none":
             # embedded DIA is forward-only: keep real ELL of the ORIGINAL
             # block for the transpose path
-            W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
-                               if s.on_proc.nnz else 0) for s in shards))
+            W_on = max(_gall(tr, max(
+                1, max((int(np.diff(s.on_proc.indptr).max())
+                        if s.on_proc.nnz else 0) for s in shards))))
         else:
             W_on = 1
-        on_cols = np.zeros((S, W_on, R), dtype=np.int32)
-        on_vals = np.zeros((S, W_on, R), dtype=npdt)
-        dia_vals = np.zeros((S, K, fmt_R), dtype=npdt)
+        on_cols = np.zeros((SL, W_on, R), dtype=np.int32)
+        on_vals = np.zeros((SL, W_on, R), dtype=npdt)
+        dia_vals = np.zeros((SL, K, fmt_R), dtype=npdt)
     elif use_dia == "well":
         # on_cols holds WINDOW-RELATIVE cols over the wl-tiled row space
         W_on = max(1, wW)
         R_w = wl_T * wl_ba * 128
         fmt_R = R_w
-        on_cols = np.zeros((S, W_on, R_w), dtype=np.int32)
-        on_vals = np.zeros((S, W_on, R_w), dtype=npdt)
-        dia_vals = np.zeros((S, 1, 1), dtype=npdt)
+        on_cols = np.zeros((SL, W_on, R_w), dtype=np.int32)
+        on_vals = np.zeros((SL, W_on, R_w), dtype=npdt)
+        dia_vals = np.zeros((SL, 1, 1), dtype=npdt)
         dia_pad, dia_offsets = 1, (0,)
     else:
         if use_dia in ("bdia", "bell") and not need_transpose:
             W_on = 1   # ELL copy only serves spmv_T; skip when unused
         else:
-            W_on = max(1, max((int(np.diff(s.on_proc.indptr).max())
-                               if s.on_proc.nnz else 0) for s in shards))
-        on_cols = np.zeros((S, W_on, R), dtype=np.int32)
-        on_vals = np.zeros((S, W_on, R), dtype=npdt)
-        dia_vals = np.zeros((S, 1, fmt_R), dtype=npdt)
+            W_on = max(_gall(tr, max(
+                1, max((int(np.diff(s.on_proc.indptr).max())
+                        if s.on_proc.nnz else 0) for s in shards))))
+        on_cols = np.zeros((SL, W_on, R), dtype=np.int32)
+        on_vals = np.zeros((SL, W_on, R), dtype=npdt)
+        dia_vals = np.zeros((SL, 1, fmt_R), dtype=npdt)
         dia_pad, dia_offsets = 1, (0,)
 
-    off_rows = np.full((S, B), R, dtype=np.int32)
-    off_cols = np.zeros((S, W_off, B), dtype=np.int32)
-    off_vals = np.zeros((S, W_off, B), dtype=npdt)
-    row_mask = np.zeros((S, R), dtype=npdt)
-    col_mask = np.zeros((S, C), dtype=npdt)
-    wl_ws = np.zeros((S, wl_T), dtype=np.int32)
+    off_rows = np.full((SL, B), R, dtype=np.int32)
+    off_cols = np.zeros((SL, W_off, B), dtype=np.int32)
+    off_vals = np.zeros((SL, W_off, B), dtype=npdt)
+    row_mask = np.zeros((SL, R), dtype=npdt)
+    col_mask = np.zeros((SL, C), dtype=npdt)
+    wl_ws = np.zeros((SL, wl_T), dtype=np.int32)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
             dia_vals[s] = dia_arrays(fmt_blocks[s], union, fmt_R,
@@ -622,14 +660,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         row_mask=_np_as(row_mask, npdt),
         col_mask=_np_as(col_mask, npdt),
     )
-    names = list(staged)
-    arrs = [np.asarray(staged[k]) for k in names]
-    shardings = [
-        jax.sharding.NamedSharding(
-            mesh, P(_leading_axes(mesh), *([None] * (a.ndim - 1))))
-        for a in arrs]
-    put = jax.device_put(arrs, shardings)
-    dev = dict(zip(names, put))
+    dev = put_stacked(staged, mesh, tr=tr, first_shard=a.first_shard)
 
     return DeviceParCSR(
         **dev,
@@ -648,6 +679,53 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     )
 
 
+# --- placement ---------------------------------------------------------------
+
+def put_stacked(staged: dict, mesh: Mesh, tr=None,
+                first_shard: int = 0) -> dict:
+    """Place a dict of [S_local, ...] host arrays with the leading axis
+    sharded over the mesh.
+
+    In-process (tr=None): S_local covers the whole mesh — one batched
+    ``device_put`` (per-leaf puts pay the host->device round trip ~20x
+    per matrix). SPMD (tr set): each controller holds only its shards
+    and builds the global arrays with
+    ``jax.make_array_from_single_device_arrays`` — shard s of the
+    leading axis lives on mesh device s, and this process uploads only
+    its addressable slice [first_shard, first_shard + S_local)."""
+    names = list(staged)
+    arrs = [np.asarray(staged[k]) for k in names]
+    ax = _leading_axes(mesh)
+    shardings = [
+        jax.sharding.NamedSharding(mesh, P(ax, *([None] * (a.ndim - 1))))
+        for a in arrs]
+    if tr is None:
+        return dict(zip(names, jax.device_put(arrs, shardings)))
+    S = mesh.devices.size
+    devs = list(mesh.devices.flat)
+    out = {}
+    for k, arr, sh in zip(names, arrs, shardings):
+        SL = arr.shape[0]
+        gshape = (S,) + arr.shape[1:]
+        pieces = [jax.device_put(arr[i:i + 1], devs[first_shard + i])
+                  for i in range(SL)]
+        out[k] = jax.make_array_from_single_device_arrays(
+            gshape, sh, pieces)
+    return out
+
+
+def put_replicated(x: np.ndarray, mesh: Mesh, tr=None) -> jnp.ndarray:
+    """Fully-replicated placement over the mesh (redundant coarse LU
+    factors, par_multilevel.hpp:223-333). SPMD: every controller holds
+    the identical value and uploads its addressable devices' copies."""
+    x = np.asarray(x)
+    sh = jax.sharding.NamedSharding(mesh, P())
+    if tr is None:
+        return jax.device_put(x, sh)
+    pieces = [jax.device_put(x, d) for d in mesh.local_devices]
+    return jax.make_array_from_single_device_arrays(x.shape, sh, pieces)
+
+
 # --- vectors -----------------------------------------------------------------
 
 def device_put_vector(x: np.ndarray, bounds: np.ndarray, pad: int,
@@ -659,6 +737,24 @@ def device_put_vector(x: np.ndarray, bounds: np.ndarray, pad: int,
         n = int(bounds[s + 1] - bounds[s])
         out[s, :n] = x[bounds[s]:bounds[s + 1]]
     return _shard_leading(out, mesh, dtype)
+
+def device_put_vector_local(x_locals, bounds: np.ndarray, pad: int,
+                            mesh: Mesh, dtype=jnp.float64,
+                            first_shard: int = 0, tr=None) -> jnp.ndarray:
+    """Per-rank vector placement: ``x_locals`` holds ONLY this process's
+    shard slices (list, one per local shard); the global [S, pad] device
+    array is assembled via the SPMD path of ``put_stacked``."""
+    target = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
+    SL = len(x_locals)
+    out = np.zeros((SL, pad), dtype=target)
+    for i, xl in enumerate(x_locals):
+        s = first_shard + i
+        n = int(bounds[s + 1] - bounds[s])
+        assert len(xl) == n, (len(xl), n)
+        out[i, :n] = xl
+    return put_stacked({"v": out}, mesh, tr=tr,
+                       first_shard=first_shard)["v"]
+
 
 def host_vector(x: jnp.ndarray, bounds: np.ndarray) -> np.ndarray:
     """Sharded padded [S, pad] -> global host vector."""

@@ -163,18 +163,59 @@ def _schedule_arrays(tri: CSRMatrix, levels: List[np.ndarray],
     return rows, mask, cols, vals
 
 
+def _cheb_interval(a: ParCSRMatrix, tr=None):
+    """Chebyshev interval: power-iteration estimate of lambda_max of
+    D^{-1}A; [0.3*lmax, 1.1*lmax] per hypre practice. Computed
+    shard-wise over replicated iterates in BOTH the in-process and SPMD
+    paths (identical arithmetic, so a multi-controller hierarchy
+    bit-matches the in-process one); SPMD concatenates the per-rank
+    slices through the transport."""
+    part = a.partition
+    shards = a.shards()
+    n = part.global_num_rows
+    rng_v = np.random.default_rng(42).random(n) + 0.1
+    v = rng_v / np.linalg.norm(rng_v)
+    invd = []
+    for blk in shards:
+        d = blk.on_proc.diagonal()
+        invd.append(np.where(np.abs(d) > ZERO_TOL, d, 1.0))
+    lmax = 1.0
+    for _ in range(12):
+        locs = []
+        for i, blk in enumerate(shards):
+            s = a.first_shard + i
+            c0, c1 = int(part.col_bounds[s]), int(part.col_bounds[s + 1])
+            w = blk.on_proc.mult(v[c0:c1])
+            if blk.off_proc.nnz:
+                w = w + blk.off_proc.mult(
+                    v[np.asarray(blk.off_proc_column_map)])
+            locs.append(w / invd[i])
+        w_full = (np.concatenate(locs) if tr is None
+                  else tr.allgather_concat(locs))
+        nw = np.linalg.norm(w_full)
+        if nw <= 0:
+            break
+        lmax, v = nw, w_full / nw
+    return 0.3 * float(lmax), 1.1 * float(lmax)
+
+
 def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
-                dtype=jnp.float64, need=("tri", "color")) -> DeviceRelax:
+                dtype=jnp.float64, need=("tri", "color"),
+                tr=None) -> DeviceRelax:
     """Host-side construction of the relaxation plan.
 
     ``need`` selects the heavy plans: "tri" builds the level-scheduled
     triangular sweeps and L/U ELL blocks (SOR/SSOR/Jacobi row sums),
     "color" the greedy coloring masks (multicolor GS). Chebyshev and
     l1-Jacobi need neither — skipping them saves O(nnz)-scale arrays
-    per level (the difference between fitting 2048^2 in HBM or not)."""
+    per level (the difference between fitting 2048^2 in HBM or not).
+
+    ``tr``: SPMD mode (see device_put_matrix) — pack only the local
+    shards, agree on pad dims through transport allgathers."""
     shards = a.shards()
     S = len(shards)
     R = dA.rows_pad
+    from raptor_tpu.device.par import _gall
     need_tri = "tri" in need
     need_color = "color" in need
 
@@ -196,16 +237,19 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
         per_shard.append((diag, low, up, fl, bl))
         colorings.append(_greedy_coloring(blk.on_proc) if need_color
                          else np.zeros(1, dtype=np.int64))
-    NC = max(1, max(int(c.max()) + 1 if len(c) else 1 for c in colorings))
-
-    NLf = max(len(p[3]) for p in per_shard)
-    NLb = max(len(p[4]) for p in per_shard)
-    Mf = max(max((len(lv) for lv in p[3]), default=1) for p in per_shard)
-    Mb = max(max((len(lv) for lv in p[4]), default=1) for p in per_shard)
-    Wl = max(1, max((int(np.diff(p[1].indptr).max()) if p[1].nnz else 0)
-                    for p in per_shard))
-    Wu = max(1, max((int(np.diff(p[2].indptr).max()) if p[2].nnz else 0)
-                    for p in per_shard))
+    dims_l = (
+        max(1, max(int(c.max()) + 1 if len(c) else 1 for c in colorings)),
+        max(len(p[3]) for p in per_shard),
+        max(len(p[4]) for p in per_shard),
+        max(max((len(lv) for lv in p[3]), default=1) for p in per_shard),
+        max(max((len(lv) for lv in p[4]), default=1) for p in per_shard),
+        max(1, max((int(np.diff(p[1].indptr).max()) if p[1].nnz else 0)
+                   for p in per_shard)),
+        max(1, max((int(np.diff(p[2].indptr).max()) if p[2].nnz else 0)
+                   for p in per_shard)),
+    )
+    NC, NLf, NLb, Mf, Mb, Wl, Wu = (
+        max(d) for d in zip(*_gall(tr, dims_l)))
 
     diag_a = np.ones((S, R))
     has = np.zeros((S, R))
@@ -250,26 +294,11 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
         row_l1 = d + (onab - np.abs(d)) + offab
         l1[s, :n] = np.where(np.abs(row_l1) > ZERO_TOL, row_l1, 1.0)
 
-    # Chebyshev interval: power-iteration estimate of lambda_max(D^{-1}A)
-    # on the host global matrix; [0.3*lmax, 1.1*lmax] per hypre practice
-    gm = a.global_csr.to_scipy()
-    dg = gm.diagonal()
-    dg = np.where(np.abs(dg) > ZERO_TOL, dg, 1.0)
-    rng_v = np.random.default_rng(42).random(gm.shape[0]) + 0.1
-    v = rng_v / np.linalg.norm(rng_v)
-    lmax = 1.0
-    for _ in range(12):
-        w = (gm @ v) / dg
-        nw = np.linalg.norm(w)
-        if nw <= 0:
-            break
-        lmax, v = nw, w / nw
-    cheb_lo, cheb_hi = 0.3 * float(lmax), 1.1 * float(lmax)
+    cheb_lo, cheb_hi = _cheb_interval(a, tr=tr)
 
     # one batched device_put for every leaf (per-leaf puts pay the
     # host->device round trip ~17x per level)
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
     npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
     staged = dict(
         diag=_np(diag_a, npdt), inv_diag=_np(1.0 / diag_a, npdt),
@@ -282,12 +311,7 @@ def build_relax(a: ParCSRMatrix, mesh, dA: DeviceParCSR,
         bwd_cols=b_cols, bwd_vals=_np(b_vals, npdt),
         color_mask=_np(color_mask, npdt),
     )
-    names = list(staged)
-    arrs = [np.asarray(staged[k]) for k in names]
-    ax = dpar._leading_axes(mesh)
-    shardings = [NamedSharding(mesh, P(ax, *([None] * (x.ndim - 1))))
-                 for x in arrs]
-    dev = dict(zip(names, jax.device_put(arrs, shardings)))
+    dev = dpar.put_stacked(staged, mesh, tr=tr, first_shard=a.first_shard)
     return DeviceRelax(
         cheb_lo=cheb_lo, cheb_hi=cheb_hi,
         n_fwd_levels=NLf, n_bwd_levels=NLb, n_colors=NC,

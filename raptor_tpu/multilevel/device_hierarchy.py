@@ -132,7 +132,132 @@ class DeviceHierarchy:
 
         self.row_bounds = ml.levels[0].A.partition.row_bounds
         self.rows_pad = self.levels[0].A.rows_pad
+        self._fine_A = ml.levels[0].A
+        self._tr_factory = None
         self._solve_jit = None
+
+    # --- SPMD bridge: per-rank hierarchy -> global-mesh device solve --------
+    @classmethod
+    def from_spmd(cls, hier, mesh, make_transport, *,
+                  relax_type=None, num_smooth_sweeps: int = 1,
+                  relax_weight: float = 1.0, solve_tol: float = 1e-7,
+                  max_iterations: int = 100, dtype=jnp.float64,
+                  lane_pad: int = None) -> "DeviceHierarchy":
+        """Build the device solve plan from a per-rank ``SpmdHierarchy``
+        (comm/spmd.py): each controller packs and uploads ONLY its local
+        level slices onto its addressable devices of the global mesh.
+        Pad dims and format choices are agreed through the transport, so
+        every controller compiles the identical program; P^T comes from
+        the distributed transpose over the same seam. This closes the
+        setup->solve composition the reference gets for free from MPI
+        (every rank's ParCSRMatrix feeds ParMultilevel directly):
+        distributed setup output becomes a multi-host sharded solve with
+        no global matrix on any process.
+
+        ``make_transport(matrix) -> Transport`` binds the communication
+        context (InProcessTransport for single-controller validation;
+        a ProcessGroup-backed transport under real multi-controller
+        jax.distributed runs)."""
+        from raptor_tpu.core.partition import Partition
+        from raptor_tpu.core.par_matrix import ParCSRMatrix
+        from raptor_tpu.ruge_stuben import par_setup as ps
+        from raptor_tpu.core.types import RelaxType
+
+        self = cls.__new__(cls)
+        if lane_pad is None:
+            lane_pad = 128 if jax.devices()[0].platform == "tpu" else 1
+        self.mesh = mesh
+        self.dtype = dtype
+        self.ml = None
+        relax_type = relax_type or RelaxType.Chebyshev
+        self.relax_kind = RELAX_NAME[relax_type]
+        self.num_smooth_sweeps = num_smooth_sweeps
+        self.relax_weight = relax_weight
+        self.solve_tol = solve_tol
+        self.max_iterations = max_iterations
+        self.tap_amg = -1
+        self._tr_factory = make_transport
+        self._fine_A = hier.levels[0].a_local
+
+        need = {"jacobi": ("tri",), "sor": ("tri",), "ssor": ("tri",),
+                "mc_sor": ("color",), "mc_ssor": ("color",),
+                "l1_jacobi": (), "chebyshev": ()}[self.relax_kind]
+        levels = []
+        for i, lvl in enumerate(hier.levels):
+            a = lvl.a_local
+            tr = make_transport(a)
+            dA = device_put_matrix(a, mesh, dtype=dtype,
+                                   lane_pad=lane_pad,
+                                   need_transpose=False, tr=tr)
+            dRX = build_relax(a, mesh, dA, dtype=dtype, need=need, tr=tr)
+            dP = dPt = None
+            if lvl.p_blocks is not None:
+                part = a.partition
+                cb = hier.levels[i + 1].a_local.partition.row_bounds
+                part_p = Partition(part.global_num_rows,
+                                   int(cb[-1]), part.n_shards,
+                                   part.row_bounds, cb)
+                p_par = ParCSRMatrix.from_local_rows(
+                    lvl.p_blocks, part_p, first_shard=a.first_shard)
+                tr_p = make_transport(p_par)
+                dP = device_put_matrix(p_par, mesh, dtype=dtype,
+                                       lane_pad=lane_pad, embed="cols",
+                                       need_transpose=False, tr=tr_p)
+                t_blocks = ps.dist_transpose(p_par, tr=tr_p,
+                                             assemble=False)
+                pt_par = ParCSRMatrix.from_local_rows(
+                    t_blocks, part_p.transpose(),
+                    first_shard=a.first_shard)
+                dPt = device_put_matrix(pt_par, mesh, dtype=dtype,
+                                        lane_pad=lane_pad, embed="rows",
+                                        need_transpose=False,
+                                        tr=make_transport(pt_par))
+            levels.append(DeviceLevel(dA, dRX, dP, dPt, None, None, None))
+        self.levels = tuple(levels)
+
+        lu, piv = hier.coarse_lu
+        npdt = np.dtype(jax.dtypes.canonicalize_dtype(dtype))
+        self.lu = dpar.put_replicated(np.asarray(lu, dtype=npdt), mesh,
+                                      tr=make_transport(
+                                          hier.levels[-1].a_local))
+        self.piv = dpar.put_replicated(np.asarray(piv, dtype=np.int32),
+                                       mesh,
+                                       tr=make_transport(
+                                           hier.levels[-1].a_local))
+        a_c = hier.levels[-1].a_local
+        part_c = a_c.partition
+        Rc = self.levels[-1].A.rows_pad
+        n_c = part_c.global_num_rows
+        S = part_c.n_shards
+        gather_idx = np.zeros(n_c, dtype=np.int32)
+        for s in range(S):
+            r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
+            gather_idx[r0:r1] = s * Rc + np.arange(r1 - r0)
+        self.gather_idx = gather_idx
+        SL = len(a_c.shards())
+        ct_local = np.zeros((SL, Rc), dtype=np.int32)
+        for i in range(SL):
+            s = a_c.first_shard + i
+            r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
+            ct_local[i, :r1 - r0] = np.arange(r0, r1)
+        self.coarse_take = dpar.put_stacked(
+            {"ct": ct_local}, mesh, tr=make_transport(a_c),
+            first_shard=a_c.first_shard)["ct"]
+
+        self.row_bounds = hier.levels[0].a_local.partition.row_bounds
+        self.rows_pad = self.levels[0].A.rows_pad
+        self._solve_jit = None
+        return self
+
+    def vector_local(self, x_locals) -> jnp.ndarray:
+        """Per-rank fine-level vector placement (SPMD twin of
+        ``vector()``): ``x_locals`` holds only this process's shard
+        slices."""
+        a = self._fine_A
+        tr = self._tr_factory(a) if self._tr_factory else None
+        return dpar.device_put_vector_local(
+            x_locals, self.row_bounds, self.rows_pad, self.mesh,
+            dtype=self.dtype, first_shard=a.first_shard, tr=tr)
 
     # --- shard-level building blocks ------------------------------------------
     def _relax(self, A, RX, x, b, T=None):
@@ -250,11 +375,12 @@ class DeviceHierarchy:
         if getattr(self, "_dA64", None) is None:
             # the f64 fine-level matrix is invariant for the hierarchy:
             # upload once, not per call (seconds through the remote relay)
-            A_host = self.ml.levels[0].A
+            A_host = self._fine_A
             lane_pad = 128 if jax.devices()[0].platform == "tpu" else 1
+            tr = self._tr_factory(A_host) if self._tr_factory else None
             self._dA64 = device_put_matrix(A_host, mesh, dtype=jnp.float64,
                                            lane_pad=lane_pad,
-                                           need_transpose=False)
+                                           need_transpose=False, tr=tr)
         dA64 = self._dA64
         x = dpar.device_put_vector(np.asarray(x64, np.float64),
                                    self.row_bounds, dA64.rows_pad, mesh,

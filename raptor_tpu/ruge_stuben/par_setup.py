@@ -441,20 +441,20 @@ def dist_rap(a: ParCSRMatrix, p,
     triplets = []
     for s, blk in enumerate(shards):
         on, off = blk.on_proc, blk.off_proc
-        n = on.n_rows
-        # local rows of P (global coarse cols)
-        p_loc = p_blocks[s].to_scipy()
+        # local rows of P (global coarse cols); local products run the
+        # NATIVE Gustavson / transpose-SpGEMM kernels — the same code
+        # the host-global path uses (csrc spgemm/spgemm_t), not scipy
+        p_loc = p_blocks[s]
         hi, hc, hv = halo_rows[s]
-        p_halo = sp.csr_matrix((hv, hc, hi),
-                               shape=(len(wanted[s]), n_coarse))
-        a_on = sp.csr_matrix((on.data, on.indices, on.indptr),
-                             shape=(n, on.n_cols))
-        a_off = sp.csr_matrix((off.data, off.indices, off.indptr),
-                              shape=(n, max(1, len(wanted[s]))))
-        ap = (a_on @ p_loc
-              + (a_off @ p_halo if off.nnz else 0.0)).tocsr()
-        cpart = (p_loc.T @ ap).tocoo()
-        triplets.append((cpart.row, cpart.col, cpart.data))
+        ap = on.multiply(p_loc)
+        if off.nnz:
+            p_halo = CSRMatrix(len(wanted[s]), n_coarse,
+                               np.asarray(hi, dtype=np.int64),
+                               np.asarray(hc, dtype=np.int64),
+                               np.asarray(hv))
+            ap = ap.add(off.multiply(p_halo))
+        cpart = p_loc.T_multiply(ap)
+        triplets.append((cpart.row_ids(), cpart.indices, cpart.data))
 
     c_blocks = tr.reduce_rows(triplets, coarse_bounds, n_coarse)
     c_blocks = [c.drop(ZERO_TOL) for c in c_blocks]
