@@ -143,6 +143,12 @@ def bench_amg(extras):
     from raptor_tpu.gallery.stencils import (
         diffusion_stencil_2d, laplace_stencil_27pt, par_stencil_grid)
     from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+    from raptor_tpu.utils.hostmem import pin_arena
+
+    # keep setup's large transient buffers in the persistent heap arena
+    # (cold runs otherwise pay first-touch faults on every fresh mmap:
+    # 103 s cold vs 26-45 s warm at 2048^2 in round 2)
+    pin_arena(prefault_bytes=0 if FAST else 6 << 30)
 
     n_dev = len(jax.devices())
 
@@ -183,6 +189,8 @@ def bench_amg(extras):
     rap_t = sum(s[2] for s in ml3.rap_stats)
     extras["rap_nnz_per_s_lap27_128cubed"] = round(
         rap_nnz / max(rap_t, 1e-9))
+    for name, t in sorted(ml3.setup_times.times.items()):
+        extras[f"setup_phase_{name}_s_lap27"] = round(t, 3)
     _solve_to_1e8(ml3, A3, "lap27_128cubed", extras)
 
 

@@ -49,6 +49,11 @@ class SolveResult(NamedTuple):
     x: jnp.ndarray
     res: jnp.ndarray      # relative residual history, padded with -1
     n_iters: jnp.ndarray
+    # True when the iteration stopped on stagnation (residual reduction
+    # < 0.1% over several consecutive cycles) rather than the tolerance
+    # — typically the f32 relative-residual floor (~1e-5..1e-6); use
+    # solve_mixed for tolerances below it
+    stalled: jnp.ndarray = None
 
 
 class DeviceHierarchy:
@@ -314,21 +319,32 @@ class DeviceHierarchy:
         res_hist = jnp.full(max_iter + 1, -1.0, dtype=b.dtype
                             ).at[0].set(r_norm)
 
+        # stagnation guardrail: several consecutive cycles with < 0.1%
+        # residual reduction means the iteration hit a floor (usually
+        # the f32 relative-residual limit) — stop and flag instead of
+        # silently burning cycles (round-2 verdict: plain f32 solve
+        # stalled invisibly below ~1e-5)
+        STALL_RATIO, STALL_RUN = 0.999, 4
+
         def cond(state):
-            x, r_norm, k, res = state
-            return (r_norm > self.solve_tol) & (k < max_iter)
+            x, r_norm, k, res, run = state
+            return ((r_norm > self.solve_tol) & (k < max_iter)
+                    & (run < STALL_RUN))
 
         def body(state):
-            x, r_norm, k, res = state
+            x, r_norm, k, res, run = state
             x = self.vcycle_shard(levels, lu, piv, coarse_take, x, b)
-            r_norm = rel_norm(b - self._spmv(levels[0].A, levels[0].TA, x))
+            new_norm = rel_norm(b - self._spmv(levels[0].A,
+                                               levels[0].TA, x))
+            run = jnp.where(new_norm > STALL_RATIO * r_norm, run + 1, 0)
             k = k + 1
-            res = res.at[k].set(r_norm)
-            return x, r_norm, k, res
+            res = res.at[k].set(new_norm)
+            return x, new_norm, k, res, run
 
-        x, r_norm, k, res = jax.lax.while_loop(
-            cond, body, (x, r_norm, jnp.array(0), res_hist))
-        return x, res, k
+        x, r_norm, k, res, run = jax.lax.while_loop(
+            cond, body, (x, r_norm, jnp.array(0), res_hist,
+                         jnp.array(0)))
+        return x, res, k, (run >= STALL_RUN) & (r_norm > self.solve_tol)
 
     # --- global entry ----------------------------------------------------------
     def solve(self, x, b) -> SolveResult:
@@ -341,22 +357,23 @@ class DeviceHierarchy:
                 def bodyfn(levels, lu, piv, coarse_take, x, b):
                     levels = jax.tree.map(lambda l: l[0], levels)
                     ct = coarse_take[0]
-                    xo, res, k = self.solve_shard(levels, lu, piv, ct,
-                                                  x[0], b[0])
-                    return xo[None], res, k
+                    xo, res, k, st = self.solve_shard(levels, lu, piv,
+                                                      ct, x[0], b[0])
+                    return xo[None], res, k, st
 
                 in_specs = (dpar.leaf_specs(levels, ax), P(), P(),
                             P(ax, None), P(ax, None), P(ax, None))
                 return jax.shard_map(
                     bodyfn, mesh=mesh, in_specs=in_specs,
-                    out_specs=(P(ax, None), P(), P()))(
+                    out_specs=(P(ax, None), P(), P(), P()))(
                         levels, lu, piv, coarse_take, x, b)
 
             self._solve_jit = jax.jit(run)
         with dpar.use_comm_axes(dpar._leading_axes(self.mesh)):
-            x, res, k = self._solve_jit(self.levels, self.lu, self.piv,
-                                        self.coarse_take, x, b)
-        return SolveResult(x, res, k)
+            x, res, k, st = self._solve_jit(self.levels, self.lu,
+                                            self.piv, self.coarse_take,
+                                            x, b)
+        return SolveResult(x, res, k, st)
 
     # --- mixed-precision iterative refinement -----------------------------------
     def solve_mixed(self, x64: np.ndarray, b64: np.ndarray,

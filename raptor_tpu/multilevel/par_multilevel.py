@@ -61,6 +61,11 @@ class ParMultilevel:
 
     def setup_helper(self, af: ParCSRMatrix) -> None:
         """par_multilevel.hpp:120-206."""
+        # keep setup's large transient buffers in the persistent heap
+        # arena (first-touch page faults on fresh mmaps doubled cold
+        # setups; utils/hostmem.py has the measurements)
+        from raptor_tpu.utils.hostmem import pin_arena
+        pin_arena()
         self.levels = [Level(A=af.copy())]
         if self.weights is None:
             # reference: per-rank srand(2448422 + first_local_row); the
