@@ -26,11 +26,25 @@ def _system(n_shards):
 
 @pytest.mark.parametrize("n_shards", [1, 4, 8])
 def test_bicgstab_golden(test_data, n_shards):
+    """Full-history check against bicgstab_res.txt. BiCGStab
+    trajectories are chaotically sensitive to FP summation order (the
+    reference ships a reproducibility STUDY for exactly this,
+    test_bicgstab_reproducibility.cpp) — ours tracks the golden to
+    ~1e-12 for the first ~30 iterations, after which trajectories
+    diverge while both converge. Asserted: exact early history (30
+    iters, the deterministic window), convergence within the golden
+    trajectory's length, and the solution itself."""
     A, mesh, dA, x, b, bh = _system(n_shards)
     result = bicgstab(mesh, dA, x, b)
     golden = np.loadtxt(test_data / "bicgstab_res.txt")
     res = np.asarray(result.res)
-    np.testing.assert_allclose(res[:10], golden[:10], atol=1e-6)
+    np.testing.assert_allclose(res[:30], golden[:30], rtol=1e-4,
+                               atol=1e-10)
+    np.testing.assert_allclose(res[:10], golden[:10], rtol=1e-10)
+    # converges within ~15% of the golden trajectory's length (shard
+    # count perturbs the psum ordering, hence the trajectory: 94 iters
+    # at 1 shard, 108 at 8, golden 104)
+    assert int(result.n_iters) <= int(1.15 * len(golden))
     # converged solution solves the system
     xh = dpar.host_vector(result.x, A.partition.row_bounds)
     assert (np.linalg.norm(bh - A.mult(xh)) / np.linalg.norm(bh) < 1e-5)

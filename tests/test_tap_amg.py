@@ -39,3 +39,59 @@ def test_tap_amg_matches_plain():
     dh3 = DeviceHierarchy(ml, mesh2)
     r3 = dh3.solve(dh3.vector(np.zeros_like(bh)), dh3.vector(bh))
     assert int(r3.n_iters) == int(r1.n_iters)
+
+
+def test_tap_amg_with_distributed_setup():
+    """TAP x distributed-setup combination (round-2 verdict gap): the
+    hierarchy built through the transport seam (setup_mode='distributed')
+    solves identically under node-aware TAP exchange, across several
+    smoothers and both interpolation families."""
+    from raptor_tpu.core.types import RelaxType
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (30, 30), 8)
+    bh = A.mult(np.ones(A.global_num_rows))
+    for coarsen, interp, relax in [
+            (CoarsenType.HMIS, InterpType.Extended, RelaxType.Chebyshev),
+            (CoarsenType.CLJP, InterpType.ModClassical, RelaxType.SOR)]:
+        ml = ParRugeStubenSolver(0.25, coarsen, interp, relax_type=relax)
+        ml.setup_mode = "distributed"
+        ml.setup(A)
+        mesh1 = dpar.make_mesh(8)
+        dh1 = DeviceHierarchy(ml, mesh1)
+        r1 = dh1.solve(dh1.vector(np.zeros_like(bh)), dh1.vector(bh))
+
+        ml.tap_amg = 0
+        mesh2 = dpar.make_mesh2(2, 4)
+        dh2 = DeviceHierarchy(ml, mesh2)
+        r2 = dh2.solve(dh2.vector(np.zeros_like(bh)), dh2.vector(bh))
+        assert int(r1.n_iters) == int(r2.n_iters), (coarsen, interp)
+        np.testing.assert_allclose(dh1.host(r1.x), dh2.host(r2.x),
+                                   atol=1e-10)
+
+
+def test_tap_amg_sa_hierarchy():
+    """TAP exchange through a smoothed-aggregation hierarchy (the TAP
+    tests previously covered one RS config only)."""
+    from raptor_tpu.core.types import RelaxType
+    from raptor_tpu.aggregation.solver import (
+        ParSmoothedAggregationSolver)
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (30, 30), 8)
+    bh = A.mult(np.ones(A.global_num_rows))
+    ml = ParSmoothedAggregationSolver(0.25,
+                                      relax_type=RelaxType.Chebyshev)
+    ml.num_smooth_sweeps = 2
+    ml.setup(A)
+    mesh1 = dpar.make_mesh(8)
+    dh1 = DeviceHierarchy(ml, mesh1)
+    r1 = dh1.solve(dh1.vector(np.zeros_like(bh)), dh1.vector(bh))
+
+    ml.tap_amg = 0
+    mesh2 = dpar.make_mesh2(4, 2)
+    dh2 = DeviceHierarchy(ml, mesh2)
+    r2 = dh2.solve(dh2.vector(np.zeros_like(bh)), dh2.vector(bh))
+    assert int(r1.n_iters) == int(r2.n_iters)
+    np.testing.assert_allclose(dh1.host(r1.x), dh2.host(r2.x),
+                               atol=1e-10)
