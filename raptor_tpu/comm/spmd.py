@@ -134,6 +134,46 @@ def spmd_rs_setup(a_local: ParCSRMatrix, weights: np.ndarray,
     return SpmdHierarchy(levels, coarse_lu)
 
 
+def spmd_bsr_setup(a_local: ParCSRMatrix, block_size: int,
+                   weights: np.ndarray, make_transport,
+                   coarsen: CoarsenType = CoarsenType.CLJP,
+                   interp: InterpType = InterpType.ModClassical,
+                   theta: float = 0.25, max_coarse: int = 50,
+                   max_levels: int = 25) -> SpmdHierarchy:
+    """Whole-hierarchy BLOCKED (BSR) setup per rank: nodal condensation
+    on the block-norm graph, nodal CF split, per-component
+    interpolation, blocked Galerkin RAP — every stage over the
+    Transport seam with per-rank row blocks only (the reference's
+    ParBSRMatrix + block_size comm path, core/par_matrix.hpp:613-699,
+    run as component-scalar exchanges). ``a_local``'s partition must be
+    block-aligned (multilevel.bsr_hierarchy.block_partition)."""
+    from raptor_tpu.multilevel.bsr_hierarchy import bsr_extend_distributed
+
+    b = int(block_size)
+    levels: List[SpmdLevel] = []
+    a = a_local
+    for _ in range(max_levels - 1):
+        if a.global_num_rows // b <= max_coarse:
+            break
+        p_blocks, _p_comps, states, c_blocks, part_c = \
+            bsr_extend_distributed(a, b, weights, coarsen, interp,
+                                   theta, make_transport)
+        levels.append(SpmdLevel(a, p_blocks, states))
+        a = ParCSRMatrix.from_local_rows(c_blocks, part_c,
+                                         first_shard=a.first_shard)
+
+    import scipy.linalg
+    tr = make_transport(a)
+    ncols = a.partition.global_num_cols
+    flats = [np.asarray(blk.global_cols_csr(ncols).to_scipy().todense())
+             .reshape(-1) for blk in a.shards()]
+    full = tr.allgather_concat(flats)
+    ac = full.reshape(a.global_num_rows, ncols)
+    coarse_lu = scipy.linalg.lu_factor(ac)
+    levels.append(SpmdLevel(a, None, None))
+    return SpmdHierarchy(levels, coarse_lu)
+
+
 def spmd_sa_setup(a_local: ParCSRMatrix, weights: np.ndarray,
                   make_transport, theta: float = 0.0,
                   prolong_weight: float = 4.0 / 3.0,

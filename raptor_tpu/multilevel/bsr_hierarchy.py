@@ -44,16 +44,20 @@ from raptor_tpu.multilevel.par_multilevel import (ParMultilevel,
                                                   ParRugeStubenSolver)
 
 
-def nodal_matrix(a: CSRMatrix, b: int) -> CSRMatrix:
+def nodal_matrix(a: CSRMatrix, b: int, first_node: int = 0) -> CSRMatrix:
     """Condense b x b blocks to an M-matrix nodal graph: diagonal block
     -> +||B||_F, off-diagonal -> -||B||_F (the blocked-systems strength
-    convention; the scalar classical pipeline then applies unchanged)."""
+    convention; the scalar classical pipeline then applies unchanged).
+
+    ``first_node``: global node id of row 0 — for shard row blocks whose
+    columns are global, the diagonal block of local row i sits at global
+    column first_node + i."""
     assert a.n_rows % b == 0 and a.n_cols % b == 0
     gb = a.to_scipy().tobsr(blocksize=(b, b))
     norms = np.sqrt((np.asarray(gb.data) ** 2).sum(axis=(1, 2)))
     nb = a.n_rows // b
     rows = np.repeat(np.arange(nb), np.diff(gb.indptr))
-    sign = np.where(gb.indices == rows, 1.0, -1.0)
+    sign = np.where(gb.indices == rows + first_node, 1.0, -1.0)
     m = sp.csr_matrix((norms * sign, gb.indices, gb.indptr),
                       shape=(nb, a.n_cols // b))
     m.sort_indices()
@@ -75,6 +79,134 @@ def block_partition(n_scalar: int, m_scalar: int, b: int,
     return Partition(n_scalar, m_scalar, n_shards,
                      np.asarray(bpart.row_bounds) * b,
                      np.asarray(bpart.col_bounds) * b)
+
+
+def nodal_block(g_s: CSRMatrix, b: int, first_node: int) -> CSRMatrix:
+    """Per-shard nodal condensation: this shard's scalar rows (GLOBAL
+    cols) -> nodal row block with global nodal cols. Blocked comm in
+    the distributed pipeline moves b x b blocks as these nodal rows +
+    the component rows below — the reference's block_size sends
+    (core/comm_data.hpp) realized through the same scalar wire."""
+    return nodal_matrix(g_s, b, first_node)
+
+
+def component_block(g_s: CSRMatrix, r0: int, b: int, c: int) -> CSRMatrix:
+    """Per-shard component coupling submatrix A_c = A[c::b, c::b]
+    restricted to this shard's rows: local node rows, GLOBAL node cols.
+    ``r0`` (the shard's first scalar row) is block-aligned, so local
+    scalar row i belongs to component (i % b)."""
+    m = g_s.to_scipy()
+    rows_c = m[c::b, :]
+    keep = rows_c.tocoo()
+    sel = (keep.col % b) == c
+    out = sp.csr_matrix(
+        (keep.data[sel], (keep.row[sel], keep.col[sel] // b)),
+        shape=(rows_c.shape[0], g_s.n_cols // b))
+    out.sum_duplicates()
+    out.sort_indices()
+    return CSRMatrix.from_scipy(out)
+
+
+def bsr_extend_distributed(a: ParCSRMatrix, b: int, weights: np.ndarray,
+                           coarsen: CoarsenType, interp: InterpType,
+                           theta: float, make_transport):
+    """One blocked-AMG level extension over the Transport seam: every
+    stage runs on per-shard blocks + collectives, no global matrix on
+    any rank (the distributed twin of
+    ParBSRRugeStubenSolver.extend_hierarchy). Shared by the in-process
+    setup_mode='distributed' and the multi-process spmd_bsr_setup.
+
+    Returns (p_blocks scalar per-LOCAL-shard, p_comp_blocks [b] lists of
+    per-LOCAL-shard nodal component P rows, states, c_blocks scalar
+    coarse rows per-LOCAL-shard, part_c scalar coarse partition)."""
+    from raptor_tpu.ruge_stuben import par_setup as ps
+
+    part = a.partition
+    S = part.n_shards
+    fs = a.first_shard
+    shards = a.shards()
+    n_nodes = part.global_num_rows // b
+    ncols = part.global_num_cols
+    part_nodes = Partition(n_nodes, n_nodes, S,
+                           np.asarray(part.row_bounds) // b,
+                           np.asarray(part.col_bounds) // b)
+
+    g_blocks = [blk.global_cols_csr(ncols) for blk in shards]
+    nod_blocks = [nodal_block(g, b, int(part.row_bounds[fs + i]) // b)
+                  for i, g in enumerate(g_blocks)]
+    nod_par = ParCSRMatrix.from_local_rows(nod_blocks, part_nodes,
+                                           first_shard=fs)
+    tr_n = make_transport(nod_par)
+    masks = ps.dist_classical_strength(nod_par, theta, tr=tr_n)
+    s_n = ps.strength_masks_to_par(nod_par, masks)
+    w = weights[:n_nodes]
+    tr_s = make_transport(s_n)
+    if coarsen == CoarsenType.CLJP:
+        states = ps.dist_split_cljp(s_n, w, tr=tr_s)
+    elif coarsen == CoarsenType.PMIS:
+        states = ps.dist_split_pmis(s_n, w, tr=tr_s)
+    elif coarsen == CoarsenType.HMIS:
+        states = ps.dist_split_hmis(s_n, w, tr=tr_s)
+    else:
+        states = ps.dist_split_falgout(s_n, w, tr=tr_s)
+    states = np.asarray(states)
+
+    # nodal strength patterns per local shard (for masking components)
+    s_pats = []
+    for blk in s_n.shards():
+        g = blk.global_cols_csr(n_nodes).to_scipy()
+        g.data = np.ones_like(g.data)
+        s_pats.append(g)
+
+    p_comp_blocks = []
+    n_coarse = None
+    for c in range(b):
+        comp = [component_block(g, int(part.row_bounds[fs + i]), b, c)
+                for i, g in enumerate(g_blocks)]
+        sc = [CSRMatrix.from_scipy(
+            comp[i].to_scipy().multiply(s_pats[i]).tocsr())
+            for i in range(len(comp))]
+        a_c = ParCSRMatrix.from_local_rows(comp, part_nodes,
+                                           first_shard=fs)
+        s_c = ParCSRMatrix.from_local_rows(sc, part_nodes,
+                                           first_shard=fs)
+        tr_c = make_transport(a_c)
+        assert interp == InterpType.ModClassical, \
+            "distributed BSR setup supports ModClassical interpolation"
+        pc_blocks, n_coarse = ps.dist_mod_classical_interpolation(
+            a_c, s_c, states, tr=tr_c, assemble=False)
+        p_comp_blocks.append(pc_blocks)
+
+    # block-diagonal scalar P rows per local shard
+    p_blocks = []
+    for i in range(len(shards)):
+        rows, cols, vals = [], [], []
+        for c in range(b):
+            coo = p_comp_blocks[c][i].to_scipy().tocoo()
+            rows.append(coo.row.astype(np.int64) * b + c)
+            cols.append(coo.col.astype(np.int64) * b + c)
+            vals.append(coo.data)
+        nrows_s = int(part.row_bounds[fs + i + 1]
+                      - part.row_bounds[fs + i])
+        pm = sp.csr_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(nrows_s, n_coarse * b))
+        pm.sort_indices()
+        p_blocks.append(CSRMatrix.from_scipy(pm))
+
+    # coarse partition: nodal coarse bounds (C-nodes per shard) * b
+    from raptor_tpu.core.types import CFState
+    sel = states == CFState.Selected
+    csum = np.concatenate([[0], np.cumsum(sel)])
+    cb_nodes = csum[np.asarray(part_nodes.row_bounds)].astype(np.int64)
+    cb = cb_nodes * b
+    part_c = Partition(n_coarse * b, n_coarse * b, S, cb, cb)
+
+    tr_a = make_transport(a)
+    c_blocks = ps.dist_rap(a, p_blocks, tr=tr_a, coarse_bounds=cb,
+                           assemble=False)
+    return p_blocks, p_comp_blocks, states, c_blocks, part_c
 
 
 class ParBSRRugeStubenSolver(ParMultilevel):
@@ -112,6 +244,42 @@ class ParBSRRugeStubenSolver(ParMultilevel):
             self.extend_hierarchy()
         self.duplicate_coarse()
 
+    def _extend_hierarchy_distributed(self) -> None:
+        """Blocked level extension through the per-shard + transport
+        stages (bsr_extend_distributed): nodal condensation, strength,
+        CF split, per-component interpolation, and the Galerkin RAP all
+        run on shard blocks + collectives — no global matrix required
+        (closes the round-2 'BSR AMG has no distributed setup mode')."""
+        from raptor_tpu.comm.transport import InProcessTransport
+
+        b = self.block_size
+        a = self.levels[-1].A
+        p_blocks, p_comps, states, c_blocks, part_c = \
+            bsr_extend_distributed(a, b, self.weights, self.coarsen_type,
+                                   self.interp_type,
+                                   self.strong_threshold,
+                                   InProcessTransport)
+        part = a.partition
+        n_c = int(part_c.global_num_cols)
+        # in-process: all shards local -> assemble for the device layer,
+        # and re-partition the coarse level EVENLY on block boundaries
+        # (the global path's rule; the blocked device packer assumes it)
+        part_even = block_partition(n_c, n_c, b, part.n_shards)
+        part_p = Partition(part.global_num_rows, n_c, part.n_shards,
+                           part.row_bounds, part_even.col_bounds)
+        pg = sp.vstack([pb.to_scipy() for pb in p_blocks]).tocsr()
+        pg.sort_indices()
+        self.levels[-1].P = ParCSRMatrix(CSRMatrix.from_scipy(pg),
+                                         part_p)
+        self.p_nodals.append([
+            CSRMatrix.from_scipy(sp.vstack(
+                [blk.to_scipy() for blk in p_comps[c]]).tocsr())
+            for c in range(b)])
+        acg = sp.vstack([cb.to_scipy() for cb in c_blocks]).tocsr()
+        acg.sort_indices()
+        self.levels.append(Level(A=ParCSRMatrix(
+            CSRMatrix.from_scipy(acg), part_even)))
+
     def extend_hierarchy(self) -> None:
         """Shared nodal CF split on the block-norm graph + PER-COMPONENT
         interpolation weights from each component's own coupling
@@ -120,6 +288,8 @@ class ParBSRRugeStubenSolver(ParMultilevel):
         one common nodal coarse grid, so P's blocks are diagonal
         (diag(p_0[i,j], ..., p_{b-1}[i,j])) and every Galerkin product
         keeps exact b x b block structure."""
+        if getattr(self, "setup_mode", "global") == "distributed":
+            return self._extend_hierarchy_distributed()
         from raptor_tpu.ruge_stuben import cf_splitting as cf
         from raptor_tpu.ruge_stuben.interpolation import (
             direct_interpolation, mod_classical_interpolation)

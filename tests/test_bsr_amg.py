@@ -81,3 +81,49 @@ def test_bsr_amg_shard_consistency():
         assert np.array_equal(g1.indptr, g4.indptr)
         assert np.array_equal(g1.indices, g4.indices)
         np.testing.assert_allclose(g1.data, g4.data, rtol=1e-12)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_bsr_distributed_setup_matches_global(n_shards):
+    """BSR AMG through setup_mode='distributed' (nodal condensation,
+    strength, CF split, per-component interpolation, RAP — all over the
+    transport seam) matches the host-global blocked hierarchy level by
+    level (round-2 verdict item 6)."""
+    from raptor_tpu.core.types import CoarsenType
+
+    A, _ = par_fem("elasticity", 24, 12, n_shards)
+    ml_g = ParBSRRugeStubenSolver(2, strong_threshold=0.25,
+                                  coarsen_type=CoarsenType.CLJP)
+    ml_g.setup(A)
+    ml_d = ParBSRRugeStubenSolver(2, strong_threshold=0.25,
+                                  coarsen_type=CoarsenType.CLJP)
+    ml_d.setup_mode = "distributed"
+    ml_d.setup(A)
+
+    assert ml_d.num_levels == ml_g.num_levels
+    for li in range(ml_g.num_levels):
+        ag = ml_g.levels[li].A.global_csr
+        ad = ml_d.levels[li].A.assemble_global() \
+            if ml_d.levels[li].A.is_local_view \
+            else ml_d.levels[li].A.global_csr
+        # summation-order ulps can flip an entry across the zero_tol
+        # (1e-16) drop boundary between the global and reduce_rows
+        # accumulations; compare after a common 1e-14 drop
+        ag, ad = ag.drop(1e-14), ad.drop(1e-14)
+        assert np.array_equal(ad.indptr, ag.indptr), f"level {li}"
+        assert np.array_equal(ad.indices, ag.indices), f"level {li}"
+        np.testing.assert_allclose(ad.data, ag.data, rtol=1e-12,
+                                   atol=1e-14)
+        if ml_g.levels[li].P is not None:
+            pg = ml_g.levels[li].P.global_csr
+            pd = ml_d.levels[li].P.global_csr
+            assert np.array_equal(pd.indices, pg.indices)
+            np.testing.assert_allclose(pd.data, pg.data, rtol=1e-12)
+    # the distributed hierarchy drives the device solve unchanged
+    mesh = dpar.make_mesh(n_shards)
+    dh = BSRDeviceHierarchy(ml_d, mesh, sweeps=3)
+    b = A.mult(np.ones(A.global_num_rows))
+    x, hist, k = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b),
+                          tol=1e-6, max_iter=100)
+    hist = hist[hist >= 0]
+    assert hist[-1] < 1e-6
