@@ -483,8 +483,12 @@ class DeviceHierarchy:
         of the reference's track_times mode. Each op is timed by the
         delta between a long and a short jitted chain, so per-dispatch
         latency (milliseconds through a remote TPU relay) cancels.
-        Compiles ~6 programs per level — instant on CPU/local devices,
-        minutes through a remote-compile relay (use sparingly there)."""
+
+        Compiles ONE program per level: the chain lengths are TRACED
+        operands of a single jitted function (fori_loop with dynamic
+        trip counts), so baseline and long runs of all three ops share
+        the compilation (the round-1/2 tool compiled ~6 programs per
+        level — minutes through a remote-compile relay)."""
         import time
 
         from raptor_tpu.device.relax import RELAX_FNS
@@ -492,58 +496,80 @@ class DeviceHierarchy:
         mesh = self.mesh
         ax = dpar._leading_axes(mesh)
         rows = []
-
-        def chain_time(step, x0):
-            # step: x -> same-shaped x
-            def chain(x, k):
-                def body(_, x):
-                    y = step(x)
-                    return y / (1.0 + jnp.max(jnp.abs(y)))
-                return jnp.sum(jax.lax.fori_loop(0, k, body, x))
-            f = jax.jit(chain, static_argnums=1)
-            with dpar.use_comm_axes(ax):
-                float(f(x0, 2))
-                float(f(x0, reps + 2))
-                lo = min((lambda t0: (float(f(x0, 2)),
-                                      time.perf_counter() - t0)[1])(
-                    time.perf_counter()) for _ in range(3))
-                hi = min((lambda t0: (float(f(x0, reps + 2)),
-                                      time.perf_counter() - t0)[1])(
-                    time.perf_counter()) for _ in range(3))
-            return max(0.0, (hi - lo) / reps)
-
         relax_fn = RELAX_FNS[self.relax_kind]
+
         for li, lvl in enumerate(self.levels):
             A, RX = lvl.A, lvl.RX
             S = A.on_cols.shape[0]
-            b = jnp.ones((S, A.rows_pad), self.dtype)
-            x0 = jnp.zeros((S, A.rows_pad), self.dtype)
+            has_p = lvl.P is not None
 
-            def relax_step(xx, A=A, RX=RX, b=b):
-                def body(Ash, Rsh, bsh, xsh):
+            def prog(Ag, RXg, Pg, Ptg, b, xr, xc, xt, ka, kb, kc):
+                def body(Ash, Rsh, Psh, Ptsh, bsh, xr, xc, xt,
+                         ka, kb, kc):
                     Ash = jax.tree.map(lambda l: l[0], Ash)
                     Rsh = jax.tree.map(lambda l: l[0], Rsh)
-                    return relax_fn(Ash, Rsh, xsh[0], bsh[0],
-                                    self.num_smooth_sweeps,
-                                    self.relax_weight, None)[None]
-                sp = lambda T: jax.tree.map(lambda _: P(ax), T)
-                return jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(sp(A), sp(RX), P(ax, None), P(ax, None)),
-                    out_specs=P(ax, None))(A, RX, b, xx)
 
-            t_rx = chain_time(relax_step, x0)
-            t_sp = chain_time(
-                lambda xx, A=A: dpar._shard_op(spmv_shard, mesh, A, xx),
-                jnp.zeros((S, A.cols_pad), self.dtype))
-            t_tr = 0.0
-            if lvl.P is not None:
-                def roundtrip(xx, Pm=lvl.P, Pt=lvl.Pt):
-                    xc = dpar._shard_op(spmv_shard, mesh, Pt, xx)
-                    return dpar._shard_op(spmv_shard, mesh, Pm, xc)
-                t_tr = chain_time(roundtrip,
-                                  jnp.zeros((S, lvl.Pt.cols_pad),
-                                            self.dtype))
+                    def norm1(y):
+                        return y / (1.0 + jnp.max(jnp.abs(y)))
+
+                    def rx_body(_, x):
+                        return norm1(relax_fn(
+                            Ash, Rsh, x, bsh[0],
+                            self.num_smooth_sweeps,
+                            self.relax_weight, None))
+
+                    def sp_body(_, x):
+                        return norm1(spmv_shard(Ash, x))
+
+                    y1 = jax.lax.fori_loop(0, ka, rx_body, xr[0])
+                    y2 = jax.lax.fori_loop(0, kb, sp_body, xc[0])
+                    out = jnp.sum(y1) + jnp.sum(y2)
+                    if Psh is not None:
+                        Psh = jax.tree.map(lambda l: l[0], Psh)
+                        Ptsh = jax.tree.map(lambda l: l[0], Ptsh)
+
+                        def tr_body(_, x):
+                            return norm1(spmv_shard(
+                                Psh, spmv_shard(Ptsh, x)))
+
+                        y3 = jax.lax.fori_loop(0, kc, tr_body, xt[0])
+                        out = out + jnp.sum(y3)
+                    return jax.lax.psum(out, dpar.comm_axes())
+
+                sp_of = lambda T: jax.tree.map(lambda _: P(ax), T)
+                in_specs = (sp_of(Ag), sp_of(RXg),
+                            sp_of(Pg), sp_of(Ptg),
+                            P(ax, None), P(ax, None), P(ax, None),
+                            P(ax, None), P(), P(), P())
+                return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                                     out_specs=P())(
+                    Ag, RXg, Pg, Ptg, b, xr, xc, xt, ka, kb, kc)
+
+            b = jnp.ones((S, A.rows_pad), self.dtype)
+            xr = jnp.zeros((S, A.rows_pad), self.dtype)
+            xc = jnp.zeros((S, A.cols_pad), self.dtype)
+            xt = jnp.zeros((S, lvl.Pt.cols_pad if has_p else 1),
+                           self.dtype)
+            with dpar.use_comm_axes(ax):
+                f = jax.jit(prog)
+                args = (lvl.A, lvl.RX, lvl.P, lvl.Pt, b, xr, xc, xt)
+
+                def run(ka, kb, kc):
+                    ks = (jnp.array(ka), jnp.array(kb), jnp.array(kc))
+                    t0 = time.perf_counter()
+                    float(f(*args, *ks))
+                    return time.perf_counter() - t0
+
+                run(2, 2, 2)    # compile + warm
+                lo = min(run(2, 2, 2) for _ in range(3))
+                t_rx = max(0.0, (min(run(reps + 2, 2, 2)
+                                     for _ in range(3)) - lo) / reps)
+                t_sp = max(0.0, (min(run(2, reps + 2, 2)
+                                     for _ in range(3)) - lo) / reps)
+                t_tr = 0.0
+                if has_p:
+                    t_tr = max(0.0, (min(run(2, 2, reps + 2)
+                                         for _ in range(3)) - lo) / reps)
             rows.append({"level": li, "relax_s": t_rx, "spmv_s": t_sp,
                          "transfer_s": t_tr})
         return rows
