@@ -594,6 +594,21 @@ void glibc_rand_doubles(i64 seed, i64 n, double* out) {
 namespace {
 thread_local std::vector<i64> g_c_indices;
 thread_local std::vector<double> g_c_data;
+thread_local i64 g_c_count = 0;
+
+// Grow the output buffers so at least ``need`` more entries fit past
+// ``out``. Geometric growth; buffers persist (capacity kept) across the
+// per-level calls of the Galerkin chain.
+inline void grow_out(i64 out, i64 need) {
+    size_t want = (size_t)(out + need);
+    if (g_c_indices.size() < want) {
+        size_t ns = g_c_indices.size() * 2;
+        if (ns < want) ns = want;
+        if (ns < 4096) ns = 4096;
+        g_c_indices.resize(ns);
+        g_c_data.resize(ns);
+    }
+}
 }
 
 i64 spgemm_compute(i64 n_rows, i64 n_cols_b,
@@ -602,39 +617,53 @@ i64 spgemm_compute(i64 n_rows, i64 n_cols_b,
                    const i64* b_indptr, const i64* b_indices,
                    const double* b_data,
                    double zero_tol, i64* c_indptr) {
-    g_c_indices.clear();
-    g_c_data.clear();
     std::vector<double> sums(n_cols_b, 0.0);
     std::vector<i64> stamp(n_cols_b, -1);
-    std::vector<i64> touched;
-    touched.reserve(256);
+    std::vector<i64> touched(256);
     c_indptr[0] = 0;
+    i64 out = 0;
     for (i64 i = 0; i < n_rows; i++) {
-        touched.clear();
+        i64 nt = 0;
+        bool sorted = true;
+        i64 last = -1;
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 k = a_indices[j];
             double av = a_data[j];
             for (i64 t = b_indptr[k]; t < b_indptr[k + 1]; t++) {
                 i64 c = b_indices[t];
+                double prod = av * b_data[t];
                 if (stamp[c] != i) {
                     stamp[c] = i;
-                    sums[c] = 0.0;
-                    touched.push_back(c);
+                    // first touch assigns (0.0 + x == x up to zero sign,
+                    // and signed zeros are dropped by zero_tol anyway)
+                    sums[c] = prod;
+                    if (nt >= (i64)touched.size())
+                        touched.resize(touched.size() * 2);
+                    touched[nt++] = c;
+                    if (c < last) sorted = false;
+                    last = c;
+                } else {
+                    sums[c] += prod;
                 }
-                sums[c] += av * b_data[t];
             }
         }
-        std::sort(touched.begin(), touched.end());
-        for (i64 c : touched) {
+        if (!sorted) std::sort(touched.data(), touched.data() + nt);
+        grow_out(out, nt);
+        i64* ip = g_c_indices.data() + out;
+        double* vp = g_c_data.data() + out;
+        i64 k = 0;
+        for (i64 t = 0; t < nt; t++) {
+            i64 c = touched[t];
             double v = sums[c];
-            if (v > zero_tol || v < -zero_tol) {
-                g_c_indices.push_back(c);
-                g_c_data.push_back(v);
-            }
+            ip[k] = c;
+            vp[k] = v;
+            k += (v > zero_tol || v < -zero_tol) ? 1 : 0;
         }
-        c_indptr[i + 1] = (i64)g_c_indices.size();
+        out += k;
+        c_indptr[i + 1] = out;
     }
-    return (i64)g_c_indices.size();
+    g_c_count = out;
+    return out;
 }
 
 // Greedy graph coloring in row order (smallest available color), over a
@@ -1110,46 +1139,57 @@ i64 spgemm_t_compute(i64 n_rows_a, i64 n_cols_a, i64 n_cols_b,
     }
     std::vector<double> sums(n_cols_b, 0.0);
     std::vector<i64> stamp(n_cols_b, -1);
-    std::vector<i64> touched;
-    touched.reserve(256);
+    std::vector<i64> touched(256);
     c_indptr[0] = 0;
+    i64 out = 0;
     for (i64 c = 0; c < n_cols_a; c++) {
-        touched.clear();
+        i64 nt = 0;
+        bool sorted = true;
+        i64 last = -1;
         for (i64 j = col_ptr[c]; j < col_ptr[c + 1]; j++) {
             i64 i = csc_rows[j];
             double av = csc_vals[j];
             for (i64 t = b_indptr[i]; t < b_indptr[i + 1]; t++) {
                 i64 k = b_indices[t];
+                double prod = av * b_data[t];
                 if (stamp[k] != c) {
                     stamp[k] = c;
-                    sums[k] = 0.0;
-                    touched.push_back(k);
+                    sums[k] = prod;
+                    if (nt >= (i64)touched.size())
+                        touched.resize(touched.size() * 2);
+                    touched[nt++] = k;
+                    if (k < last) sorted = false;
+                    last = k;
+                } else {
+                    sums[k] += prod;
                 }
-                sums[k] += av * b_data[t];
             }
         }
-        std::sort(touched.begin(), touched.end());
-        for (i64 k : touched) {
-            double v = sums[k];
-            if (v > zero_tol || v < -zero_tol) {
-                g_c_indices.push_back(k);
-                g_c_data.push_back(v);
-            }
+        if (!sorted) std::sort(touched.data(), touched.data() + nt);
+        grow_out(out, nt);
+        i64* ip = g_c_indices.data() + out;
+        double* vp = g_c_data.data() + out;
+        i64 k = 0;
+        for (i64 t = 0; t < nt; t++) {
+            i64 cc = touched[t];
+            double v = sums[cc];
+            ip[k] = cc;
+            vp[k] = v;
+            k += (v > zero_tol || v < -zero_tol) ? 1 : 0;
         }
-        c_indptr[c + 1] = (i64)g_c_indices.size();
+        out += k;
+        c_indptr[c + 1] = out;
     }
-    return (i64)g_c_indices.size();
+    g_c_count = out;
+    return out;
 }
 
 void spgemm_fetch(i64* c_indices, double* c_data) {
-    std::memcpy(c_indices, g_c_indices.data(),
-                g_c_indices.size() * sizeof(i64));
-    std::memcpy(c_data, g_c_data.data(), g_c_data.size() * sizeof(double));
-    // keep capacity: the Galerkin chain calls spgemm/spgemm_T once per
-    // level, and re-growing a few-hundred-MB buffer from zero costs
-    // seconds of page faults each time
-    g_c_indices.clear();
-    g_c_data.clear();
+    // buffers persist (capacity kept) across the Galerkin chain's
+    // per-level calls: re-growing a few-hundred-MB buffer from zero
+    // costs seconds of page faults each time
+    std::memcpy(c_indices, g_c_indices.data(), g_c_count * sizeof(i64));
+    std::memcpy(c_data, g_c_data.data(), g_c_count * sizeof(double));
 }
 
 }  // extern "C"
