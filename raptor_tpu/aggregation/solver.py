@@ -88,8 +88,8 @@ class ParSmoothedAggregationSolver(ParMultilevel):
                           col_bounds, col_bounds))
         else:
             with self.setup_times.phase("RAP"):
-                ap = a.multiply(pp)
-                # P^T (A P) via native transpose-SpGEMM (canonical)
-                ac = pp.mult_T_mat(ap)
+                # host engine = native transpose-SpGEMM; large levels on
+                # a real TPU route through device/spgemm.py (rap_mode)
+                _, ac = self._galerkin(a, pp)
         self.levels.append(Level(A=ac))
         self.B = r[:n_aggs * self.num_candidates]

@@ -10,7 +10,7 @@ same weights, the reference's parallel setup reproduces these results.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -23,6 +23,22 @@ from raptor_tpu.ruge_stuben import cf_splitting as cf
 from raptor_tpu.ruge_stuben.interpolation import par_interpolation
 from raptor_tpu.ruge_stuben.strength import strength
 from raptor_tpu.utils.glibc_rand import form_rand_weights
+
+
+def _device_rap_profitable(a: ParCSRMatrix) -> bool:
+    """Auto-dispatch rule for the Galerkin engine: the device SpGEMM
+    pays off only on a real TPU (the CPU 'device' is this same single
+    core) and only for levels big enough to amortize relay dispatch."""
+    import os
+    if os.environ.get("RAPTOR_TPU_DEVRAP", "1") == "0":
+        return False
+    if a.nnz < int(os.environ.get("RAPTOR_TPU_DEVRAP_MIN_NNZ", 2_000_000)):
+        return False
+    try:
+        import jax
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 class ParMultilevel:
@@ -51,6 +67,46 @@ class ParMultilevel:
         from raptor_tpu.profiling.timers import Profiler
         self.setup_times = Profiler()
         self.rap_stats: List[tuple] = []
+        # Galerkin product engine: "host" = native C++ Gustavson (f64,
+        # bit-parity path), "device" = TPU SpGEMM (device/spgemm.py),
+        # "auto" = device for large levels when running on a TPU.
+        self.rap_mode = "auto"
+
+    def _galerkin(self, a: ParCSRMatrix, p: ParCSRMatrix
+                  ) -> Tuple[ParCSRMatrix, ParCSRMatrix]:
+        """(AP, Ac = P^T A P) through the selected engine.
+
+        The host path is the reference-parity engine
+        (util/linalg/par_matmult.cpp:79-441).  The device path computes
+        both products on the TPU in f32 — the host has one core and the
+        native kernel is at its measured roofline (~40 M products/s),
+        while the chip streams the padded-candidate formulation at
+        memory bandwidth; a ~1e-7 relative perturbation of the coarse
+        operator does not change preconditioner quality (the outer
+        iteration measures f64 residuals against the exact fine A)."""
+        mode = getattr(self, "rap_mode", "host")
+        use_dev = a.global_csr is not None and (
+            mode == "device"
+            or (mode == "auto" and _device_rap_profitable(a)))
+        if use_dev:
+            from raptor_tpu.device import spgemm as dsp
+            try:
+                import jax
+                on_tpu = jax.devices()[0].platform == "tpu"
+                dt = np.float32 if on_tpu else None
+                ap_c, ac_c, _ = dsp.rap_device(a.global_csr,
+                                               p.global_csr, dtype=dt)
+                ap = ParCSRMatrix(ap_c, a.partition.product(p.partition))
+                ac = ParCSRMatrix(
+                    ac_c, p.partition.transpose().product(ap.partition))
+                return ap, ac
+            except dsp.CapOverflow:
+                pass    # pathological width: host engine below
+        ap = a.multiply(p)
+        # AP->mult_T(P) = P^T (A P): native transpose-SpGEMM, already
+        # canonical (sorted/deduped/dropped) — no extra canonicalize
+        ac = p.mult_T_mat(ap)
+        return ap, ac
 
     @property
     def num_levels(self) -> int:
@@ -170,10 +226,7 @@ class ParRugeStubenSolver(ParMultilevel):
         with self.setup_times.phase("RAP"):
             import time as _time
             t0 = _time.perf_counter()
-            ap = a.multiply(p)
-            # AP->mult_T(P) = P^T (A P): native transpose-SpGEMM, already
-            # canonical (sorted/deduped/dropped) — no extra canonicalize
-            ac = p.mult_T_mat(ap)
+            ap, ac = self._galerkin(a, p)
             self.rap_stats.append(
                 (level_ctr, ap.nnz + ac.nnz, _time.perf_counter() - t0))
         if getattr(self, "sparsify_tol", 0.0) > 0.0:
