@@ -258,6 +258,98 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
     return out[:rows_pad]
 
 
+def bell_spmv_pallas(src: jnp.ndarray, idx: jnp.ndarray,
+                     vals: jnp.ndarray, x: jnp.ndarray,
+                     rows_pad: int, interpret: bool = False) -> jnp.ndarray:
+    """BELL SpMV: slot-compacted plane blocks for unstructured coarse
+    operators (see formats.bell_arrays for the layout).
+
+    The whole x vector stays VMEM-resident as [C128, 128] (BELL is
+    selected for coarse Galerkin operators, where x is a few hundred KB);
+    the slot arrays stream through VMEM in chunks of ``ba`` target
+    blocks. Per slot layer w and target block t the kernel copies source
+    row ``src[w, t]`` out of the resident x2 (a dynamic single-sublane
+    VMEM read — cheap, and NOT an HBM DMA, so no 8-sublane tile
+    constraint), assembles the [ba, 128] slot window in scratch, and
+    resolves the per-row entries with one lane gather + fma.
+
+    This replaces the XLA row-block-gather formulation of
+    formats.bell_spmv, which costs 300+ ms on this chip (XLA materializes
+    the gather as per-row dynamic-slices over HBM). Reference analog:
+    CSR SpMV over coarse ParCSR levels (util/linalg/par_spmv.cpp:28-89).
+
+    Returns None (caller falls back) for f64, empty layouts, or when x
+    does not fit the VMEM budget."""
+    if vals.dtype.itemsize > 4:
+        return None     # Mosaic has no 64-bit support; XLA path handles f64
+    W, A128 = src.shape
+    if W == 0:
+        return None
+    ba = 8
+    C128 = -(-x.shape[0] // LANE)
+    C128p = -(-C128 // 8) * 8
+    # x2 + double-buffered slot blocks must fit comfortably in VMEM
+    if C128p * LANE * 4 + 4 * W * ba * LANE * (4 + 1 + 4) > 100 * 1024 * 1024:
+        return None
+    A128p = -(-A128 // ba) * ba
+    x2 = jnp.pad(x, (0, C128p * LANE - x.shape[0])).reshape(C128p, LANE)
+    if A128p != A128:
+        src = jnp.pad(src, ((0, 0), (0, A128p - A128)))
+        idx = jnp.pad(idx, ((0, 0), (0, A128p - A128), (0, 0)))
+        vals = jnp.pad(vals, ((0, 0), (0, A128p - A128), (0, 0)))
+
+    def kernel(src_ref, idx_ref, val_ref, x_ref, out_ref, wrow_s):
+        i = pl.program_id(0)
+
+        def wbody(w, acc):
+            for t in range(ba):
+                sb = src_ref[w, i * ba + t]
+                wrow_s[pl.ds(t, 1)] = x_ref[pl.ds(sb, 1)]
+            lid = idx_ref[w].astype(jnp.int32)
+            return acc + val_ref[w] * jnp.take_along_axis(
+                wrow_s[:], lid, axis=1)
+
+        acc0 = jnp.zeros((ba, LANE), dtype=val_ref.dtype)
+        out_ref[:] = jax.lax.fori_loop(0, W, wbody, acc0)
+
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(A128p // ba,),
+            in_specs=[
+                pl.BlockSpec((W, ba, LANE), lambda i, src: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((W, ba, LANE), lambda i, src: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C128p, LANE), lambda i, src: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ba, LANE), lambda i, src: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ba, LANE), vals.dtype),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((A128p, LANE), vals.dtype,
+                                           vma=jax.typeof(vals).vma),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * W * A128p * LANE,
+                bytes_accessed=(2 * W * A128p * LANE + 2 * A128p * LANE)
+                * vals.dtype.itemsize,
+                transcendentals=0),
+        )(jnp.asarray(src, jnp.int32), idx, vals, x2)
+    return out.reshape(-1)[:rows_pad]
+
+
+LANE = 128
+
+
 def use_pallas() -> bool:
     import os
     if os.environ.get("RAPTOR_TPU_PALLAS", "1") == "0":

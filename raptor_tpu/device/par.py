@@ -819,8 +819,15 @@ def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
                                 A.wl_ba, A.wl_wr, A.rows_pad)
         return out
     elif A.on_format == "bell":
-        out = bell_spmv(A.bl_src, A.bl_idx, A.bl_vals, x,
-                        A.on_rows_pad)
+        from raptor_tpu.device.pallas_kernels import (
+            bell_spmv_pallas, use_pallas)
+        out = None
+        if use_pallas():
+            out = bell_spmv_pallas(A.bl_src, A.bl_idx, A.bl_vals, x,
+                                   A.on_rows_pad)
+        if out is None:
+            out = bell_spmv(A.bl_src, A.bl_idx, A.bl_vals, x,
+                            A.on_rows_pad)
     elif A.on_format == "bdia":
         from raptor_tpu.device.pallas_kernels import (
             bdia_spmv_pallas, use_pallas)

@@ -159,3 +159,35 @@ def test_well_auto_selected_for_3d_transfer():
     y = dpar._shard_op(dpar.spmv_shard, mesh, dP, xd)
     yh = dpar.host_vector(np.asarray(y), P.partition.row_bounds)
     np.testing.assert_allclose(yh, P.mult(x), atol=1e-12)
+
+
+def test_bell_pallas_kernel_interpret():
+    """bell_spmv_pallas (interpret mode) is bit-equal to the XLA BELL
+    formulation on an unstructured operator with padding tails."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.matrix import CSRMatrix
+    from raptor_tpu.device.formats import (LANE, bell_arrays, bell_spmv,
+                                           bell_stats)
+    from raptor_tpu.device.pallas_kernels import bell_spmv_pallas
+
+    rng = np.random.default_rng(11)
+    for n in (700, 1024):  # non-multiple and multiple of 128
+        m = sp.random(n, n, density=0.02, random_state=5, format="csr")
+        m = (m + sp.diags(np.ones(n))).tocsr()
+        m.sort_indices()
+        a = CSRMatrix.from_scipy(m)
+        a128 = -(-n // LANE)
+        wb, _ = bell_stats(a)
+        src, idx, vals = bell_arrays(a, a128, wb, dtype=np.float32)
+        x = rng.random(n).astype(np.float32)
+        rows_pad = a128 * LANE
+        ref = bell_spmv(jnp.asarray(src), jnp.asarray(idx),
+                        jnp.asarray(vals), jnp.asarray(x), rows_pad)
+        out = bell_spmv_pallas(jnp.asarray(src), jnp.asarray(idx),
+                               jnp.asarray(vals), jnp.asarray(x),
+                               rows_pad, interpret=True)
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+        oracle = (m @ x.astype(np.float64))[:n]
+        np.testing.assert_allclose(np.asarray(out)[:n], oracle, atol=1e-4)
