@@ -328,17 +328,56 @@ class ParCSCMatrix:
     """Column-compressed view of a row-partitioned matrix
     (core/par_matrix.hpp:701-790). Setup-phase only, like the serial
     CSCMatrix: the reference uses it for column-driven passes
-    (CF-splitting transposes, distributed transpose)."""
+    (CF-splitting transposes, distributed transpose).
+
+    Works on BOTH storage modes of ParCSRMatrix: in-process (one global
+    CSC) and local view (per-LOCAL-shard CSC blocks with global column
+    ids — each rank compresses only its own row block, like the
+    reference's per-rank on/off CSC)."""
 
     def __init__(self, par_csr: "ParCSRMatrix"):
         from raptor_tpu.core.matrix import CSCMatrix
         self.partition = par_csr.partition
-        self.csc = CSCMatrix.from_csr(par_csr._g())
+        self.par_csr = par_csr
+        if par_csr.is_local_view:
+            self.csc = None
+            G = self.partition.global_num_cols
+            self._local_cscs = [
+                CSCMatrix.from_csr(blk.global_cols_csr(G))
+                for blk in par_csr.shards()]
+        else:
+            self.csc = CSCMatrix.from_csr(par_csr._g())
+            self._local_cscs = None
+
+    def local_csc(self, i: int):
+        """The i-th LOCAL shard's rows as a CSC block (global rows via
+        ``first_shard + i``; columns global)."""
+        if self._local_cscs is not None:
+            return self._local_cscs[i]
+        from raptor_tpu.core.matrix import CSCMatrix
+        part = self.partition
+        s = self.par_csr.first_shard + i
+        G = part.global_num_cols
+        return CSCMatrix.from_csr(
+            self.par_csr.shards()[i].global_cols_csr(G))
 
     def to_par_csr(self) -> "ParCSRMatrix":
+        if self.csc is None:
+            return ParCSRMatrix.from_local_rows(
+                [c.to_csr() for c in self._local_cscs], self.partition,
+                first_shard=self.par_csr.first_shard)
         return ParCSRMatrix(self.csc.to_csr(), self.partition)
 
-    def transpose(self) -> "ParCSRMatrix":
+    def transpose(self, tr=None) -> "ParCSRMatrix":
+        """A^T, row-partitioned by A's columns. Local view: the
+        distributed transpose over the Transport seam (no global matrix
+        on any rank, core/par_matrix.cpp:694-858)."""
+        if self.csc is None:
+            from raptor_tpu.ruge_stuben.par_setup import dist_transpose
+            t_blocks = dist_transpose(self.par_csr, tr, assemble=False)
+            return ParCSRMatrix.from_local_rows(
+                t_blocks, self.partition.transpose(),
+                first_shard=self.par_csr.first_shard)
         return ParCSRMatrix(self.csc.transpose(),
                             self.partition.transpose())
 
@@ -351,7 +390,7 @@ class ParBSRMatrix:
     ``hierarchy`` builds the blocked AMG solver."""
 
     def __init__(self, par_csr: "ParCSRMatrix", b_rows: int,
-                 b_cols: int = None):
+                 b_cols: int = None, tr=None):
         b_cols = b_cols or b_rows
         assert par_csr.global_num_rows % b_rows == 0
         assert par_csr.global_num_cols % b_cols == 0
@@ -360,7 +399,26 @@ class ParBSRMatrix:
         part = block_partition(par_csr.global_num_rows,
                                par_csr.global_num_cols, b_rows,
                                par_csr.partition.n_shards)
-        self.par_csr = ParCSRMatrix(par_csr._g(), part)
+        if par_csr.is_local_view:
+            # CSR->BSR redistribution over the Transport seam
+            # (par_matrix.cpp:872-997): rows move to their block-aligned
+            # owners via the row-routed reduction; no rank ever holds
+            # the global matrix.
+            from raptor_tpu.comm.transport import InProcessTransport
+            tr = tr or InProcessTransport(par_csr)
+            triplets = []
+            G = part.global_num_cols
+            for blk in par_csr.shards():
+                g = blk.global_cols_csr(G)
+                rows = g.row_ids() + blk.first_local_row
+                triplets.append((rows.astype(np.int64),
+                                 g.indices.copy(), g.data))
+            blocks = tr.reduce_rows(triplets, part.row_bounds, G)
+            self.par_csr = ParCSRMatrix.from_local_rows(
+                blocks, part, first_shard=getattr(tr, "first_shard",
+                                                  par_csr.first_shard))
+        else:
+            self.par_csr = ParCSRMatrix(par_csr._g(), part)
 
     @property
     def partition(self) -> Partition:
@@ -371,14 +429,21 @@ class ParBSRMatrix:
         return self.par_csr.global_num_rows
 
     def local_bsr(self, s: int):
-        """Shard s's rows as a serial BSRMatrix (global block cols)."""
+        """Shard s's rows as a serial BSRMatrix (global block cols).
+        Works on both storage modes: a local view converts only its own
+        row block (``s`` counts from ``first_shard``)."""
         from raptor_tpu.core.matrix import BSRMatrix
         part = self.par_csr.partition
         r0 = int(part.row_bounds[s])
         r1 = int(part.row_bounds[s + 1])
-        gb = self.par_csr._g().to_scipy()[r0:r1].tobsr(
-            blocksize=(self.b_rows, self.b_cols))
-        return BSRMatrix(r1 - r0, self.par_csr.global_num_cols,
+        G = self.par_csr.global_num_cols
+        if self.par_csr.is_local_view:
+            blk = self.par_csr.shards()[s - self.par_csr.first_shard]
+            g = blk.global_cols_csr(G).to_scipy()
+        else:
+            g = self.par_csr._g().to_scipy()[r0:r1]
+        gb = g.tobsr(blocksize=(self.b_rows, self.b_cols))
+        return BSRMatrix(r1 - r0, G,
                          self.b_rows, self.b_cols,
                          gb.indptr.astype(np.int64),
                          gb.indices.astype(np.int64),

@@ -104,3 +104,55 @@ def test_par_bsr_container():
         yh.append(np.asarray(y)[s, :r1 - r0])
     np.testing.assert_allclose(np.concatenate(yh), K.mult(x),
                                rtol=1e-12)
+
+
+def test_par_csc_local_view():
+    """ParCSC over a LOCAL-VIEW ParCSR: per-shard CSC blocks, round
+    trip, and the distributed transpose — no global matrix anywhere
+    (core/par_matrix.hpp:701-790 per-rank data model)."""
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (20, 20), 4)
+    ncols = A.global_num_cols
+    blocks = [blk.global_cols_csr(ncols) for blk in A.shards()]
+    local = ParCSRMatrix.from_local_rows(blocks, A.partition)
+    pc = ParCSCMatrix(local)
+    assert pc.csc is None
+    # per-shard CSC blocks reproduce the row blocks
+    for i in range(4):
+        np.testing.assert_array_equal(
+            pc.local_csc(i).to_csr().to_scipy().toarray(),
+            blocks[i].to_scipy().toarray())
+    # round trip stays a local view
+    rt = pc.to_par_csr()
+    assert rt.is_local_view
+    np.testing.assert_allclose(
+        rt.assemble_global().to_scipy().toarray(),
+        A.global_csr.to_scipy().toarray())
+    # distributed transpose over the seam
+    T = pc.transpose()
+    assert T.is_local_view
+    np.testing.assert_allclose(
+        T.assemble_global().to_scipy().toarray(),
+        A.global_csr.to_scipy().toarray().T)
+
+
+def test_par_bsr_local_view():
+    """ParBSR from a LOCAL-VIEW ParCSR: the CSR->BSR block-aligned
+    redistribution routes rows over the Transport seam
+    (par_matrix.cpp:872-997); per-shard BSR blocks match the in-process
+    construction."""
+    K, _ = par_fem("elasticity", 12, 6, 2)
+    ncols = K.global_num_cols
+    blocks = [blk.global_cols_csr(ncols) for blk in K.shards()]
+    local = ParCSRMatrix.from_local_rows(blocks, K.partition)
+    pb_local = ParBSRMatrix(local, 2)
+    pb_ref = ParBSRMatrix(K, 2)
+    assert pb_local.par_csr.is_local_view
+    np.testing.assert_array_equal(pb_local.partition.row_bounds,
+                                  pb_ref.partition.row_bounds)
+    for s in range(K.partition.n_shards):
+        a = pb_local.local_bsr(s)
+        b = pb_ref.local_bsr(s)
+        np.testing.assert_array_equal(a.indptr, b.indptr)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_array_equal(a.blocks, b.blocks)
