@@ -131,5 +131,6 @@ def stencil_grid(stencil: np.ndarray, grid, dim: int = None) -> CSRMatrix:
 def par_stencil_grid(stencil: np.ndarray, grid, n_shards: int,
                      dim: int = None) -> ParCSRMatrix:
     """Distributed stencil operator (gallery/par_stencil.cpp:6-228)."""
+    from raptor_tpu.core.partition import Partition
     a = stencil_grid(stencil, grid, dim)
-    return par_matrix_from_scipy(a.to_scipy(), n_shards)
+    return ParCSRMatrix(a, Partition.create(a.n_rows, a.n_cols, n_shards))
