@@ -194,8 +194,34 @@ def bench_amg(extras):
     _solve_to_1e8(ml3, A3, "lap27_128cubed", extras)
 
 
+def _device_reachable(timeout_s: int = 300) -> bool:
+    """Probe the backend in a subprocess with a hard timeout: the axon
+    relay, when down, HANGS jax initialization forever — a hung bench
+    records nothing, a fast-fail records the outage."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.ones((8, 128)))))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     extras = {}
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "spmv_nnz_per_s_laplacian27_128cubed_f32",
+            "value": 0, "unit": "nnz/s", "vs_baseline": 0,
+            "extras": {"error": "device backend unreachable (relay "
+                                "down); see BASELINE_RESULTS.md for "
+                                "the last measured set"},
+        }))
+        return
     # headline SpMV runs with x64 OFF (pure-f32 programs, comparable to
     # BENCH_r01); the AMG section then enables x64 for the f64 residuals
     # of the mixed-precision refinement (fresh shapes, no retrace overlap)
