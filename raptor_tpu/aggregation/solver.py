@@ -90,6 +90,6 @@ class ParSmoothedAggregationSolver(ParMultilevel):
             with self.setup_times.phase("RAP"):
                 # host engine = native transpose-SpGEMM; large levels on
                 # a real TPU route through device/spgemm.py (rap_mode)
-                _, ac = self._galerkin(a, pp)
+                _, ac = self._galerkin(a, pp, need_ap=False)
         self.levels.append(Level(A=ac))
         self.B = r[:n_aggs * self.num_candidates]

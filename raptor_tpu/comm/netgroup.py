@@ -67,7 +67,7 @@ class SocketGroup(GroupBase):
 
     def __init__(self, rank: int, world: int, kv=None,
                  prefix: str = "raptor_net", host: str = None,
-                 timeout_ms: int = 120_000):
+                 timeout_ms: int = 900_000):
         self.rank = int(rank)
         self.world = int(world)
         self._seq = 0
@@ -76,7 +76,13 @@ class SocketGroup(GroupBase):
         self._cv = threading.Condition()
         self._conns: Dict[int, socket.socket] = {}
         self._wlocks: Dict[int, threading.Lock] = {}
-        self._timeout = timeout_ms / 1000.0
+        # peers legitimately spend minutes in local compute stages at
+        # scale (native SpGEMM/interpolation on large levels), so the
+        # liveness timeout defaults high and is env-tunable
+        # (RAPTOR_TPU_NET_TIMEOUT_MS); it guards against dead peers,
+        # not slow ones
+        env_ms = os.environ.get("RAPTOR_TPU_NET_TIMEOUT_MS")
+        self._timeout = (int(env_ms) if env_ms else timeout_ms) / 1000.0
 
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -162,7 +168,11 @@ class SocketGroup(GroupBase):
         with self._cv:
             ok = self._cv.wait_for(lambda: key in self._stash,
                                    timeout=self._timeout)
-            assert ok, f"recv timeout waiting for {key} from {src}"
+            if not ok:
+                raise RuntimeError(
+                    f"SocketGroup.recv: no message for {key} from rank "
+                    f"{src} within {self._timeout:.0f} s — peer dead or "
+                    f"stage slower than RAPTOR_TPU_NET_TIMEOUT_MS")
             return self._stash.pop(key)
 
     def close(self) -> None:

@@ -139,7 +139,8 @@ def spmd_bsr_setup(a_local: ParCSRMatrix, block_size: int,
                    coarsen: CoarsenType = CoarsenType.CLJP,
                    interp: InterpType = InterpType.ModClassical,
                    theta: float = 0.25, max_coarse: int = 50,
-                   max_levels: int = 25) -> SpmdHierarchy:
+                   max_levels: int = 25,
+                   strength_type=None) -> SpmdHierarchy:
     """Whole-hierarchy BLOCKED (BSR) setup per rank: nodal condensation
     on the block-norm graph, nodal CF split, per-component
     interpolation, blocked Galerkin RAP — every stage over the
@@ -157,7 +158,8 @@ def spmd_bsr_setup(a_local: ParCSRMatrix, block_size: int,
             break
         p_blocks, _p_comps, states, c_blocks, part_c = \
             bsr_extend_distributed(a, b, weights, coarsen, interp,
-                                   theta, make_transport)
+                                   theta, make_transport,
+                                   strength_type=strength_type)
         levels.append(SpmdLevel(a, p_blocks, states))
         a = ParCSRMatrix.from_local_rows(c_blocks, part_c,
                                          first_shard=a.first_shard)

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raptor_tpu.device.formats import LANE
+
 _BLOCK_CANDIDATES = (65536, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256,
                      128)
 
@@ -190,7 +192,7 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
 
     Returns None (caller falls back to formats.wind_ell_spmv) for f64 or
     empty layouts."""
-    from raptor_tpu.device.formats import wind_src_height, LANE
+    from raptor_tpu.device.formats import wind_src_height
     if vals.dtype.itemsize > 4:
         return None     # Mosaic has no 64-bit support; XLA path handles f64
     W, R = vals.shape
@@ -345,9 +347,6 @@ def bell_spmv_pallas(src: jnp.ndarray, idx: jnp.ndarray,
                 transcendentals=0),
         )(jnp.asarray(src, jnp.int32), idx, vals, x2)
     return out.reshape(-1)[:rows_pad]
-
-
-LANE = 128
 
 
 def use_pallas() -> bool:

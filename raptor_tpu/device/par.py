@@ -489,8 +489,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     # ELL slot per window row) vs bdia = 3*P*fmt_R streaming planes +
     # ~128/entry for the per-entry 'rest' gathers.
     wl_ba, wl_wr, wl_T = 8, 0, 1
-    if (use_dia in ("ell", "bdia") or force_format == "well") \
-            and os.environ.get("RAPTOR_TPU_WELL", "1") == "1":
+    wW = 0
+    if force_format == "well" or (
+            use_dia in ("ell", "bdia")
+            and os.environ.get("RAPTOR_TPU_WELL", "1") == "1"):
         stats = [st for p_l in _gall(
             tr, [wind_ell_stats(blk.on_proc, R, wl_ba) for blk in shards])
             for st in p_l]
@@ -509,9 +511,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 # bias toward BDIA near ties (its kernel is the more
                 # mature one)
                 auto_ok = cost_well < 0.7 * cost_bdia
-        if wW > 0 and (force_format == "well" or auto_ok):
-            use_dia, wl_wr = "well", wWR
-            wl_T = _round_up(R, wl_ba * 128) // (wl_ba * 128)
+        if force_format == "well" or (wW > 0 and auto_ok):
+            use_dia, wl_wr = "well", max(wWR, 8)
+            wl_T = R_w // (wl_ba * 128)
             # well packs the ORIGINAL blocks; drop any embedding
             embed_kind = "none"
             emb_idx = np.zeros((SL, 1), dtype=np.int32)

@@ -240,7 +240,6 @@ def _run_dia(offsets, dv, bc, bv, n_rows, n_cols_out, w_cap, dtype):
     n_pad = -(-n // C) * C
     # padded B: bp[:, j] = b[:, j + dmin] over j in [0, n_pad + span)
     lo = max(0, -dmin)
-    hi = max(0, (n_pad - 1) + dmax - (bc.shape[1] - 1))
     bc_p = np.pad(bc[:, max(0, dmin):min(bc.shape[1], n_pad + dmax)],
                   ((0, 0), (lo, 0)), constant_values=SENT)
     bv_p = np.pad(bv[:, max(0, dmin):min(bv.shape[1], n_pad + dmax)],
@@ -354,7 +353,14 @@ def rap_device(a: CSRMatrix, p: CSRMatrix, dtype=None,
     pt = p.transpose()
     ptc, ptv = csr_to_ell(pt, dtype=dtype)
     apc_d, apv_d = app.to_ell()
-    w_cap = _cap_guess(_max_row(pt), app.w_cap, p.n_cols)
+    # the second product's candidate slab scales with AP's ELL operand
+    # width: truncate it to the MEASURED max AP row width (counts are
+    # already on the host; rows beyond them are SENT/0 padding, so the
+    # slice is lossless) instead of the first product's cap guess
+    ap_max_row = max(1, int(app.counts.max()) if len(app.counts) else 1)
+    if ap_max_row < apc_d.shape[0]:
+        apc_d, apv_d = apc_d[:ap_max_row], apv_d[:ap_max_row]
+    w_cap = _cap_guess(_max_row(pt), ap_max_row, p.n_cols)
     for attempt in range(2):
         prod, mx = _run_ell(ptc, ptv, apc_d, apv_d, pt.n_rows, p.n_cols,
                             w_cap, dtype)

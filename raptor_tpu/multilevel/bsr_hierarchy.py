@@ -81,15 +81,6 @@ def block_partition(n_scalar: int, m_scalar: int, b: int,
                      np.asarray(bpart.col_bounds) * b)
 
 
-def nodal_block(g_s: CSRMatrix, b: int, first_node: int) -> CSRMatrix:
-    """Per-shard nodal condensation: this shard's scalar rows (GLOBAL
-    cols) -> nodal row block with global nodal cols. Blocked comm in
-    the distributed pipeline moves b x b blocks as these nodal rows +
-    the component rows below — the reference's block_size sends
-    (core/comm_data.hpp) realized through the same scalar wire."""
-    return nodal_matrix(g_s, b, first_node)
-
-
 def component_block(g_s: CSRMatrix, r0: int, b: int, c: int) -> CSRMatrix:
     """Per-shard component coupling submatrix A_c = A[c::b, c::b]
     restricted to this shard's rows: local node rows, GLOBAL node cols.
@@ -109,7 +100,8 @@ def component_block(g_s: CSRMatrix, r0: int, b: int, c: int) -> CSRMatrix:
 
 def bsr_extend_distributed(a: ParCSRMatrix, b: int, weights: np.ndarray,
                            coarsen: CoarsenType, interp: InterpType,
-                           theta: float, make_transport):
+                           theta: float, make_transport,
+                           strength_type=None):
     """One blocked-AMG level extension over the Transport seam: every
     stage runs on per-shard blocks + collectives, no global matrix on
     any rank (the distributed twin of
@@ -132,12 +124,23 @@ def bsr_extend_distributed(a: ParCSRMatrix, b: int, weights: np.ndarray,
                            np.asarray(part.col_bounds) // b)
 
     g_blocks = [blk.global_cols_csr(ncols) for blk in shards]
-    nod_blocks = [nodal_block(g, b, int(part.row_bounds[fs + i]) // b)
+    # per-shard nodal condensation: scalar rows (GLOBAL cols) -> nodal
+    # rows with global nodal cols; blocked comm moves b x b blocks as
+    # these nodal rows + the component rows below (the reference's
+    # block_size sends, core/comm_data.hpp, on the same scalar wire)
+    nod_blocks = [nodal_matrix(g, b, int(part.row_bounds[fs + i]) // b)
                   for i, g in enumerate(g_blocks)]
     nod_par = ParCSRMatrix.from_local_rows(nod_blocks, part_nodes,
                                            first_shard=fs)
     tr_n = make_transport(nod_par)
-    masks = ps.dist_classical_strength(nod_par, theta, tr=tr_n)
+    from raptor_tpu.core.types import StrengthType
+    if strength_type in (None, StrengthType.Classical):
+        masks = ps.dist_classical_strength(nod_par, theta, tr=tr_n)
+    elif strength_type == StrengthType.Symmetric:
+        masks = ps.dist_symmetric_strength(nod_par, theta, tr=tr_n)
+    else:
+        raise NotImplementedError(
+            f"distributed BSR setup: strength_type {strength_type}")
     s_n = ps.strength_masks_to_par(nod_par, masks)
     w = weights[:n_nodes]
     tr_s = make_transport(s_n)
@@ -217,9 +220,9 @@ class ParBSRRugeStubenSolver(ParMultilevel):
     def __init__(self, block_size: int, strong_threshold: float = 0.0,
                  coarsen_type: CoarsenType = CoarsenType.RS,
                  interp_type: InterpType = InterpType.ModClassical,
-                 relax_type: RelaxType = RelaxType.Jacobi):
-        super().__init__(strong_threshold, StrengthType.Classical,
-                         relax_type)
+                 relax_type: RelaxType = RelaxType.Jacobi,
+                 strength_type: StrengthType = StrengthType.Classical):
+        super().__init__(strong_threshold, strength_type, relax_type)
         self.block_size = int(block_size)
         self.coarsen_type = coarsen_type
         self.interp_type = interp_type
@@ -258,7 +261,8 @@ class ParBSRRugeStubenSolver(ParMultilevel):
             bsr_extend_distributed(a, b, self.weights, self.coarsen_type,
                                    self.interp_type,
                                    self.strong_threshold,
-                                   InProcessTransport)
+                                   InProcessTransport,
+                                   strength_type=self.strength_type)
         part = a.partition
         n_c = int(part_c.global_num_cols)
         # in-process: all shards local -> assemble for the device layer,

@@ -56,6 +56,26 @@ class SolveResult(NamedTuple):
     stalled: jnp.ndarray = None
 
 
+def _coarse_plumbing(part_c, Rc: int, first_shard: int, SL: int):
+    """Redundant-coarse index plumbing shared by the in-process and SPMD
+    constructions (they must stay bit-identical): ``gather_idx`` maps
+    global coarse row -> position in the all-gathered padded [S*Rc]
+    vector; ``ct_local`` [SL, Rc] holds each LOCAL shard's global row
+    range for the coarse_take scatter (in-process passes first_shard=0,
+    SL=S)."""
+    n_c = part_c.global_num_rows
+    gather_idx = np.zeros(n_c, dtype=np.int32)
+    for s in range(part_c.n_shards):
+        r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
+        gather_idx[r0:r1] = s * Rc + np.arange(r1 - r0)
+    ct_local = np.zeros((SL, Rc), dtype=np.int32)
+    for i in range(SL):
+        s = first_shard + i
+        r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
+        ct_local[i, :r1 - r0] = np.arange(r0, r1)
+    return gather_idx, ct_local
+
+
 class DeviceHierarchy:
     def __init__(self, ml: ParMultilevel, mesh, dtype=jnp.float64,
                  lane_pad: int = None):
@@ -123,15 +143,9 @@ class DeviceHierarchy:
             lu, dtype=jax.dtypes.canonicalize_dtype(dtype)))
         self.piv = jnp.asarray(np.asarray(piv, dtype=np.int32))
         part_c = ml.levels[-1].A.partition
-        S = part_c.n_shards
         Rc = self.levels[-1].A.rows_pad
-        n_c = part_c.global_num_rows
-        gather_idx = np.zeros(n_c, dtype=np.int32)
-        coarse_take = np.zeros((S, Rc), dtype=np.int32)
-        for s in range(S):
-            r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
-            gather_idx[r0:r1] = s * Rc + np.arange(r1 - r0)
-            coarse_take[s, :r1 - r0] = np.arange(r0, r1)
+        gather_idx, coarse_take = _coarse_plumbing(
+            part_c, Rc, 0, part_c.n_shards)
         self.gather_idx = jnp.asarray(gather_idx)
         self.coarse_take = dpar._shard_leading(coarse_take, mesh)
 
@@ -232,19 +246,9 @@ class DeviceHierarchy:
         a_c = hier.levels[-1].a_local
         part_c = a_c.partition
         Rc = self.levels[-1].A.rows_pad
-        n_c = part_c.global_num_rows
-        S = part_c.n_shards
-        gather_idx = np.zeros(n_c, dtype=np.int32)
-        for s in range(S):
-            r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
-            gather_idx[r0:r1] = s * Rc + np.arange(r1 - r0)
+        gather_idx, ct_local = _coarse_plumbing(
+            part_c, Rc, a_c.first_shard, len(a_c.shards()))
         self.gather_idx = gather_idx
-        SL = len(a_c.shards())
-        ct_local = np.zeros((SL, Rc), dtype=np.int32)
-        for i in range(SL):
-            s = a_c.first_shard + i
-            r0, r1 = int(part_c.row_bounds[s]), int(part_c.row_bounds[s + 1])
-            ct_local[i, :r1 - r0] = np.arange(r0, r1)
         self.coarse_take = dpar.put_stacked(
             {"ct": ct_local}, mesh, tr=make_transport(a_c),
             first_shard=a_c.first_shard)["ct"]
@@ -323,8 +327,15 @@ class DeviceHierarchy:
         # residual reduction means the iteration hit a floor (usually
         # the f32 relative-residual limit) — stop and flag instead of
         # silently burning cycles (round-2 verdict: plain f32 solve
-        # stalled invisibly below ~1e-5)
-        STALL_RATIO, STALL_RUN = 0.999, 4
+        # stalled invisibly below ~1e-5). Tunable via the instance
+        # attributes stall_ratio / stall_run (set BEFORE the first
+        # solve — they are baked into the compiled program);
+        # stall_run=0 disables the guardrail for genuinely
+        # slow-converging problems driven with large max_iterations.
+        STALL_RATIO = float(getattr(self, "stall_ratio", 0.999))
+        STALL_RUN = int(getattr(self, "stall_run", 4))
+        if STALL_RUN <= 0:
+            STALL_RUN = max_iter + 1    # never trips
 
         def cond(state):
             x, r_norm, k, res, run = state

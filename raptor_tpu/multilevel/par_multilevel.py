@@ -72,8 +72,9 @@ class ParMultilevel:
         # "auto" = device for large levels when running on a TPU.
         self.rap_mode = "auto"
 
-    def _galerkin(self, a: ParCSRMatrix, p: ParCSRMatrix
-                  ) -> Tuple[ParCSRMatrix, ParCSRMatrix]:
+    def _galerkin(self, a: ParCSRMatrix, p: ParCSRMatrix,
+                  need_ap: bool = True
+                  ) -> Tuple[Optional[ParCSRMatrix], ParCSRMatrix]:
         """(AP, Ac = P^T A P) through the selected engine.
 
         The host path is the reference-parity engine
@@ -95,10 +96,13 @@ class ParMultilevel:
                 on_tpu = jax.devices()[0].platform == "tpu"
                 dt = np.float32 if on_tpu else None
                 ap_c, ac_c, _ = dsp.rap_device(a.global_csr,
-                                               p.global_csr, dtype=dt)
-                ap = ParCSRMatrix(ap_c, a.partition.product(p.partition))
+                                               p.global_csr, dtype=dt,
+                                               need_ap=need_ap)
+                ap = (ParCSRMatrix(ap_c,
+                                   a.partition.product(p.partition))
+                      if need_ap else None)
                 ac = ParCSRMatrix(
-                    ac_c, p.partition.transpose().product(ap.partition))
+                    ac_c, p.partition.transpose().product(p.partition))
                 return ap, ac
             except dsp.CapOverflow:
                 pass    # pathological width: host engine below

@@ -127,3 +127,27 @@ def test_bsr_distributed_setup_matches_global(n_shards):
                           tol=1e-6, max_iter=100)
     hist = hist[hist >= 0]
     assert hist[-1] < 1e-6
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_bsr_distributed_symmetric_strength_matches_global(n_shards):
+    """strength_type=Symmetric dispatches dist_symmetric_strength in the
+    distributed BSR path (it used to silently run classical)."""
+    from raptor_tpu.core.types import CoarsenType, StrengthType
+
+    A, _ = par_fem("elasticity", 24, 12, n_shards)
+    kw = dict(strong_threshold=0.25, coarsen_type=CoarsenType.CLJP,
+              strength_type=StrengthType.Symmetric)
+    ml_g = ParBSRRugeStubenSolver(2, **kw)
+    ml_g.setup(A)
+    ml_d = ParBSRRugeStubenSolver(2, **kw)
+    ml_d.setup_mode = "distributed"
+    ml_d.setup(A)
+    assert ml_d.num_levels == ml_g.num_levels
+    for li in range(ml_g.num_levels):
+        ag = ml_g.levels[li].A.global_csr
+        lvl = ml_d.levels[li].A
+        ad = lvl.assemble_global() if lvl.is_local_view \
+            else lvl.global_csr
+        d = abs(ag.to_scipy() - ad.to_scipy())
+        assert (d.max() if d.nnz else 0.0) < 1e-10
