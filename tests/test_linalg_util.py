@@ -92,3 +92,28 @@ def test_sparsify_row_sums_preserved(test_data):
     # minimal pattern M is kept: Ac_sp must still be usable in a solve
     # (diagonal intact)
     assert np.all(Ac_sp.diagonal() != 0)
+
+
+def test_scaled_amg_solves_original_system():
+    """AMG on the diagonally-scaled operator solves the ORIGINAL system
+    after unscaling (test_par_scale_aniso.cpp flow: scale -> setup ->
+    solve -> unscale -> residual check on the unscaled system)."""
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = _aniso(4, (25, 25))
+    rng = np.random.default_rng(3)
+    b = A.mult(rng.random(A.global_num_rows))
+    As, bs, scales = diagonally_scale(A, b)
+
+    ml = ParRugeStubenSolver(0.25)
+    ml.solve_tol = 1e-9
+    ml.setup(As)
+    mesh = dpar.make_mesh(4)
+    dh = DeviceHierarchy(ml, mesh)
+    res = dh.solve(dh.vector(np.zeros_like(bs)), dh.vector(bs))
+    xs = dh.host(res.x)
+    x = diagonally_unscale(xs, scales)
+    r = np.linalg.norm(b - A.mult(x)) / np.linalg.norm(b)
+    assert r < 1e-8, r
