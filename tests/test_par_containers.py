@@ -156,3 +156,19 @@ def test_par_bsr_local_view():
         np.testing.assert_array_equal(a.indptr, b.indptr)
         np.testing.assert_array_equal(a.indices, b.indices)
         np.testing.assert_array_equal(a.blocks, b.blocks)
+
+
+def test_par_add_subtract(n_shards=4):
+    """A + B / A - B on sharded containers vs the scipy oracle
+    (util/tests/test_par_add.cpp)."""
+    A = par_stencil_grid(diffusion_stencil_2d(1.0, 0.0), (20, 22),
+                         n_shards)
+    B = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (20, 22), n_shards)
+    a, b = A.global_csr.to_scipy(), B.global_csr.to_scipy()
+    C = A.add(B)
+    D = A.subtract(B)
+    assert abs(C.global_csr.to_scipy() - (a + b)).max() < 1e-14
+    assert abs(D.global_csr.to_scipy() - (a - b)).max() < 1e-14
+    x = np.random.default_rng(1).random(A.global_num_cols)
+    np.testing.assert_allclose(C.mult(x), (a + b) @ x, atol=1e-12)
