@@ -29,8 +29,8 @@ def _free_port() -> int:
     return p
 
 
-def test_multicontroller_bridge(tmp_path):
-    world = 2
+@pytest.mark.parametrize("world", [2, 4])
+def test_multicontroller_bridge(tmp_path, world):
     port = _free_port()
     worker = pathlib.Path(__file__).parent / "_mc_worker.py"
     procs, outs = [], []
