@@ -309,7 +309,15 @@ def _spmd_entry(fn, rank, world, inboxes, conn, args):
 
 def run_spmd(world: int, fn, *args, timeout: float = 300.0) -> List:
     """Run ``fn(rank, group, *args)`` in ``world`` forked processes and
-    return [every rank's result]. Raises on any rank failure."""
+    return [every rank's result]. Raises on any rank failure.
+
+    Fork (not spawn) is deliberate for this single-machine HARNESS:
+    spawn would re-import jax per rank (~15 s each on this one-core
+    host) and cannot pickle test-local worker closures. Workers do
+    host-side NumPy setup only, so the fork-in-multithreaded-process
+    warning is benign here. Production multi-host runs never fork:
+    they are independently launched jax.distributed controllers talking
+    over SocketGroup (comm/netgroup.py, tests/test_multicontroller.py)."""
     ctx = mp.get_context("fork")
     inboxes = [ctx.Queue() for _ in range(world)]
     procs, conns = [], []
