@@ -131,10 +131,19 @@ class ParMultilevel:
             # reference: per-rank srand(2448422 + first_local_row); the
             # global equivalent is the single-rank stream
             self.weights = form_rand_weights(af.global_num_rows, 0)
+        # per-level phase splits (the reference's track_times counters,
+        # par_multilevel.hpp:127-205): snapshot the accumulating timers
+        # around each level extension
+        self.setup_level_times = []
         while (self.levels[-1].A.global_num_rows > self.max_coarse
                and (self.max_levels == -1
                     or len(self.levels) < self.max_levels)):
+            before = dict(self.setup_times.times)
             self.extend_hierarchy()
+            self.setup_level_times.append({
+                k: v - before.get(k, 0.0)
+                for k, v in self.setup_times.times.items()
+                if v - before.get(k, 0.0) > 0.0})
         self.duplicate_coarse()
 
     def extend_hierarchy(self) -> None:
@@ -146,6 +155,17 @@ class ParMultilevel:
         import scipy.linalg
         ac = self.levels[-1].A.global_csr.to_dense()
         self.coarse_lu = scipy.linalg.lu_factor(ac)
+
+    def print_setup_times(self) -> str:
+        """Per-level setup phase splits (print_setup_times,
+        par_multilevel.hpp:412-457)."""
+        keys = sorted({k for d in getattr(self, "setup_level_times", [])
+                       for k in d})
+        lines = ["level  " + "".join(f"{k:>15s}" for k in keys)]
+        for i, d in enumerate(self.setup_level_times):
+            lines.append(f"{i:5d}  " + "".join(
+                f"{d.get(k, 0.0):15.4f}" for k in keys))
+        return "\n".join(lines)
 
     def print_hierarchy(self) -> str:
         """(par_multilevel.hpp:542-565)."""
