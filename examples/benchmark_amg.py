@@ -50,6 +50,7 @@ def main():
     with prof.phase("setup(host)"):
         ml.setup(A)
     print(ml.print_hierarchy())
+    print(ml.print_setup_times())
 
     mesh = dpar.make_mesh(n_shards)
     with prof.phase("device plans"):
