@@ -107,3 +107,61 @@ def test_solver_rap_mode_device_matches_host(aniso):
     assert h.num_levels == d.num_levels
     for lh, ld in zip(h.levels, d.levels):
         _csr_close(ld.A.global_csr, lh.A.global_csr, tol=1e-11)
+
+
+def test_rap_device_f32_close_and_preconditions(aniso):
+    """The TPU-realistic dtype: f32 device RAP stays within single
+    precision of the f64 host product, and a hierarchy built from f32
+    coarse operators still converges (the outer iteration measures f64
+    residuals against the exact fine A, so coarse perturbations only
+    nudge preconditioner quality)."""
+    n = aniso.n_rows
+    p = random_matrix(n, n // 4, 3, seed=7)
+    ref_ap, ref_ac = _host_rap(aniso, p)
+    ap, ac, _ = dsp.rap_device(aniso, p, dtype=np.float32)
+    # same pattern, values within f32 roundoff of the f64 product
+    np.testing.assert_array_equal(ac.indptr, ref_ac.indptr)
+    np.testing.assert_array_equal(ac.indices, ref_ac.indices)
+    scale = np.abs(ref_ac.data).max()
+    assert np.abs(ac.data - ref_ac.data).max() < 1e-5 * scale
+
+    # end-to-end: f32-RAP hierarchy solves the f64 system
+    import jax
+
+    from raptor_tpu.core.types import CoarsenType, InterpType
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.gallery.stencils import (diffusion_stencil_2d,
+                                             par_stencil_grid)
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (40, 40), 1)
+    iters = {}
+    for mode, dt in (("host", None), ("device", np.float32)):
+        ml = ParRugeStubenSolver(0.25, CoarsenType.RS,
+                                 InterpType.ModClassical)
+        ml.rap_mode = mode
+        if dt is not None:
+            # force the f32 product the way the TPU auto path would
+            orig = ml._galerkin
+
+            def galerkin_f32(a, pp, need_ap=True, _ml=ml):
+                ap_c, ac_c, _ = dsp.rap_device(a.global_csr,
+                                               pp.global_csr,
+                                               dtype=np.float32)
+                ap_par = ParCSRMatrix(
+                    ap_c, a.partition.product(pp.partition))
+                ac_par = ParCSRMatrix(
+                    ac_c, pp.partition.transpose().product(pp.partition))
+                return ap_par, ac_par
+            ml._galerkin = galerkin_f32
+        ml.solve_tol = 1e-7
+        ml.setup(A)
+        mesh = dpar.make_mesh(1)
+        dh = DeviceHierarchy(ml, mesh)
+        b = A.mult(np.ones(A.global_num_rows))
+        res = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
+        iters[mode] = int(res.n_iters)
+    # f32 coarse operators cost at most a couple of extra cycles
+    assert iters["device"] <= iters["host"] + 3, iters
