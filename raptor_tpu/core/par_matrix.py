@@ -457,3 +457,66 @@ class ParBSRMatrix:
 
     def mult(self, x: np.ndarray) -> np.ndarray:
         return self.par_csr.mult(x)
+
+
+class ParBCOOMatrix:
+    """Row-partitioned blocked COO (core/par_matrix.hpp:424): the
+    blocked ASSEMBLY container — ``add_block`` accumulates b_rows x
+    b_cols dense blocks at global block coordinates, ``finalize``
+    sums duplicates and converts to ParBSR (add_value block path,
+    par_matrix.cpp:26-78 + finalize :114-162)."""
+
+    def __init__(self, partition: Partition, b_rows: int,
+                 b_cols: int = None):
+        b_cols = b_cols or b_rows
+        assert partition.global_num_rows % b_rows == 0
+        assert partition.global_num_cols % b_cols == 0
+        self.partition = partition
+        self.b_rows, self.b_cols = int(b_rows), int(b_cols)
+        self._rows: List[int] = []   # global block rows
+        self._cols: List[int] = []   # global block cols
+        self._blocks: List[np.ndarray] = []
+
+    def add_block(self, brow: int, bcol: int, block) -> None:
+        block = np.asarray(block, dtype=np.float64)
+        assert block.shape == (self.b_rows, self.b_cols)
+        self._rows.append(int(brow))
+        self._cols.append(int(bcol))
+        self._blocks.append(block)
+
+    def finalize(self) -> "ParBSRMatrix":
+        import scipy.sparse as sp
+        from raptor_tpu.core.matrix import BCOOMatrix
+        part = self.partition
+        coo = BCOOMatrix(part.global_num_rows, part.global_num_cols,
+                         self.b_rows, self.b_cols,
+                         np.asarray(self._rows, dtype=np.int64),
+                         np.asarray(self._cols, dtype=np.int64),
+                         np.asarray(self._blocks, dtype=np.float64)
+                         if self._blocks else
+                         np.zeros((0, self.b_rows, self.b_cols)))
+        g = coo.to_bsr().to_scipy().tocsr()
+        g.sum_duplicates()
+        g.sort_indices()
+        return ParBSRMatrix(
+            ParCSRMatrix(CSRMatrix.from_scipy(g), part), self.b_rows,
+            self.b_cols)
+
+
+class ParBSCMatrix:
+    """Blocked column-compressed view of a row-partitioned blocked
+    matrix (core/par_matrix.hpp:792): per-shard BSC blocks for
+    column-driven setup passes, mirroring ParCSCMatrix at the block
+    level."""
+
+    def __init__(self, par_bsr: "ParBSRMatrix"):
+        self.par_bsr = par_bsr
+        self.partition = par_bsr.partition
+
+    def local_bsc(self, s: int):
+        """Shard s's rows as a serial BSCMatrix (global block cols)."""
+        from raptor_tpu.core.matrix import BSCMatrix
+        return BSCMatrix.from_bsr(self.par_bsr.local_bsr(s))
+
+    def to_par_bsr(self) -> "ParBSRMatrix":
+        return self.par_bsr

@@ -172,3 +172,42 @@ def test_par_add_subtract(n_shards=4):
     assert abs(D.global_csr.to_scipy() - (a - b)).max() < 1e-14
     x = np.random.default_rng(1).random(A.global_num_cols)
     np.testing.assert_allclose(C.mult(x), (a + b) @ x, atol=1e-12)
+
+
+def test_par_bcoo_assembly_finalize():
+    """Blocked assembly: add_block at global block coordinates,
+    duplicates summed, finalize -> ParBSR (core/par_matrix.hpp:424
+    ParBCOOMatrix + the block add_value path)."""
+    from raptor_tpu.core.par_matrix import ParBCOOMatrix
+
+    part = Partition.create(8, 8, 2)
+    coo = ParBCOOMatrix(part, 2)
+    eye = np.eye(2)
+    for i in range(4):
+        coo.add_block(i, i, (i + 1.0) * eye)
+    coo.add_block(0, 1, np.array([[1.0, 2.0], [3.0, 4.0]]))
+    coo.add_block(0, 1, np.array([[1.0, 0.0], [0.0, 1.0]]))  # dup sums
+    pb = coo.finalize()
+    assert pb.b_rows == 2
+    g = pb.par_csr.global_csr.to_scipy().toarray()
+    np.testing.assert_allclose(g[0:2, 2:4],
+                               np.array([[2.0, 2.0], [3.0, 5.0]]))
+    np.testing.assert_allclose(np.diag(g),
+                               [1, 1, 2, 2, 3, 3, 4, 4])
+
+
+def test_par_bsc_view_round_trip():
+    """ParBSC per-shard blocked column views reproduce the row blocks
+    (core/par_matrix.hpp:792 ParBSCMatrix)."""
+    from raptor_tpu.core.par_matrix import ParBSCMatrix
+
+    K, _ = par_fem("elasticity", 12, 6, 2)
+    pb = ParBSRMatrix(K, 2)
+    pc = ParBSCMatrix(pb)
+    for s in range(2):
+        back = pc.local_bsc(s).to_bsr()
+        ref = pb.local_bsr(s)
+        np.testing.assert_array_equal(back.indptr, ref.indptr)
+        np.testing.assert_array_equal(back.indices, ref.indices)
+        np.testing.assert_allclose(back.blocks, ref.blocks)
+    assert pc.to_par_bsr() is pb
