@@ -15,6 +15,12 @@ import time
 import numpy as np
 
 import jax
+
+# honor JAX_PLATFORMS=cpu for mesh dry-runs (the TPU plugin's
+# sitecustomize force-sets the platform list)
+import os as _os
+if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from raptor_tpu.aggregation.solver import ParSmoothedAggregationSolver
