@@ -18,6 +18,7 @@
 #include <vector>
 
 using i64 = int64_t;
+using i8 = int8_t;
 
 namespace {
 constexpr i64 UNASSIGNED = -1;
@@ -374,7 +375,7 @@ extern "C" {
 void mark_strong(i64 n,
                  const i64* a_indptr, const i64* a_indices,
                  const i64* s_indptr, const i64* s_indices,
-                 i64* strong) {
+                 i8* strong) {
     for (i64 i = 0; i < n; i++) {
         i64 aj = a_indptr[i];
         for (i64 sj = s_indptr[i]; sj < s_indptr[i + 1]; sj++) {
@@ -393,7 +394,7 @@ void mark_strong(i64 n,
 i64 mod_classical_interp(i64 n,
                          const i64* a_indptr, const i64* a_indices,
                          const double* a_data,
-                         const i64* strong, const i64* states,
+                         const i8* strong, const i64* states,
                          const i64* variables, i64 num_variables,
                          i64* out_rows, i64* out_cols, double* out_vals) {
     const double ZERO_TOL = 1e-16;
@@ -413,6 +414,25 @@ i64 mod_classical_interp(i64 n,
         }
     }
 
+    // Per-entry flag bytes (ONE sequential pass) replace the random
+    // states[] loads inside the distance-2 scans: bit0 strong, bit1
+    // column SELECTED and != owning row, bit2 value < 0, bit3 value > 0.
+    // The sign test v*sgn<0 with sgn = +-1.0 is exactly (v<0) for sgn>0
+    // and (v>0) for sgn<0 (IEEE: products with +-1.0 are exact), so the
+    // caller-side row sign just selects which bit to test.
+    i64 nnz_a = a_indptr[n];
+    std::vector<i8> flags(nnz_a);
+    for (i64 i = 0; i < n; i++)
+        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            i64 c = a_indices[j];
+            double v = a_data[j];
+            i8 f = (i8)(strong[j] != 0);
+            if (c != i && states[c] == SELECTED) f |= 2;
+            if (v < 0) f |= 4;
+            else if (v > 0) f |= 8;
+            flags[j] = f;
+        }
+
     std::vector<i64> pos(n, -1), stamp(n, -1);
     i64 nnz = 0;
     for (i64 i = 0; i < n; i++) {
@@ -430,27 +450,27 @@ i64 mod_classical_interp(i64 n,
         }
         double weak_sum = weak_sums[i];
         double sgn = sign[i];
+        i8 negbit = sgn < 0 ? 8 : 4;   // v*sgn<0  <=>  flags & negbit
+        i8 want = (i8)(2 | negbit);    // SELECTED non-diag, sign-filtered
         // distribute strong-F values over shared coarse entries
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 col = a_indices[j];
             if (!strong[j] || states[col] != UNSELECTED) continue;
             double cs = 0.0;
             for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                if ((flags[k] & want) != want) continue;
                 i64 ck = a_indices[k];
-                if (ck == col || states[ck] != SELECTED) continue;
-                double v = a_data[k];
-                if (stamp[ck] == i && v * sgn < 0) cs += v;
+                if (stamp[ck] == i) cs += a_data[k];
             }
             if (cs < ZERO_TOL && cs > -ZERO_TOL) {
                 weak_sum += a_data[j];
             } else {
                 double ratio = a_data[j] / cs;
                 for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                    if ((flags[k] & want) != want) continue;
                     i64 ck = a_indices[k];
-                    if (ck == col || states[ck] != SELECTED) continue;
-                    double v = a_data[k];
-                    if (stamp[ck] == i && v * sgn < 0)
-                        out_vals[pos[ck]] += ratio * v;
+                    if (stamp[ck] == i)
+                        out_vals[pos[ck]] += ratio * a_data[k];
                 }
             }
         }
@@ -464,7 +484,7 @@ i64 mod_classical_interp(i64 n,
 i64 extended_interp(i64 n,
                     const i64* a_indptr, const i64* a_indices,
                     const double* a_data,
-                    const i64* strong, const i64* states,
+                    const i8* strong, const i64* states,
                     const i64* variables, i64 num_variables,
                     i64* out_rows, i64* out_cols, double* out_vals) {
     const double ZERO_TOL = 1e-16;
@@ -472,6 +492,22 @@ i64 extended_interp(i64 n,
     for (i64 i = 0; i < n; i++)
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++)
             if (a_indices[j] == i) { diag[i] = a_data[j]; break; }
+
+    // Per-entry flag bytes (ONE sequential pass) replace the random
+    // states[] loads inside the distance-2 scans: bit0 strong, bit1
+    // column SELECTED, bit2 value < 0, bit3 value > 0 (v*sgn<0 with
+    // sgn = +-1.0 is exactly v<0 / v>0, so the strong-F row's diagonal
+    // sign just selects which bit to test).
+    i64 nnz_a = a_indptr[n];
+    std::vector<i8> flags(nnz_a);
+    for (i64 t = 0; t < nnz_a; t++) {
+        double v = a_data[t];
+        i8 f = (i8)(strong[t] != 0);
+        if (states[a_indices[t]] == SELECTED) f |= 2;
+        if (v < 0) f |= 4;
+        else if (v > 0) f |= 8;
+        flags[t] = f;
+    }
 
     std::vector<i64> pos(n, -1), stamp(n, -1);
     i64 nnz = 0;
@@ -494,11 +530,10 @@ i64 extended_interp(i64 n,
                     out_vals[pos[col]] = a_data[j];
                 }
             } else if (states[col] == UNSELECTED) {
-                // strong entries of row col (need the strong[] flags of that
-                // row: scan A row col against its own strong flags)
+                // strong-C entries of row col: one flag byte per entry
                 for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                    if ((flags[k] & 3) != 3) continue;
                     i64 ck = a_indices[k];
-                    if (!strong[k] || states[ck] != SELECTED) continue;
                     if (stamp[ck] != i) {
                         pos[ck] = nnz; stamp[ck] = i;
                         out_rows[nnz] = i; out_cols[nnz] = ck;
@@ -522,14 +557,13 @@ i64 extended_interp(i64 n,
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 col = a_indices[j];
             if (!strong[j] || states[col] != UNSELECTED) continue;
-            double sgn = diag[col] < 0 ? -1.0 : 1.0;
+            i8 negbit = diag[col] < 0 ? 8 : 4;
             double cs = 0.0;
             for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                if (!(flags[k] & negbit)) continue;
                 i64 ck = a_indices[k];
-                if ((stamp[ck] == i && pos[ck] >= row_start) || ck == i) {
-                    double v = a_data[k];
-                    if (v * sgn < 0) cs += v;
-                }
+                if ((stamp[ck] == i && pos[ck] >= row_start) || ck == i)
+                    cs += a_data[k];
             }
             double coarse_sum;
             if (cs < ZERO_TOL && cs > -ZERO_TOL) {
@@ -539,14 +573,14 @@ i64 extended_interp(i64 n,
                 coarse_sum = a_data[j] / cs;
             }
             for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
-                i64 ck = a_indices[k];
-                if (ck == col) continue;
-                double v = a_data[k];
-                if (states[ck] == SELECTED) {
-                    if (v * sgn < 0 && stamp[ck] == i)
-                        out_vals[pos[ck]] += coarse_sum * v;
-                } else if (ck == i) {
-                    weak_sum += coarse_sum * v;
+                i8 f = flags[k];
+                if (f & 2) {
+                    if ((f & negbit) == 0) continue;
+                    i64 ck = a_indices[k];
+                    if (ck != col && stamp[ck] == i)
+                        out_vals[pos[ck]] += coarse_sum * a_data[k];
+                } else if (a_indices[k] == i) {
+                    weak_sum += coarse_sum * a_data[k];
                 }
             }
         }
@@ -721,7 +755,7 @@ void level_schedule(i64 n, const i64* indptr, const i64* indices,
 void classical_strength_mask(i64 n, const i64* indptr, const i64* indices,
                              const double* data, double theta,
                              const i64* variables, i64 num_variables,
-                             i64* keep) {
+                             i8* keep) {
     for (i64 i = 0; i < n; i++) {
         double diag = 0.0;
         for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
@@ -756,7 +790,7 @@ void classical_strength_mask(i64 n, const i64* indptr, const i64* indices,
 // threshold. Two passes: thresholds, then the mask.
 void symmetric_strength_mask(i64 n, const i64* indptr, const i64* indices,
                              const double* data, double theta,
-                             i64* keep) {
+                             i8* keep) {
     std::vector<double> thr(n);
     std::vector<char> neg(n);
     for (i64 i = 0; i < n; i++) {
@@ -1190,6 +1224,95 @@ void spgemm_fetch(i64* c_indices, double* c_data) {
     // costs seconds of page faults each time
     std::memcpy(c_indices, g_c_indices.data(), g_c_count * sizeof(i64));
     std::memcpy(c_data, g_c_data.data(), g_c_count * sizeof(double));
+}
+
+// Direct CSR assembly of a constant-stencil grid operator
+// (gallery/stencil.cpp:8-196): K column-offset diagonals with dcols
+// ascending; entry k is valid at a row iff every grid coordinate admits
+// its per-dimension offset. The boundary test is one AND of the entry's
+// precomputed needs-bits against a per-row violation bitmask (2 bits per
+// dimension, updated by the row odometer), so the hot loop is branch-light.
+// Emits CSR directly -- indices ascend within each row because dcols do.
+// Returns nnz. (NumPy fancy-gather formulation of the same fast path runs
+// at ~20 Melem/s on this host; this loop replaces it entirely.)
+i64 stencil_csr(i64 dim, const i64* grid, i64 K,
+                const i64* dcols, const double* dvals, const i64* offs,
+                i64* indptr, i64* indices, double* data)
+{
+    i64 n_v = 1;
+    for (i64 d = 0; d < dim; d++) n_v *= grid[d];
+    std::vector<uint32_t> needs(K, 0);
+    for (i64 k = 0; k < K; k++)
+        for (i64 d = 0; d < dim; d++) {
+            i64 o = offs[k * dim + d];
+            if (o == -1) needs[k] |= 1u << (2 * d);
+            else if (o == 1) needs[k] |= 1u << (2 * d + 1);
+        }
+    std::vector<i64> coord(dim, 0);
+    uint32_t viol = 0;
+    for (i64 d = 0; d < dim; d++) {
+        viol |= 1u << (2 * d);                      // coord 0 violates -1
+        if (grid[d] == 1) viol |= 2u << (2 * d);    // ...and +1
+    }
+    i64 nnz = 0;
+    indptr[0] = 0;
+    for (i64 r = 0; r < n_v; r++) {
+        for (i64 k = 0; k < K; k++) {
+            if ((needs[k] & viol) == 0) {
+                indices[nnz] = r + dcols[k];
+                data[nnz] = dvals[k];
+                nnz++;
+            }
+        }
+        indptr[r + 1] = nnz;
+        for (i64 d = dim - 1; d >= 0; d--) {   // odometer, last dim fastest
+            i64 c = ++coord[d];
+            uint32_t lo = 1u << (2 * d), hi = 2u << (2 * d);
+            if (c < grid[d]) {
+                viol &= ~lo;
+                if (c == grid[d] - 1) viol |= hi;
+                break;
+            }
+            coord[d] = 0;
+            viol |= lo;
+            if (grid[d] == 1) viol |= hi; else viol &= ~hi;
+        }
+    }
+    return nnz;
+}
+
+// Post-pass for the interpolation kernels' triplet output: build indptr
+// from the (non-decreasing) row ids, map columns through col_map
+// (monotone over the coarse points, so in-row column ORDER is preserved
+// by the mapping), and insertion-sort each row segment by column when the
+// emitting kernel discovers its pattern out of order (extended_interp;
+// mod_classical emits in A-row order, already ascending). Entries are
+// unique per row (the kernels' stamp dedup), so this replaces the scipy
+// coo->csr + sum_duplicates + sort_indices round trip.
+void finalize_interp(i64 n, i64 nnz, const i64* rows, i64* cols,
+                     double* vals, const i64* col_map, i64 do_sort,
+                     i64* indptr)
+{
+    for (i64 i = 0; i <= n; i++) indptr[i] = 0;
+    for (i64 t = 0; t < nnz; t++) indptr[rows[t] + 1]++;
+    for (i64 i = 0; i < n; i++) indptr[i + 1] += indptr[i];
+    for (i64 t = 0; t < nnz; t++) cols[t] = col_map[cols[t]];
+    if (!do_sort) return;
+    for (i64 i = 0; i < n; i++) {
+        i64 s = indptr[i], e = indptr[i + 1];
+        for (i64 a = s + 1; a < e; a++) {
+            i64 c = cols[a];
+            double v = vals[a];
+            i64 b = a - 1;
+            while (b >= s && cols[b] > c) {
+                cols[b + 1] = cols[b];
+                vals[b + 1] = vals[b];
+                b--;
+            }
+            cols[b + 1] = c;
+            vals[b + 1] = v;
+        }
+    }
 }
 
 }  // extern "C"

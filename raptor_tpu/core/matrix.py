@@ -174,6 +174,12 @@ class CSRMatrix:
 
     def filter_entries(self, keep: np.ndarray) -> "CSRMatrix":
         """New CSR keeping only entries where ``keep`` (aligned with data)."""
+        if keep.all():
+            # nothing dropped (e.g. strength of a constant-coefficient
+            # stencil keeps every entry): share the arrays instead of
+            # copying ~GBs -- CSR arrays are treated as immutable
+            return CSRMatrix(self.n_rows, self.n_cols, self.indptr,
+                             self.indices, self.data)
         kept_before = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
         return CSRMatrix(self.n_rows, self.n_cols, kept_before[self.indptr],
                          self.indices[keep], self.data[keep])

@@ -84,6 +84,16 @@ def stencil_grid(stencil: np.ndarray, grid, dim: int = None) -> CSRMatrix:
         # is position % K, so indices/data are two small-table gathers.
         order = np.argsort(diags, kind="stable")
         K = len(entries)
+        from raptor_tpu import native
+        if native.available():
+            # one C pass: no masks, no nonzero, no fancy gathers (those
+            # run at ~20 Melem/s on this host -- tens of seconds at 128^3)
+            dcols = np.array([entries[o][0] for o in order], dtype=np.int64)
+            dvals = np.array([entries[o][1] for o in order])
+            offs = np.array([entries[o][2] for o in order], dtype=np.int64)
+            indptr, indices, data = native.stencil_csr(
+                np.asarray(grid, dtype=np.int64), dcols, dvals, offs)
+            return CSRMatrix(n_v, n_v, indptr, indices, data)
         valid_t = np.empty((K, n_v), dtype=bool)  # [K, n] contiguous rows
         dcols = np.empty(K, dtype=np.int64)
         dvals = np.empty(K, dtype=np.float64)

@@ -10,6 +10,7 @@ same weights, the reference's parallel setup reproduces these results.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -25,6 +26,37 @@ from raptor_tpu.ruge_stuben.strength import strength
 from raptor_tpu.utils.glibc_rand import form_rand_weights
 
 
+_TPU_PROBE: Optional[bool] = None
+
+
+def _tpu_backend_alive() -> bool:
+    """Is a REAL TPU reachable? jax.devices() on the axon backend HANGS
+    (not raises) when the relay is down, so before the first in-process
+    backend init the probe goes through a subprocess with a hard
+    timeout. Once a backend exists in-process, jax.devices() is safe."""
+    global _TPU_PROBE
+    if _TPU_PROBE is not None:
+        return _TPU_PROBE
+    import jax
+    from jax._src import xla_bridge as xb
+    if xb._backends:  # already initialized: cheap and safe
+        _TPU_PROBE = jax.devices()[0].platform == "tpu"
+        return _TPU_PROBE
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices();"
+             "import sys; sys.exit(0 if d[0].platform == 'tpu' else 3)"],
+            timeout=int(os.environ.get("RAPTOR_TPU_PROBE_TIMEOUT", 120)),
+            capture_output=True)
+        _TPU_PROBE = r.returncode == 0
+    except Exception:
+        _TPU_PROBE = False
+    return _TPU_PROBE
+
+
 def _device_rap_profitable(a: ParCSRMatrix) -> bool:
     """Auto-dispatch rule for the Galerkin engine: the device SpGEMM
     pays off only on a real TPU (the CPU 'device' is this same single
@@ -34,11 +66,7 @@ def _device_rap_profitable(a: ParCSRMatrix) -> bool:
         return False
     if a.nnz < int(os.environ.get("RAPTOR_TPU_DEVRAP_MIN_NNZ", 2_000_000)):
         return False
-    try:
-        import jax
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return _tpu_backend_alive()
 
 
 class ParMultilevel:
@@ -92,8 +120,7 @@ class ParMultilevel:
         if use_dev:
             from raptor_tpu.device import spgemm as dsp
             try:
-                import jax
-                on_tpu = jax.devices()[0].platform == "tpu"
+                on_tpu = _tpu_backend_alive()
                 dt = np.float32 if on_tpu else None
                 ap_c, ac_c, _ = dsp.rap_device(a.global_csr,
                                                p.global_csr, dtype=dt,

@@ -24,6 +24,7 @@ _SO = pathlib.Path(__file__).resolve().parent / "_setup_kernels.so"
 
 I64 = ctypes.POINTER(ctypes.c_int64)
 F64 = ctypes.POINTER(ctypes.c_double)
+I8 = ctypes.POINTER(ctypes.c_int8)
 
 
 def _build() -> bool:
@@ -66,8 +67,8 @@ def load():
         lib.aggregate.argtypes = ([ctypes.c_int64] + [I64] * 4
                                   + [F64, I64, F64, I64])
         lib.aggregate.restype = ctypes.c_int64
-        lib.mark_strong.argtypes = [ctypes.c_int64] + [I64] * 5
-        interp_args = ([ctypes.c_int64, I64, I64, F64, I64, I64, I64,
+        lib.mark_strong.argtypes = [ctypes.c_int64] + [I64] * 4 + [I8]
+        interp_args = ([ctypes.c_int64, I64, I64, F64, I8, I64, I64,
                         ctypes.c_int64, I64, I64, F64])
         lib.mod_classical_interp.argtypes = interp_args
         lib.mod_classical_interp.restype = ctypes.c_int64
@@ -86,9 +87,9 @@ def load():
         lib.spgemm_fetch.argtypes = [I64, F64]
         lib.classical_strength_mask.argtypes = (
             [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I64,
-             ctypes.c_int64, I64])
+             ctypes.c_int64, I8])
         lib.symmetric_strength_mask.argtypes = (
-            [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I64])
+            [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I8])
         lib.dist_cljp_update.argtypes = ([ctypes.c_int64] * 3
                                          + [I64] * 13 + [F64, F64])
         lib.dist_mis2_step1.argtypes = ([ctypes.c_int64] + [I64] * 4
@@ -105,6 +106,12 @@ def load():
             [ctypes.c_int64] + [I64, I64, I64, I64, I64, I64, F64,
                                 I64, I64, F64, I64, I64, F64, F64,
                                 I64, I64])
+        lib.stencil_csr.argtypes = ([ctypes.c_int64, I64, ctypes.c_int64,
+                                     I64, F64, I64, I64, I64, F64])
+        lib.stencil_csr.restype = ctypes.c_int64
+        lib.finalize_interp.argtypes = ([ctypes.c_int64, ctypes.c_int64,
+                                         I64, I64, F64, I64,
+                                         ctypes.c_int64, I64])
         lib.greedy_coloring.argtypes = [ctypes.c_int64, I64, I64, I64]
         lib.greedy_coloring.restype = ctypes.c_int64
         lib.level_schedule.argtypes = [ctypes.c_int64, I64, I64,
@@ -183,28 +190,45 @@ def mark_strong(a_indptr, a_indices, s_indptr, s_indices, n):
     lib = load()
     a_indptr, a_indices = _c(a_indptr), _c(a_indices)
     s_indptr, s_indices = _c(s_indptr), _c(s_indices)
-    strong = np.zeros(len(a_indices), dtype=np.int64)
+    strong = np.zeros(len(a_indices), dtype=np.int8)
     lib.mark_strong(n, _p(a_indptr, I64), _p(a_indices, I64),
-                    _p(s_indptr, I64), _p(s_indices, I64), _p(strong, I64))
+                    _p(s_indptr, I64), _p(s_indices, I64), _p(strong, I8))
     return strong
+
+
+# Persistent triplet buffers for the interpolation kernels (grow-only,
+# like the C++ spgemm buffers): the dist-2 pattern bound is hundreds of MB
+# at scale, and a fresh calloc per level would pay the ~30 us/page
+# first-touch fault tax on every setup. Returned views are valid only
+# until the next _interp call -- callers copy out (finalize_interp) or
+# consume immediately (the distributed per-shard path).
+_TRIP = {"rows": None, "cols": None, "vals": None}
+
+
+def _trip_buffers(bound):
+    r = _TRIP["rows"]
+    if r is None or len(r) < bound:
+        _TRIP["rows"] = np.empty(bound, dtype=np.int64)
+        _TRIP["cols"] = np.empty(bound, dtype=np.int64)
+        _TRIP["vals"] = np.empty(bound, dtype=np.float64)
+    return _TRIP["rows"], _TRIP["cols"], _TRIP["vals"]
 
 
 def _interp(fn, a_indptr, a_indices, a_data, strong, states, variables,
             num_variables, bound):
     a_indptr, a_indices = _c(a_indptr), _c(a_indices)
     a_data = np.ascontiguousarray(a_data, dtype=np.float64)
-    strong, states = _c(strong), _c(states)
+    strong = np.ascontiguousarray(strong, dtype=np.int8)
+    states = _c(states)
     n = len(a_indptr) - 1
     if variables is None:
         variables = np.zeros(1, dtype=np.int64)
         num_variables = 1
     else:
         variables = _c(variables)
-    rows = np.zeros(bound, dtype=np.int64)
-    cols = np.zeros(bound, dtype=np.int64)
-    vals = np.zeros(bound, dtype=np.float64)
+    rows, cols, vals = _trip_buffers(bound)
     nnz = fn(n, _p(a_indptr, I64), _p(a_indices, I64), _p(a_data, F64),
-             _p(strong, I64), _p(states, I64), _p(variables, I64),
+             _p(strong, I8), _p(states, I64), _p(variables, I64),
              num_variables, _p(rows, I64), _p(cols, I64), _p(vals, F64))
     return rows[:nnz], cols[:nnz], vals[:nnz]
 
@@ -222,6 +246,39 @@ def extended_interp(a_indptr, a_indices, a_data, strong, states,
     lib = load()
     return _interp(lib.extended_interp, a_indptr, a_indices, a_data,
                    strong, states, variables, num_variables, bound)
+
+
+def stencil_csr(grid, dcols, dvals, offs):
+    """Direct CSR assembly of a constant-stencil grid operator; ``dcols``
+    ascending column offsets, ``offs`` [K, dim] per-dimension steps."""
+    lib = load()
+    grid = _c(grid)
+    dim = len(grid)
+    n_v = int(np.prod(grid))
+    K = len(dcols)
+    dcols, offs = _c(dcols), _c(offs)
+    dvals = np.ascontiguousarray(dvals, dtype=np.float64)
+    indptr = np.empty(n_v + 1, dtype=np.int64)
+    indices = np.empty(n_v * K, dtype=np.int64)
+    data = np.empty(n_v * K, dtype=np.float64)
+    nnz = lib.stencil_csr(dim, _p(grid, I64), K, _p(dcols, I64),
+                          _p(dvals, F64), _p(offs, I64), _p(indptr, I64),
+                          _p(indices, I64), _p(data, F64))
+    return indptr, indices[:nnz], data[:nnz]
+
+
+def finalize_interp(n, rows, cols, vals, col_map, do_sort):
+    """Triplets (row-ordered, unique cols per row) -> CSR arrays with
+    columns mapped through ``col_map`` and per-row sorted when asked.
+    Copies the result out of the persistent _interp buffers."""
+    lib = load()
+    rows, cols, col_map = _c(rows), _c(cols), _c(col_map)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    indptr = np.empty(n + 1, dtype=np.int64)
+    lib.finalize_interp(n, len(rows), _p(rows, I64), _p(cols, I64),
+                        _p(vals, F64), _p(col_map, I64), int(do_sort),
+                        _p(indptr, I64))
+    return indptr, cols.copy(), vals.copy()
 
 
 def greedy_coloring(indptr, indices) -> np.ndarray:
@@ -258,7 +315,7 @@ def classical_strength_mask(indptr, indices, data, theta,
     indptr, indices = _c(indptr), _c(indices)
     data = np.ascontiguousarray(data, dtype=np.float64)
     n = len(indptr) - 1
-    keep = np.empty(len(indices), dtype=np.int64)
+    keep = np.empty(len(indices), dtype=np.int8)
     if variables is None:
         variables = np.zeros(1, dtype=np.int64)
         num_variables = 1
@@ -267,7 +324,7 @@ def classical_strength_mask(indptr, indices, data, theta,
     lib.classical_strength_mask(n, _p(indptr, I64), _p(indices, I64),
                                 _p(data, F64), float(theta),
                                 _p(variables, I64), int(num_variables),
-                                _p(keep, I64))
+                                _p(keep, I8))
     return keep
 
 
@@ -276,10 +333,10 @@ def symmetric_strength_mask(indptr, indices, data, theta):
     indptr, indices = _c(indptr), _c(indices)
     data = np.ascontiguousarray(data, dtype=np.float64)
     n = len(indptr) - 1
-    keep = np.empty(len(indices), dtype=np.int64)
+    keep = np.empty(len(indices), dtype=np.int8)
     lib.symmetric_strength_mask(n, _p(indptr, I64), _p(indices, I64),
                                 _p(data, F64), float(theta),
-                                _p(keep, I64))
+                                _p(keep, I8))
     return keep
 
 

@@ -27,14 +27,26 @@ NEW_C = CFState.NewSelection
 
 def _strip_diag(s: CSRMatrix):
     """CSR arrays of S without diagonal entries (the reference skips the
-    diag-first entry in every loop; stripping once is equivalent)."""
-    m = s.to_scipy().tocoo()
-    off = m.row != m.col
-    import scipy.sparse as sp
-    out = sp.csr_matrix((m.data[off], (m.row[off], m.col[off])),
-                        shape=(s.n_rows, s.n_cols))
-    out.sort_indices()
-    return out.indptr, out.indices
+    diag-first entry in every loop; stripping once is equivalent).
+    In-order selection -- no COO round trip, no re-sort."""
+    indptr = np.asarray(s.indptr, dtype=np.int64)
+    indices = np.asarray(s.indices, dtype=np.int64)
+    rows_all = np.repeat(np.arange(s.n_rows, dtype=np.int64),
+                         np.diff(indptr))
+    off = indices != rows_all
+    kept = np.concatenate(([0], np.cumsum(off, dtype=np.int64)))
+    return kept[indptr], np.ascontiguousarray(indices[off])
+
+
+def _pattern(s: CSRMatrix):
+    """(indptr, indices, col_ptr, col_indices) of the diag-stripped S --
+    computed ONCE per splitting call; the multi-stage entry points
+    (HMIS/Falgout) reuse it across their stages (at 128^3 the strip +
+    transpose cost seconds each and used to run 2-3x per split)."""
+    indptr, indices = _strip_diag(s)
+    col_ptr, col_indices = _transpose_pattern(indptr, indices, s.n_rows,
+                                              s.n_cols)
+    return indptr, indices, col_ptr, col_indices
 
 
 def _transpose_pattern(indptr, indices, n_rows, n_cols):
@@ -47,10 +59,10 @@ def _transpose_pattern(indptr, indices, n_rows, n_cols):
     return m.indptr, m.indices
 
 
-def set_initial_states(s: CSRMatrix) -> np.ndarray:
+def set_initial_states(s: CSRMatrix, pattern=None) -> np.ndarray:
     """Rows with no off-diagonal strong connections get NoNeighbors
     (par_cf_splitting.cpp:165-183)."""
-    indptr, _ = _strip_diag(s)
+    indptr = pattern[0] if pattern is not None else _strip_diag(s)[0]
     states = np.full(s.n_rows, U, dtype=np.int64)
     states[np.diff(indptr) == 0] = CFState.NoNeighbors
     return states
@@ -149,13 +161,13 @@ def rs_second_pass(s: CSRMatrix, states):
                 states[col] = S_
 
 
-def split_rs(s: CSRMatrix, states=None, second_pass: bool = True):
+def split_rs(s: CSRMatrix, states=None, second_pass: bool = True,
+             pattern=None):
     """split_rs (cf_splitting.cpp:300-341)."""
     if states is None:
         states = np.full(s.n_rows, U, dtype=np.int64)
-    indptr, indices = _strip_diag(s)
-    col_ptr, col_indices = _transpose_pattern(indptr, indices, s.n_rows,
-                                              s.n_cols)
+    indptr, indices, col_ptr, col_indices = (pattern if pattern is not None
+                                             else _pattern(s))
     weights = np.diff(col_ptr).astype(np.int64)
     from raptor_tpu import native
     if native.available():
@@ -202,16 +214,17 @@ def _update_states(unassigned, states, weights):
     return keep
 
 
-def cljp_main_loop(s: CSRMatrix, states, rand_vals):
+def cljp_main_loop(s: CSRMatrix, states, rand_vals, pattern=None):
     """(cf_splitting.cpp:502-577). ``edgemark`` tracks S edges not yet
     accounted for; ``c_dep_cache`` zero-initialized like the reference's
     value-initialized vector."""
     n = s.n_rows
-    indptr, indices = _strip_diag(s)
-    col_ptr, col_indices = _transpose_pattern(indptr, indices, n, s.n_cols)
+    indptr, indices, col_ptr, col_indices = (pattern if pattern is not None
+                                             else _pattern(s))
     nnz = len(indices)
     weights = np.ascontiguousarray(rand_vals[:n], dtype=np.float64).copy()
-    np.add.at(weights, indices, 1.0)  # in-degree of strong graph
+    weights += np.bincount(indices, minlength=n)  # strong-graph in-degree
+    # (bincount == add.at here: integer counts added once per node)
 
     from raptor_tpu import native
     if native.available():
@@ -253,13 +266,13 @@ def cljp_main_loop(s: CSRMatrix, states, rand_vals):
     return states
 
 
-def pmis_main_loop(s: CSRMatrix, states, rand_vals):
+def pmis_main_loop(s: CSRMatrix, states, rand_vals, pattern=None):
     """(cf_splitting.cpp:578-665)."""
     n = s.n_rows
-    indptr, indices = _strip_diag(s)
-    col_ptr, col_indices = _transpose_pattern(indptr, indices, n, s.n_cols)
+    indptr, indices, col_ptr, col_indices = (pattern if pattern is not None
+                                             else _pattern(s))
     weights = np.ascontiguousarray(rand_vals[:n], dtype=np.float64).copy()
-    np.add.at(weights, indices, 1.0)
+    weights += np.bincount(indices, minlength=n)
 
     from raptor_tpu import native
     if native.available():
@@ -294,25 +307,28 @@ def pmis_main_loop(s: CSRMatrix, states, rand_vals):
 
 def split_cljp(s, rand_vals, states=None):
     s, par = _unwrap(s)
+    pat = _pattern(s)
     if states is None:
-        states = set_initial_states(s)
-    return cljp_main_loop(s, states, rand_vals)
+        states = set_initial_states(s, pattern=pat)
+    return cljp_main_loop(s, states, rand_vals, pattern=pat)
 
 
 def split_pmis(s, rand_vals, states=None):
     s, par = _unwrap(s)
+    pat = _pattern(s)
     if states is None:
-        states = set_initial_states(s)
-    return pmis_main_loop(s, states, rand_vals)
+        states = set_initial_states(s, pattern=pat)
+    return pmis_main_loop(s, states, rand_vals, pattern=pat)
 
 
 def split_rs_entry(s, states=None):
     """split_rs parallel entry (par_cf_splitting.cpp:60-83): initial states
     then the serial RS pass over the (global) matrix."""
     s, par = _unwrap(s)
+    pat = _pattern(s)
     if states is None:
-        states = set_initial_states(s)
-    return split_rs(s, states)
+        states = set_initial_states(s, pattern=pat)
+    return split_rs(s, states, pattern=pat)
 
 
 def split_falgout(s, rand_vals, states=None):
@@ -320,10 +336,11 @@ def split_falgout(s, rand_vals, states=None):
     (par_cf_splitting.cpp:103-126). Globally there are no boundary rows,
     so this reduces to RS — exactly the reference's 1-rank behavior."""
     s, par = _unwrap(s)
+    pat = _pattern(s)
     if states is None:
-        states = set_initial_states(s)
-    states = split_rs(s, states)
-    return cljp_main_loop(s, states, rand_vals)
+        states = set_initial_states(s, pattern=pat)
+    states = split_rs(s, states, pattern=pat)
+    return cljp_main_loop(s, states, rand_vals, pattern=pat)
 
 
 def split_hmis(s, rand_vals, states=None):
@@ -331,10 +348,11 @@ def split_hmis(s, rand_vals, states=None):
     (par_cf_splitting.cpp:142-163); globally = RS first pass + PMIS over
     the remaining unassigned."""
     s, par = _unwrap(s)
+    pat = _pattern(s)
     if states is None:
-        states = set_initial_states(s)
-    states = split_rs(s, states, second_pass=False)
-    return pmis_main_loop(s, states, rand_vals)
+        states = set_initial_states(s, pattern=pat)
+    states = split_rs(s, states, second_pass=False, pattern=pat)
+    return pmis_main_loop(s, states, rand_vals, pattern=pat)
 
 
 def _unwrap(s):

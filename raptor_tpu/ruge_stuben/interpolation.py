@@ -137,15 +137,14 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
 
     from raptor_tpu import native
     if native.available():
-        import scipy.sparse as sp
         rows, cols, vals = native.mod_classical_interp(
-            am.indptr, am.indices, am.data, strong_mask.astype(np.int64),
+            am.indptr, am.indices, am.data, strong_mask.view(np.int8),
             np.asarray(states, dtype=np.int64), variables, num_variables)
-        p = sp.csr_matrix((vals, (rows, col_to_new[cols])),
-                          shape=(n, n_coarse))
-        p.sum_duplicates()
-        p.sort_indices()
-        return CSRMatrix.from_scipy(p)
+        # entries are emitted row-ordered, unique, in ascending-column
+        # order (the kernel walks A's sorted rows) -> direct CSR build
+        indptr, cols, vals = native.finalize_interp(
+            n, rows, cols, vals, col_to_new, do_sort=False)
+        return CSRMatrix(n, n_coarse, indptr, cols, vals)
 
     rows_all = np.repeat(np.arange(n), np.diff(a_indptr))
     is_diag = a_indices == rows_all
@@ -255,22 +254,23 @@ def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
 
     from raptor_tpu import native
     if native.available():
-        sm_strong = strong_mask.astype(np.int64)
+        sm_strong = strong_mask.view(np.int8)
         # dist-2 pattern bound: C rows + per-F-row (own strong + strong of
-        # strong-F neighbors)
-        rows_all = np.repeat(np.arange(n), np.diff(a_indptr))
-        s_cnt = np.bincount(rows_all[strong_mask], minlength=n)
+        # strong-F neighbors); per-row strong counts via cumsum differences
+        # (np.repeat row ids + bincount costs ~0.5 GB of gathers here)
+        s_cs = np.concatenate(([0], np.cumsum(strong_mask,
+                                              dtype=np.int64)))
+        s_cnt = s_cs[a_indptr[1:]] - s_cs[a_indptr[:-1]]
         strong_f = strong_mask & (states[a_indices] == F)
         bound = int(n + s_cnt.sum() + s_cnt[a_indices[strong_f]].sum()) + 1
         rows, cols, vals = native.extended_interp(
             a_indptr, a_indices, a_data, sm_strong,
             np.asarray(states, dtype=np.int64), variables, num_variables,
             bound)
-        p = sp.csr_matrix((vals, (rows, col_to_new[cols])),
-                          shape=(n, n_coarse))
-        p.sum_duplicates()
-        p.sort_indices()
-        return CSRMatrix.from_scipy(p)
+        # pattern is discovered out of order -> in-row sort in the C pass
+        indptr, cols, vals = native.finalize_interp(
+            n, rows, cols, vals, col_to_new, do_sort=True)
+        return CSRMatrix(n, n_coarse, indptr, cols, vals)
 
     scoo = am.tocoo()
     s_off = sp.csr_matrix(
