@@ -1281,6 +1281,28 @@ i64 stencil_csr(i64 dim, const i64* grid, i64 K,
     return nnz;
 }
 
+// Size bound for the distance-2 interpolation pattern (extended+i):
+// identity rows + per-row strong entries + per strong-F entry the strong
+// count of its row. Replaces the NumPy cumsum + two 56M-element fancy
+// gathers that used to compute this bound on the Python side.
+i64 interp_pattern_bound(i64 n, const i64* indptr, const i64* indices,
+                         const i8* strong, const i64* states) {
+    std::vector<i64> s_cnt(n);
+    i64 total = 0;
+    for (i64 i = 0; i < n; i++) {
+        i64 c = 0;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) c += strong[j];
+        s_cnt[i] = c;
+        total += c;
+    }
+    i64 b = n + total + 1;
+    for (i64 i = 0; i < n; i++)
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (strong[j] && states[indices[j]] == UNSELECTED)
+                b += s_cnt[indices[j]];
+    return b;
+}
+
 // Post-pass for the interpolation kernels' triplet output: build indptr
 // from the (non-decreasing) row ids, map columns through col_map
 // (monotone over the coarse points, so in-row column ORDER is preserved

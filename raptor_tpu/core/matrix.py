@@ -172,6 +172,29 @@ class CSRMatrix:
         """COO-style row id per stored entry (CSR order)."""
         return np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
 
+    def has_sorted_indices(self) -> bool:
+        """Columns ascending (non-strict, scipy semantics) within each row.
+        Cached: CSR arrays are treated as immutable."""
+        cached = getattr(self, "_sorted_indices", None)
+        if cached is None:
+            bad = np.flatnonzero(np.diff(self.indices) < 0) + 1
+            cached = (len(bad) == 0
+                      or bool(np.isin(bad, self.indptr).all()))
+            self._sorted_indices = cached
+        return cached
+
+    def sorted_csr(self):
+        """``(indptr, indices, data)`` with per-row ascending columns —
+        the raw arrays (no copy) when already sorted, which the setup
+        pipeline guarantees; a sorted copy otherwise."""
+        if self.has_sorted_indices():
+            return self.indptr, self.indices, self.data
+        m = sp.csr_matrix((self.data.copy(), self.indices.copy(),
+                           self.indptr), shape=(self.n_rows, self.n_cols))
+        m.sort_indices()
+        return (m.indptr.astype(np.int64, copy=False),
+                m.indices.astype(np.int64, copy=False), m.data)
+
     def filter_entries(self, keep: np.ndarray) -> "CSRMatrix":
         """New CSR keeping only entries where ``keep`` (aligned with data)."""
         if keep.all():

@@ -106,6 +106,9 @@ def load():
             [ctypes.c_int64] + [I64, I64, I64, I64, I64, I64, F64,
                                 I64, I64, F64, I64, I64, F64, F64,
                                 I64, I64])
+        lib.interp_pattern_bound.argtypes = [ctypes.c_int64, I64, I64,
+                                             I8, I64]
+        lib.interp_pattern_bound.restype = ctypes.c_int64
         lib.stencil_csr.argtypes = ([ctypes.c_int64, I64, ctypes.c_int64,
                                      I64, F64, I64, I64, I64, F64])
         lib.stencil_csr.restype = ctypes.c_int64
@@ -246,6 +249,18 @@ def extended_interp(a_indptr, a_indices, a_data, strong, states,
     lib = load()
     return _interp(lib.extended_interp, a_indptr, a_indices, a_data,
                    strong, states, variables, num_variables, bound)
+
+
+def interp_pattern_bound(a_indptr, a_indices, strong, states) -> int:
+    """Entry-count bound of the extended+i distance-2 pattern (one C pass
+    over A's entries; ``strong`` i8, ``states`` CF states)."""
+    lib = load()
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    strong = np.ascontiguousarray(strong, dtype=np.int8)
+    states = _c(states)
+    return int(lib.interp_pattern_bound(
+        len(a_indptr) - 1, _p(a_indptr, I64), _p(a_indices, I64),
+        _p(strong, I8), _p(states, I64)))
 
 
 def stencil_csr(grid, dcols, dvals, offs):

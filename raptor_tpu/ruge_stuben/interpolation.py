@@ -125,6 +125,22 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
     n = a.n_rows
     col_to_new, n_coarse = _coarse_map(states)
 
+    from raptor_tpu import native
+    if native.available():
+        a_indptr, a_indices, a_data = a.sorted_csr()
+        s_indptr, s_indices, _ = s.sorted_csr()
+        strong_i8 = native.mark_strong(a_indptr, a_indices,
+                                       s_indptr, s_indices, n)
+        rows, cols, vals = native.mod_classical_interp(
+            a_indptr, a_indices, a_data, strong_i8,
+            np.ascontiguousarray(states, dtype=np.int64),
+            variables, num_variables)
+        # entries are emitted row-ordered, unique, in ascending-column
+        # order (the kernel walks A's sorted rows) -> direct CSR build
+        indptr, cols, vals = native.finalize_interp(
+            n, rows, cols, vals, col_to_new, do_sort=False)
+        return CSRMatrix(n, n_coarse, indptr, cols, vals)
+
     am = a.to_scipy()
     sm = s.to_scipy()
     a_indptr, a_indices, a_data = am.indptr, am.indices, am.data
@@ -134,17 +150,6 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
     # SS: strong & Selected; SU: strong & Unselected; NS: weak & Selected.
     # weak_sum[i] = diag + weak same-variable entries.
     strong_mask = _mark_strong(am, sm)
-
-    from raptor_tpu import native
-    if native.available():
-        rows, cols, vals = native.mod_classical_interp(
-            am.indptr, am.indices, am.data, strong_mask.view(np.int8),
-            np.asarray(states, dtype=np.int64), variables, num_variables)
-        # entries are emitted row-ordered, unique, in ascending-column
-        # order (the kernel walks A's sorted rows) -> direct CSR build
-        indptr, cols, vals = native.finalize_interp(
-            n, rows, cols, vals, col_to_new, do_sort=False)
-        return CSRMatrix(n, n_coarse, indptr, cols, vals)
 
     rows_all = np.repeat(np.arange(n), np.diff(a_indptr))
     is_diag = a_indices == rows_all
@@ -242,6 +247,26 @@ def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
     n = a.n_rows
     col_to_new, n_coarse = _coarse_map(states)
 
+    from raptor_tpu import native
+    if native.available():
+        # lean path: raw sorted CSR arrays, i8 strong flags, and the
+        # pattern bound all native -- no scipy wraps, no a.diagonal()
+        # (the kernel reads the diagonal itself), no 56M-element gathers
+        a_indptr, a_indices, a_data = a.sorted_csr()
+        s_indptr, s_indices, _ = s.sorted_csr()
+        states64 = np.ascontiguousarray(states, dtype=np.int64)
+        strong_i8 = native.mark_strong(a_indptr, a_indices,
+                                       s_indptr, s_indices, n)
+        bound = native.interp_pattern_bound(a_indptr, a_indices,
+                                            strong_i8, states64)
+        rows, cols, vals = native.extended_interp(
+            a_indptr, a_indices, a_data, strong_i8, states64,
+            variables, num_variables, bound)
+        # pattern is discovered out of order -> in-row sort in the C pass
+        indptr, cols, vals = native.finalize_interp(
+            n, rows, cols, vals, col_to_new, do_sort=True)
+        return CSRMatrix(n, n_coarse, indptr, cols, vals)
+
     am = a.to_scipy()
     am.sort_indices()
     a_indptr, a_indices, a_data = am.indptr, am.indices, am.data
@@ -251,26 +276,6 @@ def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
     sm = s.to_scipy()
     sm.sort_indices()
     strong_mask = _mark_strong(am, sm)
-
-    from raptor_tpu import native
-    if native.available():
-        sm_strong = strong_mask.view(np.int8)
-        # dist-2 pattern bound: C rows + per-F-row (own strong + strong of
-        # strong-F neighbors); per-row strong counts via cumsum differences
-        # (np.repeat row ids + bincount costs ~0.5 GB of gathers here)
-        s_cs = np.concatenate(([0], np.cumsum(strong_mask,
-                                              dtype=np.int64)))
-        s_cnt = s_cs[a_indptr[1:]] - s_cs[a_indptr[:-1]]
-        strong_f = strong_mask & (states[a_indices] == F)
-        bound = int(n + s_cnt.sum() + s_cnt[a_indices[strong_f]].sum()) + 1
-        rows, cols, vals = native.extended_interp(
-            a_indptr, a_indices, a_data, sm_strong,
-            np.asarray(states, dtype=np.int64), variables, num_variables,
-            bound)
-        # pattern is discovered out of order -> in-row sort in the C pass
-        indptr, cols, vals = native.finalize_interp(
-            n, rows, cols, vals, col_to_new, do_sort=True)
-        return CSRMatrix(n, n_coarse, indptr, cols, vals)
 
     scoo = am.tocoo()
     s_off = sp.csr_matrix(
