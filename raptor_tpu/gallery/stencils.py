@@ -51,6 +51,13 @@ def stencil_grid(stencil: np.ndarray, grid, dim: int = None) -> CSRMatrix:
     stencil = np.asarray(stencil, dtype=np.float64).ravel()
     assert len(stencil) == 3 ** dim
 
+    # large outputs (1.3 GB at 128^3): route them through the persistent
+    # heap arena so later setup passes reuse the pages instead of
+    # re-faulting fresh mmaps (utils/hostmem.py; setup pins too, but by
+    # then the assembly buffers are already individual mmap regions)
+    from raptor_tpu.utils.hostmem import pin_arena
+    pin_arena()
+
     n_v = int(np.prod(grid))
     # stride of dimension d in the flattened row index
     strides = np.ones(dim, dtype=np.int64)

@@ -42,6 +42,15 @@ def _tpu_backend_alive() -> bool:
     if xb._backends:  # already initialized: cheap and safe
         _TPU_PROBE = jax.devices()[0].platform == "tpu"
         return _TPU_PROBE
+    # The process explicitly pinned itself to a non-TPU platform
+    # (tests/examples do jax.config.update("jax_platforms", "cpu")): no
+    # TPU will ever be used here, so don't pay the subprocess probe —
+    # with the relay down it burns the full timeout PER PROCESS (this
+    # once masqueraded as a 120 s "RAP regression" in setup timings).
+    plats = getattr(jax.config, "jax_platforms", None) or ""
+    if plats and "tpu" not in plats and "axon" not in plats:
+        _TPU_PROBE = False
+        return False
     import subprocess
     import sys
     try:
