@@ -108,6 +108,9 @@ class ParMultilevel:
         # bit-parity path), "device" = TPU SpGEMM (device/spgemm.py),
         # "auto" = device for large levels when running on a TPU.
         self.rap_mode = "auto"
+        # extended+i interpolation engine, same policy space
+        # (ruge_stuben/interpolation.py: _extended_dispatch)
+        self.interp_mode = "auto"
 
     def _galerkin(self, a: ParCSRMatrix, p: ParCSRMatrix,
                   need_ap: bool = True
@@ -270,7 +273,9 @@ class ParRugeStubenSolver(ParMultilevel):
                 from raptor_tpu.ruge_stuben.interpolation import (
                     filter_interp)
                 p = par_interpolation(a, s, states, "extended",
-                                      self.num_variables, self.variables)
+                                      self.num_variables, self.variables,
+                                      engine=getattr(self, "interp_mode",
+                                                     "host"))
                 if ct in (CoarsenType.PMIS, CoarsenType.HMIS):
                     p = ParCSRMatrix(filter_interp(p.global_csr,
                                                    self.interp_filter),

@@ -403,18 +403,63 @@ def filter_interp(p: CSRMatrix, filter_threshold: float) -> CSRMatrix:
     return CSRMatrix.from_scipy(out)
 
 
+def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
+                       variables, engine: str, level_nnz: int) -> CSRMatrix:
+    """Route extended+i to the host kernel or device/interp.py."""
+    if engine not in ("host", "device", "auto"):
+        raise ValueError(f"interp engine {engine!r}")
+    use_dev = num_variables == 1 and (
+        engine == "device"
+        or (engine == "auto" and _device_interp_profitable(level_nnz)))
+    if use_dev:
+        from raptor_tpu import native
+        from raptor_tpu.device import interp as dinterp
+        if native.available():
+            n = a.n_rows
+            a_indptr, a_indices, _ = a.sorted_csr()
+            s_indptr, s_indices, _ = s.sorted_csr()
+            strong = native.mark_strong(a_indptr, a_indices,
+                                        s_indptr, s_indices, n)
+            col_to_new, n_coarse = _coarse_map(states)
+            try:
+                return dinterp.extended_interp_device(
+                    a, strong, np.asarray(states), col_to_new, n_coarse)
+            except dinterp.InterpOverflow:
+                pass           # pathological width: host kernel below
+    return extended_interpolation(a, s, states, num_variables, variables)
+
+
+def _device_interp_profitable(level_nnz: int) -> bool:
+    """Same policy as the Galerkin auto-dispatch: a real TPU and a
+    level big enough to amortize relay dispatch."""
+    import os
+    if os.environ.get("RAPTOR_TPU_DEVINTERP", "1") == "0":
+        return False
+    if level_nnz < int(os.environ.get("RAPTOR_TPU_DEVINTERP_MIN_NNZ",
+                                      2_000_000)):
+        return False
+    from raptor_tpu.multilevel.par_multilevel import _tpu_backend_alive
+    return _tpu_backend_alive()
+
+
 # --- Par wrappers -------------------------------------------------------------
 
 def par_interpolation(a: ParCSRMatrix, s: ParCSRMatrix, states, kind="direct",
-                      num_variables=1, variables=None) -> ParCSRMatrix:
+                      num_variables=1, variables=None,
+                      engine: str = "host") -> ParCSRMatrix:
+    """``engine`` selects the extended+i compute path: ``host`` is the
+    reference-parity native kernel; ``device`` runs the distance-2 work
+    on the default JAX device (device/interp.py); ``auto`` uses the
+    device for large single-variable levels on a real TPU (same policy
+    as rap_mode).  Device failures/overflows fall back to host."""
     if kind == "direct":
         p = direct_interpolation(a.global_csr, s.global_csr, states)
     elif kind == "mod_classical":
         p = mod_classical_interpolation(a.global_csr, s.global_csr, states,
                                         num_variables, variables)
     elif kind == "extended":
-        p = extended_interpolation(a.global_csr, s.global_csr, states,
-                                   num_variables, variables)
+        p = _extended_dispatch(a.global_csr, s.global_csr, states,
+                               num_variables, variables, engine, a.nnz)
     else:
         raise ValueError(kind)
     part = Partition.create(a.global_num_rows, p.n_cols,
