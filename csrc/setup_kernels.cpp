@@ -1308,6 +1308,149 @@ i64 interp_pattern_bound(i64 n, const i64* indptr, const i64* indices,
 // (monotone over the coarse points, so in-row column ORDER is preserved
 // by the mapping), and insertion-sort each row segment by column when the
 // emitting kernel discovers its pattern out of order (extended_interp;
+// --- device-interp operand packing (device/interp.py::_prep) ----------------
+// One classification pass over the FULL sorted CSR (diagonal included,
+// unlike the diag-stripped splitting kernels above) producing every
+// slot-major [W, n] ELL operand of the device extended+i pipeline.
+// Replaces ~15 vectorized NumPy passes over A's entries (42 s at 128^3
+// on this host; this pass is ~1 s).
+
+namespace {
+constexpr int32_t ELL_SENT = 2147483647;  // device/spgemm.py SENT
+}
+
+// widths pass: per-row max counts of each entry class over F rows, plus
+// the exact pattern bound max(|SC_i| + sum_{k in strong-F(i)} |SC_k|).
+// out = {W_SC, W_SF, W_BCS, W_BCW, W_AWC, p_bound}
+void interp_dev_widths(i64 n, const i64* indptr, const i64* indices,
+                       const double* data, const i8* strong,
+                       const i64* states, i64* out)
+{
+    std::vector<i64> sc_cnt(n, 0);
+    i64 w[5] = {1, 1, 1, 1, 1};
+    std::vector<double> diag(n, 0.0);
+    for (i64 i = 0; i < n; i++)
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (indices[j] == i) { diag[i] = data[j]; break; }
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] != UNSELECTED) continue;
+        double sgn = diag[i] < 0 ? -1.0 : 1.0;
+        i64 c[5] = {0, 0, 0, 0, 0};
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 col = indices[j];
+            i64 st = states[col];
+            bool sb = strong[j] != 0;
+            bool cst = st == SELECTED;
+            if (sb && cst) { c[0]++; sc_cnt[i]++; }
+            if (sb && st == UNSELECTED) c[1]++;
+            bool sok = data[j] * sgn < 0;
+            if (sok && cst && sb) c[2]++;
+            if (sok && cst && !sb) c[3]++;
+            if (!sb && cst && col != i) c[4]++;
+        }
+        for (int k = 0; k < 5; k++) if (c[k] > w[k]) w[k] = c[k];
+    }
+    i64 pb = 1;
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] != UNSELECTED) continue;
+        i64 b = sc_cnt[i];
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (strong[j] && states[indices[j]] == UNSELECTED)
+                b += sc_cnt[indices[j]];
+        if (b > pb) pb = b;
+    }
+    for (int k = 0; k < 5; k++) out[k] = w[k];
+    out[5] = pb;
+}
+
+// pack pass: fills the slot-major ELLs (cols pre-set to ELL_SENT and
+// vals to 0 by this function), dsc row sums, wsum0 bases, and the
+// transpose samples a_ki (di = sign-filtered, at = raw) aligned with
+// the SF slots.
+void interp_dev_pack(i64 n, const i64* indptr, const i64* indices,
+                     const double* data, const i8* strong,
+                     const i64* states,
+                     i64 w_sc, int32_t* sc_c, double* sc_v,
+                     i64 w_sf, int32_t* sf_c, double* sf_v,
+                     double* di_v, double* at_v,
+                     i64 w_bcs, int32_t* bcs_c, double* bcs_v,
+                     i64 w_bcw, int32_t* bcw_c, double* bcw_v,
+                     i64 w_awc, int32_t* awc_c, double* awc_v,
+                     double* dsc, double* wsum0)
+{
+    std::fill(sc_c, sc_c + w_sc * n, ELL_SENT);
+    std::fill(sf_c, sf_c + w_sf * n, ELL_SENT);
+    std::fill(bcs_c, bcs_c + w_bcs * n, ELL_SENT);
+    std::fill(bcw_c, bcw_c + w_bcw * n, ELL_SENT);
+    std::fill(awc_c, awc_c + w_awc * n, ELL_SENT);
+    std::fill(sc_v, sc_v + w_sc * n, 0.0);
+    std::fill(sf_v, sf_v + w_sf * n, 0.0);
+    std::fill(di_v, di_v + w_sf * n, 0.0);
+    std::fill(at_v, at_v + w_sf * n, 0.0);
+    std::fill(bcs_v, bcs_v + w_bcs * n, 0.0);
+    std::fill(bcw_v, bcw_v + w_bcw * n, 0.0);
+    std::fill(awc_v, awc_v + w_awc * n, 0.0);
+    std::vector<double> diag(n, 0.0);
+    for (i64 i = 0; i < n; i++)
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (indices[j] == i) { diag[i] = data[j]; break; }
+    for (i64 i = 0; i < n; i++) {
+        dsc[i] = 0.0;
+        wsum0[i] = diag[i];
+        if (states[i] != UNSELECTED) continue;
+        double sgn = diag[i] < 0 ? -1.0 : 1.0;
+        i64 nsc = 0, nsf = 0, nbs = 0, nbw = 0, naw = 0;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 col = indices[j];
+            double v = data[j];
+            i64 st = states[col];
+            bool sb = strong[j] != 0;
+            bool cst = st == SELECTED;
+            if (sb && cst) {
+                sc_c[nsc * n + i] = (int32_t)col;
+                sc_v[nsc * n + i] = v;
+                nsc++;
+            }
+            if (sb && st == UNSELECTED) {
+                sf_c[nsf * n + i] = (int32_t)col;
+                sf_v[nsf * n + i] = v;
+                // a_ki: binary search i in row col
+                const i64* lo = indices + indptr[col];
+                const i64* hi = indices + indptr[col + 1];
+                const i64* it = std::lower_bound(lo, hi, i);
+                if (it != hi && *it == i) {
+                    double aki = data[indptr[col] + (it - lo)];
+                    double sgnk = diag[col] < 0 ? -1.0 : 1.0;
+                    at_v[nsf * n + i] = aki;
+                    if (aki * sgnk < 0) di_v[nsf * n + i] = aki;
+                }
+                nsf++;
+            }
+            bool sok = v * sgn < 0;
+            if (sok && cst) {
+                if (sb) {
+                    bcs_c[nbs * n + i] = (int32_t)col;
+                    bcs_v[nbs * n + i] = v;
+                    nbs++;
+                    dsc[i] += v;
+                } else {
+                    bcw_c[nbw * n + i] = (int32_t)col;
+                    bcw_v[nbw * n + i] = v;
+                    nbw++;
+                }
+            }
+            if (!sb && col != i) {
+                wsum0[i] += v;
+                if (cst) {
+                    awc_c[naw * n + i] = (int32_t)col;
+                    awc_v[naw * n + i] = v;
+                    naw++;
+                }
+            }
+        }
+    }
+}
+
 // mod_classical emits in A-row order, already ascending). Entries are
 // unique per row (the kernels' stamp dedup), so this replaces the scipy
 // coo->csr + sum_duplicates + sort_indices round trip.

@@ -76,10 +76,15 @@ def _ell_from_subset(n: int, rows: np.ndarray, cols: np.ndarray,
 
 
 def _prep(a: CSRMatrix, strong: np.ndarray, states: np.ndarray, dtype):
-    """All host-side operands for the device pipeline (vectorized NumPy
-    over A's entries; no Python loops)."""
+    """All host-side operands for the device pipeline.  The native C
+    pass is the fast path (one walk over A's entries; the NumPy below is
+    its oracle/fallback and costs ~40x at 128^3 on this host)."""
     n = a.n_rows
     indptr, indices, data = a.sorted_csr()
+    from raptor_tpu import native
+    if native.available():
+        return native.interp_dev_prep(indptr, indices, data,
+                                      np.asarray(strong), states)
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
     strongb = strong.view(np.int8).astype(bool) if strong.dtype != bool \
         else strong

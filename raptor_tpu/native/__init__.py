@@ -25,6 +25,7 @@ _SO = pathlib.Path(__file__).resolve().parent / "_setup_kernels.so"
 I64 = ctypes.POINTER(ctypes.c_int64)
 F64 = ctypes.POINTER(ctypes.c_double)
 I8 = ctypes.POINTER(ctypes.c_int8)
+I32 = ctypes.POINTER(ctypes.c_int32)
 
 
 def _build() -> bool:
@@ -109,6 +110,16 @@ def load():
         lib.interp_pattern_bound.argtypes = [ctypes.c_int64, I64, I64,
                                              I8, I64]
         lib.interp_pattern_bound.restype = ctypes.c_int64
+        lib.interp_dev_widths.argtypes = [ctypes.c_int64, I64, I64, F64,
+                                          I8, I64, I64]
+        lib.interp_dev_pack.argtypes = (
+            [ctypes.c_int64, I64, I64, F64, I8, I64]
+            + [ctypes.c_int64, I32, F64]            # sc
+            + [ctypes.c_int64, I32, F64, F64, F64]  # sf + di + at
+            + [ctypes.c_int64, I32, F64]            # bcs
+            + [ctypes.c_int64, I32, F64]            # bcw
+            + [ctypes.c_int64, I32, F64]            # awc
+            + [F64, F64])                           # dsc, wsum0
         lib.stencil_csr.argtypes = ([ctypes.c_int64, I64, ctypes.c_int64,
                                      I64, F64, I64, I64, I64, F64])
         lib.stencil_csr.restype = ctypes.c_int64
@@ -249,6 +260,50 @@ def extended_interp(a_indptr, a_indices, a_data, strong, states,
     lib = load()
     return _interp(lib.extended_interp, a_indptr, a_indices, a_data,
                    strong, states, variables, num_variables, bound)
+
+
+def interp_dev_prep(a_indptr, a_indices, a_data, strong, states):
+    """All host-side operands of the device extended+i pipeline in one
+    C pass over the FULL sorted CSR (device/interp.py::_prep contract):
+    returns (sc, sf, di_v, at_v, bcs, bcw, awc, dsc, wsum0, p_bound)
+    where each ELL pair is ([W, n] int32 cols, [W, n] f64 vals)."""
+    lib = load()
+    n = len(a_indptr) - 1
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    a_data = np.ascontiguousarray(a_data, dtype=np.float64)
+    strong = np.ascontiguousarray(strong, dtype=np.int8)
+    states = _c(states)
+    widths = np.zeros(6, dtype=np.int64)
+    lib.interp_dev_widths(n, _p(a_indptr, I64), _p(a_indices, I64),
+                          _p(a_data, F64), _p(strong, I8),
+                          _p(states, I64), _p(widths, I64))
+    w_sc, w_sf, w_bcs, w_bcw, w_awc, p_bound = (int(x) for x in widths)
+
+    def ell(w):
+        return (np.empty((w, n), dtype=np.int32),
+                np.empty((w, n), dtype=np.float64))
+
+    sc_c, sc_v = ell(w_sc)
+    sf_c, sf_v = ell(w_sf)
+    di_v = np.empty((w_sf, n))
+    at_v = np.empty((w_sf, n))
+    bcs_c, bcs_v = ell(w_bcs)
+    bcw_c, bcw_v = ell(w_bcw)
+    awc_c, awc_v = ell(w_awc)
+    dsc = np.empty(n)
+    wsum0 = np.empty(n)
+    lib.interp_dev_pack(
+        n, _p(a_indptr, I64), _p(a_indices, I64), _p(a_data, F64),
+        _p(strong, I8), _p(states, I64),
+        w_sc, _p(sc_c, I32), _p(sc_v, F64),
+        w_sf, _p(sf_c, I32), _p(sf_v, F64), _p(di_v, F64), _p(at_v, F64),
+        w_bcs, _p(bcs_c, I32), _p(bcs_v, F64),
+        w_bcw, _p(bcw_c, I32), _p(bcw_v, F64),
+        w_awc, _p(awc_c, I32), _p(awc_v, F64),
+        _p(dsc, F64), _p(wsum0, F64))
+    return dict(sc=(sc_c, sc_v), sf=(sf_c, sf_v), di_v=di_v, at_v=at_v,
+                bcs=(bcs_c, bcs_v), bcw=(bcw_c, bcw_v),
+                awc=(awc_c, awc_v), dsc=dsc, wsum0=wsum0, p_bound=p_bound)
 
 
 def interp_pattern_bound(a_indptr, a_indices, strong, states) -> int:
