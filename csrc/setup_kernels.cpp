@@ -1451,6 +1451,81 @@ void interp_dev_pack(i64 n, const i64* indptr, const i64* indices,
     }
 }
 
+// mod-classical variant of the device-interp packing: pattern is
+// strong-C only, the distribution source is ALL C-state off-diagonal
+// entries (strong + weak, sign applied per TARGET row on device), and
+// the weak base has no pattern correction.
+// out widths = {W_SC, W_SF, W_BA}
+void interp_dev_widths_mc(i64 n, const i64* indptr, const i64* indices,
+                          const i8* strong, const i64* states, i64* out)
+{
+    i64 w[3] = {1, 1, 1};
+    for (i64 i = 0; i < n; i++) {
+        if (states[i] != UNSELECTED) continue;
+        i64 c[3] = {0, 0, 0};
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 col = indices[j];
+            i64 st = states[col];
+            bool sb = strong[j] != 0;
+            if (sb && st == SELECTED) c[0]++;
+            if (sb && st == UNSELECTED) c[1]++;
+            if (st == SELECTED && col != i) c[2]++;
+        }
+        for (int k = 0; k < 3; k++) if (c[k] > w[k]) w[k] = c[k];
+    }
+    for (int k = 0; k < 3; k++) out[k] = w[k];
+}
+
+void interp_dev_pack_mc(i64 n, const i64* indptr, const i64* indices,
+                        const double* data, const i8* strong,
+                        const i64* states,
+                        const i64* variables, i64 num_variables,
+                        i64 w_sc, int32_t* sc_c, double* sc_v,
+                        i64 w_sf, int32_t* sf_c, double* sf_v,
+                        i64 w_ba, int32_t* ba_c, double* ba_v,
+                        double* wsum0, double* sgn)
+{
+    std::fill(sc_c, sc_c + w_sc * n, ELL_SENT);
+    std::fill(sf_c, sf_c + w_sf * n, ELL_SENT);
+    std::fill(ba_c, ba_c + w_ba * n, ELL_SENT);
+    std::fill(sc_v, sc_v + w_sc * n, 0.0);
+    std::fill(sf_v, sf_v + w_sf * n, 0.0);
+    std::fill(ba_v, ba_v + w_ba * n, 0.0);
+    for (i64 i = 0; i < n; i++) {
+        double d = 0.0;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (indices[j] == i) { d = data[j]; break; }
+        sgn[i] = d < 0 ? -1.0 : 1.0;
+        wsum0[i] = d;
+        if (states[i] != UNSELECTED) continue;
+        i64 nsc = 0, nsf = 0, nba = 0;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 col = indices[j];
+            double v = data[j];
+            i64 st = states[col];
+            bool sb = strong[j] != 0;
+            if (sb && st == SELECTED) {
+                sc_c[nsc * n + i] = (int32_t)col;
+                sc_v[nsc * n + i] = v;
+                nsc++;
+            }
+            if (sb && st == UNSELECTED) {
+                sf_c[nsf * n + i] = (int32_t)col;
+                sf_v[nsf * n + i] = v;
+                nsf++;
+            }
+            if (st == SELECTED && col != i) {
+                ba_c[nba * n + i] = (int32_t)col;
+                ba_v[nba * n + i] = v;
+                nba++;
+            }
+            if (!sb && col != i &&
+                (num_variables == 1 || variables[i] == variables[col]))
+                wsum0[i] += v;
+        }
+    }
+}
+
 // mod_classical emits in A-row order, already ascending). Entries are
 // unique per row (the kernels' stamp dedup), so this replaces the scipy
 // coo->csr + sum_duplicates + sort_indices round trip.

@@ -203,6 +203,112 @@ def _interp_chunk(sc_c, sc_v, sf_c, sf_v, di_v, at_v, awc_c, awc_v,
 _jit_interp = jax.jit(_interp_chunk, static_argnames=("p_cap", "ztol"))
 
 
+# --- mod-classical (distance-1) kernel ----------------------------------------
+
+def _mc_chunk(sc_c, sc_v, sf_c, sf_v, wsum0, sgn, bag_c, bag_v,
+              ztol: float):
+    """Mod-classical chunk: pattern IS the strong-C slab (no expand, no
+    merge); each strong-F neighbor's value distributes over the C-state
+    entries of its row that land in the pattern, sign-filtered by the
+    TARGET row's diagonal sign (interpolation.cpp:206-441 semantics:
+    tiny coarse sums fold into weak and contribute NOTHING, there is no
+    +i term, and contributions accumulate onto existing slots)."""
+    active = sf_c != SENT
+    safe = jnp.where(active, sf_c, 0)
+    ba = jnp.take(bag_c, safe, axis=1)                 # [W_BA, W_SF, C]
+    bav = jnp.take(bag_v, safe, axis=1)
+    sok = ((bav * sgn[None, None, :] < 0) & (ba != SENT) & active[None])
+    mem = (ba[None] == sc_c[:, None, None, :])   # [W_SC, W_BA, W_SF, C]
+    hit = mem.any(axis=0) & sok                        # [W_BA, W_SF, C]
+    d = jnp.where(hit, bav, 0).sum(axis=0)             # [W_SF, C]
+    tiny = jnp.abs(d) < ztol
+    ratio = jnp.where(tiny, 0.0, sf_v / jnp.where(tiny, 1.0, d)) * active
+    weak = wsum0 + jnp.where(tiny & active, sf_v, 0).sum(axis=0)
+    contrib = jnp.where(mem & hit[None],
+                        ratio[None, None] * bav[None], 0).sum(axis=(1, 2))
+    return (sc_v + contrib) / (-weak)[None, :]
+
+
+_jit_mc = jax.jit(_mc_chunk, static_argnames=("ztol",))
+
+
+def mod_classical_interp_device(a: CSRMatrix, strong: np.ndarray,
+                                states: np.ndarray,
+                                col_to_new: np.ndarray, n_coarse: int,
+                                variables=None, num_variables: int = 1,
+                                dtype=None) -> CSRMatrix:
+    """P (modified classical) with the distribution work on the default
+    JAX device.  Pattern and counts come straight from the strong-C
+    slab; only the values are computed on device."""
+    from raptor_tpu import native
+    if dtype is None:
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    dtype = np.dtype(dtype)
+    n = a.n_rows
+    states = np.asarray(states)
+    indptr, indices, data = a.sorted_csr()
+    ops = native.interp_dev_prep_mc(indptr, indices, data,
+                                    np.asarray(strong), states,
+                                    variables, num_variables)
+    sc_c, sc_v = ops["sc"]
+    sf_c, sf_v = ops["sf"]
+    ba_c, ba_v = ops["ba"]
+    W_SC, W_SF, W_BA = sc_c.shape[0], sf_c.shape[0], ba_c.shape[0]
+
+    w_slot = max(1, W_SC * W_BA * W_SF // 8)  # membership compare volume
+    C = max(512, _SLAB_BYTES // max(w_slot * 8, 1))
+    C = min(-(-C // 512) * 512, -(-n // 512) * 512)
+    n_pad = -(-n // C) * C
+
+    def padded(x, fill=0):
+        return np.pad(x, ((0, 0), (0, n_pad - n)), constant_values=fill)
+
+    bag_c = jnp.asarray(padded(ba_c, SENT))
+    bag_v = jnp.asarray(padded(ba_v.astype(dtype)))
+    sc_cp, sc_vp = padded(sc_c, SENT), padded(sc_v)
+    sf_cp, sf_vp = padded(sf_c, SENT), padded(sf_v)
+    wsum0p = np.pad(ops["wsum0"], (0, n_pad - n)).astype(dtype)
+    sgnp = np.pad(ops["sgn"], (0, n_pad - n)).astype(dtype)
+
+    vals_out = []
+    for s in range(0, n_pad, C):
+        sl = np.s_[:, s:s + C]
+        pv = _jit_mc(
+            jnp.asarray(sc_cp[sl]), jnp.asarray(sc_vp[sl].astype(dtype)),
+            jnp.asarray(sf_cp[sl]), jnp.asarray(sf_vp[sl].astype(dtype)),
+            jnp.asarray(wsum0p[s:s + C]), jnp.asarray(sgnp[s:s + C]),
+            bag_c, bag_v, ztol=float(ZERO_TOL))
+        vals_out.append(np.asarray(pv))
+    vals = np.concatenate(vals_out, axis=1)[:, :n]
+    counts = (sc_c != SENT).sum(axis=0)
+    return _assemble_p(n, n_coarse, states, sc_c, vals, counts,
+                       col_to_new)
+
+
+def _assemble_p(n, n_coarse, states, cols, vals, counts, col_to_new
+                ) -> CSRMatrix:
+    """[W, n] device output + per-row counts -> CSR with identity C
+    rows (shared by both device interpolation drivers)."""
+    c_rows = states == S_
+    f_counts = np.where(c_rows, 0, counts)
+    row_counts = np.where(c_rows, 1, f_counts)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    colsT, valsT = cols.T, vals.T
+    mask = np.arange(colsT.shape[1])[None, :] < f_counts[:, None]
+    out_c = np.empty(nnz, dtype=np.int64)
+    out_v = np.empty(nnz)
+    c_pos = indptr[:-1][c_rows]
+    sel = np.ones(nnz, dtype=bool)
+    sel[c_pos] = False
+    out_c[sel] = col_to_new[colsT[mask].astype(np.int64)]
+    out_v[sel] = valsT[mask]
+    out_c[c_pos] = col_to_new[np.flatnonzero(c_rows)]
+    out_v[c_pos] = 1.0
+    return CSRMatrix(n, n_coarse, indptr, out_c, out_v)
+
+
 # --- driver -------------------------------------------------------------------
 
 def extended_interp_device(a: CSRMatrix, strong: np.ndarray,
@@ -272,23 +378,5 @@ def extended_interp_device(a: CSRMatrix, strong: np.ndarray,
     counts = np.concatenate(counts)[:n]
     cols = np.concatenate([c for c, _ in chunks], axis=1)[:, :n]
     vals = np.concatenate([v for _, v in chunks], axis=1)[:, :n]
-
-    # C rows are identity; F rows take the device output
-    c_rows = states == S_
-    f_counts = np.where(c_rows, 0, counts)
-    row_counts = np.where(c_rows, 1, f_counts)
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(row_counts, out=indptr[1:])
-    nnz = int(indptr[-1])
-    colsT, valsT = cols.T, vals.T                  # [n, p_cap] row major
-    mask = np.arange(colsT.shape[1])[None, :] < f_counts[:, None]
-    out_c = np.empty(nnz, dtype=np.int64)
-    out_v = np.empty(nnz)
-    c_pos = indptr[:-1][c_rows]                    # identity slots
-    sel = np.ones(nnz, dtype=bool)
-    sel[c_pos] = False
-    out_c[sel] = col_to_new[colsT[mask].astype(np.int64)]
-    out_v[sel] = valsT[mask]
-    out_c[c_pos] = col_to_new[np.flatnonzero(c_rows)]
-    out_v[c_pos] = 1.0
-    return CSRMatrix(n, n_coarse, indptr, out_c, out_v)
+    return _assemble_p(n, n_coarse, states, cols, vals, counts,
+                       col_to_new)

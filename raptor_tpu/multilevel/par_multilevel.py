@@ -268,7 +268,9 @@ class ParRugeStubenSolver(ParMultilevel):
                 p = par_interpolation(a, s, states, "direct")
             elif it == InterpType.ModClassical:
                 p = par_interpolation(a, s, states, "mod_classical",
-                                      self.num_variables, self.variables)
+                                      self.num_variables, self.variables,
+                                      engine=getattr(self, "interp_mode",
+                                                     "host"))
             elif it == InterpType.Extended:
                 from raptor_tpu.ruge_stuben.interpolation import (
                     filter_interp)

@@ -112,6 +112,12 @@ def load():
         lib.interp_pattern_bound.restype = ctypes.c_int64
         lib.interp_dev_widths.argtypes = [ctypes.c_int64, I64, I64, F64,
                                           I8, I64, I64]
+        lib.interp_dev_widths_mc.argtypes = [ctypes.c_int64, I64, I64,
+                                             I8, I64, I64]
+        lib.interp_dev_pack_mc.argtypes = (
+            [ctypes.c_int64, I64, I64, F64, I8, I64, I64, ctypes.c_int64]
+            + [ctypes.c_int64, I32, F64] * 3        # sc, sf, ba
+            + [F64, F64])                           # wsum0, sgn
         lib.interp_dev_pack.argtypes = (
             [ctypes.c_int64, I64, I64, F64, I8, I64]
             + [ctypes.c_int64, I32, F64]            # sc
@@ -304,6 +310,48 @@ def interp_dev_prep(a_indptr, a_indices, a_data, strong, states):
     return dict(sc=(sc_c, sc_v), sf=(sf_c, sf_v), di_v=di_v, at_v=at_v,
                 bcs=(bcs_c, bcs_v), bcw=(bcw_c, bcw_v),
                 awc=(awc_c, awc_v), dsc=dsc, wsum0=wsum0, p_bound=p_bound)
+
+
+def interp_dev_prep_mc(a_indptr, a_indices, a_data, strong, states,
+                       variables=None, num_variables: int = 1):
+    """Mod-classical variant of interp_dev_prep: (sc, sf, ba, wsum0,
+    sgn) where ba holds ALL C-state off-diagonal entries (sign applied
+    per target row on device) and wsum0 honors same-variable weak sums."""
+    lib = load()
+    n = len(a_indptr) - 1
+    a_indptr, a_indices = _c(a_indptr), _c(a_indices)
+    a_data = np.ascontiguousarray(a_data, dtype=np.float64)
+    strong = np.ascontiguousarray(strong, dtype=np.int8)
+    states = _c(states)
+    if variables is None:
+        variables = np.zeros(n, dtype=np.int64)
+        num_variables = 1
+    variables = _c(variables)
+    widths = np.zeros(3, dtype=np.int64)
+    lib.interp_dev_widths_mc(n, _p(a_indptr, I64), _p(a_indices, I64),
+                             _p(strong, I8), _p(states, I64),
+                             _p(widths, I64))
+    w_sc, w_sf, w_ba = (int(x) for x in widths)
+
+    def ell(w):
+        return (np.empty((w, n), dtype=np.int32),
+                np.empty((w, n), dtype=np.float64))
+
+    sc_c, sc_v = ell(w_sc)
+    sf_c, sf_v = ell(w_sf)
+    ba_c, ba_v = ell(w_ba)
+    wsum0 = np.empty(n)
+    sgn = np.empty(n)
+    lib.interp_dev_pack_mc(
+        n, _p(a_indptr, I64), _p(a_indices, I64), _p(a_data, F64),
+        _p(strong, I8), _p(states, I64), _p(variables, I64),
+        num_variables,
+        w_sc, _p(sc_c, I32), _p(sc_v, F64),
+        w_sf, _p(sf_c, I32), _p(sf_v, F64),
+        w_ba, _p(ba_c, I32), _p(ba_v, F64),
+        _p(wsum0, F64), _p(sgn, F64))
+    return dict(sc=(sc_c, sc_v), sf=(sf_c, sf_v), ba=(ba_c, ba_v),
+                wsum0=wsum0, sgn=sgn)
 
 
 def interp_pattern_bound(a_indptr, a_indices, strong, states) -> int:

@@ -429,6 +429,33 @@ def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
     return extended_interpolation(a, s, states, num_variables, variables)
 
 
+def _mod_classical_dispatch(a: CSRMatrix, s: CSRMatrix, states,
+                            num_variables, variables, engine: str,
+                            level_nnz: int) -> CSRMatrix:
+    """Route mod-classical to the host kernel or device/interp.py (the
+    device path handles multi-variable weak sums natively)."""
+    if engine not in ("host", "device", "auto"):
+        raise ValueError(f"interp engine {engine!r}")
+    use_dev = (engine == "device"
+               or (engine == "auto"
+                   and _device_interp_profitable(level_nnz)))
+    if use_dev:
+        from raptor_tpu import native
+        from raptor_tpu.device import interp as dinterp
+        if native.available():
+            n = a.n_rows
+            a_indptr, a_indices, _ = a.sorted_csr()
+            s_indptr, s_indices, _ = s.sorted_csr()
+            strong = native.mark_strong(a_indptr, a_indices,
+                                        s_indptr, s_indices, n)
+            col_to_new, n_coarse = _coarse_map(states)
+            return dinterp.mod_classical_interp_device(
+                a, strong, np.asarray(states), col_to_new, n_coarse,
+                variables, num_variables)
+    return mod_classical_interpolation(a, s, states, num_variables,
+                                       variables)
+
+
 def _device_interp_profitable(level_nnz: int) -> bool:
     """Same policy as the Galerkin auto-dispatch: a real TPU and a
     level big enough to amortize relay dispatch."""
@@ -455,8 +482,9 @@ def par_interpolation(a: ParCSRMatrix, s: ParCSRMatrix, states, kind="direct",
     if kind == "direct":
         p = direct_interpolation(a.global_csr, s.global_csr, states)
     elif kind == "mod_classical":
-        p = mod_classical_interpolation(a.global_csr, s.global_csr, states,
-                                        num_variables, variables)
+        p = _mod_classical_dispatch(a.global_csr, s.global_csr, states,
+                                    num_variables, variables, engine,
+                                    a.nnz)
     elif kind == "extended":
         p = _extended_dispatch(a.global_csr, s.global_csr, states,
                                num_variables, variables, engine, a.nnz)

@@ -131,6 +131,74 @@ def test_solver_interp_mode_device_converges():
     assert abs(iters["device"] - iters["host"]) <= 2
 
 
+def _device_p_mc(A, s, states, variables=None, num_variables=1):
+    from raptor_tpu.device.interp import mod_classical_interp_device
+    a = A.global_csr
+    a_indptr, a_indices, _ = a.sorted_csr()
+    s_indptr, s_indices, _ = s.global_csr.sorted_csr()
+    strong = native.mark_strong(a_indptr, a_indices, s_indptr, s_indices,
+                                a.n_rows)
+    col_to_new, n_coarse = _coarse_map(states)
+    return mod_classical_interp_device(a, strong, np.asarray(states),
+                                       col_to_new, n_coarse, variables,
+                                       num_variables)
+
+
+def _check_mc(A, splitter, theta=0.25, variables=None, num_variables=1):
+    from raptor_tpu.ruge_stuben.interpolation import (
+        mod_classical_interpolation)
+    w = form_rand_weights(A.global_num_rows, 0)
+    s = strength(A, StrengthType.Classical, theta, num_variables,
+                 variables)
+    states = np.asarray(splitter(s, w))
+    ph = mod_classical_interpolation(A.global_csr, s.global_csr, states,
+                                     num_variables, variables)
+    pd = _device_p_mc(A, s, states, variables, num_variables)
+    assert np.array_equal(pd.indptr, ph.indptr)
+    assert np.array_equal(pd.indices, ph.indices)
+    np.testing.assert_allclose(pd.data, ph.data, rtol=0, atol=1e-12)
+
+
+def test_mc_2d_aniso_cljp():
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (32, 32), 1)
+    _check_mc(A, cf.split_cljp)
+
+
+def test_mc_3d_pmis():
+    A = par_stencil_grid(laplace_stencil_27pt(), (10, 10, 10), 1)
+    _check_mc(A, cf.split_pmis)
+
+
+def test_mc_multivariable():
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (20, 20), 1)
+    variables = (np.arange(A.global_num_rows) % 2).astype(np.int64)
+    _check_mc(A, cf.split_cljp, variables=variables, num_variables=2)
+
+
+def test_mc_per_level_replay():
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+    from raptor_tpu.ruge_stuben.interpolation import (
+        mod_classical_interpolation)
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (40, 40), 1)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP,
+                             InterpType.ModClassical)
+    ml.interp_mode = "host"
+    ml.rap_mode = "host"
+    ml.setup(A)
+    for lvl in ml.levels[:-1]:
+        a = lvl.A
+        s = strength(a, StrengthType.Classical, 0.25, 1, None)
+        states = np.asarray(cf.split_cljp(
+            s, ml.weights[:a.global_num_rows]))
+        ph = mod_classical_interpolation(a.global_csr, s.global_csr,
+                                         states)
+        pd = _device_p_mc(a, s, states)
+        assert np.array_equal(pd.indptr, ph.indptr)
+        assert np.array_equal(pd.indices, ph.indices)
+        np.testing.assert_allclose(pd.data, ph.data, rtol=0, atol=1e-12)
+
+
 def test_par_interpolation_engine_fallback():
     """Multi-variable systems route back to the host kernel (device path
     is single-variable only)."""
