@@ -1451,6 +1451,32 @@ void interp_dev_pack(i64 n, const i64* indptr, const i64* indices,
     }
 }
 
+// Diag-stripped row pattern + its CSC transpose in one pass — the
+// splitting-pattern builder (cf_splitting.py::_pattern). Replaces a
+// NumPy repeat+mask (1.5 s at 128^3) and a scipy tocsc (0.55 s).
+// out_indices/col_indices must be allocated with nnz slots; the real
+// length is out_indptr[n]. Returns the off-diagonal count.
+i64 split_pattern(i64 n, const i64* indptr, const i64* indices,
+                  i64* out_indptr, i64* out_indices,
+                  i64* col_ptr, i64* col_indices)
+{
+    i64 m = 0;
+    out_indptr[0] = 0;
+    for (i64 i = 0; i < n; i++) {
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (indices[j] != i) out_indices[m++] = indices[j];
+        out_indptr[i + 1] = m;
+    }
+    for (i64 c = 0; c <= n; c++) col_ptr[c] = 0;
+    for (i64 t = 0; t < m; t++) col_ptr[out_indices[t] + 1]++;
+    for (i64 c = 0; c < n; c++) col_ptr[c + 1] += col_ptr[c];
+    std::vector<i64> cur(col_ptr, col_ptr + n);
+    for (i64 i = 0; i < n; i++)
+        for (i64 j = out_indptr[i]; j < out_indptr[i + 1]; j++)
+            col_indices[cur[out_indices[j]]++] = i;
+    return m;
+}
+
 // mod-classical variant of the device-interp packing: pattern is
 // strong-C only, the distribution source is ALL C-state off-diagonal
 // entries (strong + weak, sign applied per TARGET row on device), and

@@ -43,6 +43,9 @@ def _pattern(s: CSRMatrix):
     computed ONCE per splitting call; the multi-stage entry points
     (HMIS/Falgout) reuse it across their stages (at 128^3 the strip +
     transpose cost seconds each and used to run 2-3x per split)."""
+    from raptor_tpu import native
+    if native.available():
+        return native.split_pattern(s.indptr, s.indices, s.n_rows)
     indptr, indices = _strip_diag(s)
     col_ptr, col_indices = _transpose_pattern(indptr, indices, s.n_rows,
                                               s.n_cols)
