@@ -1303,11 +1303,6 @@ i64 interp_pattern_bound(i64 n, const i64* indptr, const i64* indices,
     return b;
 }
 
-// Post-pass for the interpolation kernels' triplet output: build indptr
-// from the (non-decreasing) row ids, map columns through col_map
-// (monotone over the coarse points, so in-row column ORDER is preserved
-// by the mapping), and insertion-sort each row segment by column when the
-// emitting kernel discovers its pattern out of order (extended_interp;
 // --- device-interp operand packing (device/interp.py::_prep) ----------------
 // One classification pass over the FULL sorted CSR (diagonal included,
 // unlike the diag-stripped splitting kernels above) producing every
@@ -1454,10 +1449,11 @@ void interp_dev_pack(i64 n, const i64* indptr, const i64* indices,
 // Diag-stripped row pattern + its CSC transpose in one pass — the
 // splitting-pattern builder (cf_splitting.py::_pattern). Replaces a
 // NumPy repeat+mask (1.5 s at 128^3) and a scipy tocsc (0.55 s).
-// out_indices/col_indices must be allocated with nnz slots; the real
-// length is out_indptr[n]. Returns the off-diagonal count.
-i64 split_pattern(i64 n, const i64* indptr, const i64* indices,
-                  i64* out_indptr, i64* out_indices,
+// out_indices/col_indices must be allocated with nnz slots and
+// col_ptr with n_cols + 1 (rectangular S is legal); the real length
+// is out_indptr[n]. Returns the off-diagonal count.
+i64 split_pattern(i64 n, i64 n_cols, const i64* indptr,
+                  const i64* indices, i64* out_indptr, i64* out_indices,
                   i64* col_ptr, i64* col_indices)
 {
     i64 m = 0;
@@ -1467,10 +1463,10 @@ i64 split_pattern(i64 n, const i64* indptr, const i64* indices,
             if (indices[j] != i) out_indices[m++] = indices[j];
         out_indptr[i + 1] = m;
     }
-    for (i64 c = 0; c <= n; c++) col_ptr[c] = 0;
+    for (i64 c = 0; c <= n_cols; c++) col_ptr[c] = 0;
     for (i64 t = 0; t < m; t++) col_ptr[out_indices[t] + 1]++;
-    for (i64 c = 0; c < n; c++) col_ptr[c + 1] += col_ptr[c];
-    std::vector<i64> cur(col_ptr, col_ptr + n);
+    for (i64 c = 0; c < n_cols; c++) col_ptr[c + 1] += col_ptr[c];
+    std::vector<i64> cur(col_ptr, col_ptr + n_cols);
     for (i64 i = 0; i < n; i++)
         for (i64 j = out_indptr[i]; j < out_indptr[i + 1]; j++)
             col_indices[cur[out_indices[j]]++] = i;
@@ -1552,6 +1548,11 @@ void interp_dev_pack_mc(i64 n, const i64* indptr, const i64* indices,
     }
 }
 
+// Post-pass for the interpolation kernels' triplet output: build indptr
+// from the (non-decreasing) row ids, map columns through col_map
+// (monotone over the coarse points, so in-row column ORDER is preserved
+// by the mapping), and insertion-sort each row segment by column when the
+// emitting kernel discovers its pattern out of order (extended_interp;
 // mod_classical emits in A-row order, already ascending). Entries are
 // unique per row (the kernels' stamp dedup), so this replaces the scipy
 // coo->csr + sum_duplicates + sort_indices round trip.

@@ -77,6 +77,7 @@ class CSRMatrix:
         order = np.lexsort((self.indices, rows))
         self.indices = self.indices[order]
         self.data = self.data[order]
+        self._sorted_indices = True    # keep the sortedness cache honest
         return self
 
     def canonicalize(self, drop_tol: Optional[float] = None) -> "CSRMatrix":

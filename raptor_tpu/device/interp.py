@@ -334,8 +334,12 @@ def extended_interp_device(a: CSRMatrix, strong: np.ndarray,
     W_BCS, W_BCW, W_AWC = bcs_c.shape[0], bcw_c.shape[0], awc_c.shape[0]
     p_cap = max(8, min(ops["p_bound"], n_coarse))
 
-    # widest slab in the kernel: the pattern expand or the final merge
-    w_slot = max(W_SC * (1 + W_SF), p_cap + W_SF * (W_BCS + W_BCW))
+    # widest slab in the kernel: the pattern expand, the final merge, or
+    # the boolean membership compares (bool bytes counted at 1/8 the
+    # 8-byte col+val slot, hence the //8)
+    w_slot = max(W_SC * (1 + W_SF),
+                 p_cap + W_SF * (W_BCS + W_BCW),
+                 p_cap * (W_BCW * W_SF + W_AWC) // 8)
     C = max(512, _SLAB_BYTES // max(w_slot * 8, 1))
     C = min(-(-C // 512) * 512, -(-n // 512) * 512)
     n_pad = -(-n // C) * C

@@ -112,7 +112,8 @@ def load():
         lib.interp_pattern_bound.restype = ctypes.c_int64
         lib.interp_dev_widths.argtypes = [ctypes.c_int64, I64, I64, F64,
                                           I8, I64, I64]
-        lib.split_pattern.argtypes = [ctypes.c_int64] + [I64] * 6
+        lib.split_pattern.argtypes = ([ctypes.c_int64, ctypes.c_int64]
+                                      + [I64] * 6)
         lib.split_pattern.restype = ctypes.c_int64
         lib.interp_dev_widths_mc.argtypes = [ctypes.c_int64, I64, I64,
                                              I8, I64, I64]
@@ -314,17 +315,21 @@ def interp_dev_prep(a_indptr, a_indices, a_data, strong, states):
                 awc=(awc_c, awc_v), dsc=dsc, wsum0=wsum0, p_bound=p_bound)
 
 
-def split_pattern(indptr, indices, n_rows):
+def split_pattern(indptr, indices, n_rows, n_cols=None):
     """Diag-stripped CSR pattern + CSC transpose in one C pass:
-    (indptr, indices, col_ptr, col_indices)."""
+    (indptr, indices, col_ptr, col_indices). Rectangular inputs are
+    legal (col_ptr is sized by n_cols)."""
     lib = load()
+    if n_cols is None:
+        n_cols = n_rows
     indptr, indices = _c(indptr), _c(indices)
     nnz = len(indices)
     out_indptr = np.empty(n_rows + 1, dtype=np.int64)
     out_indices = np.empty(nnz, dtype=np.int64)
-    col_ptr = np.empty(n_rows + 1, dtype=np.int64)
+    col_ptr = np.empty(n_cols + 1, dtype=np.int64)
     col_indices = np.empty(nnz, dtype=np.int64)
-    m = lib.split_pattern(n_rows, _p(indptr, I64), _p(indices, I64),
+    m = lib.split_pattern(n_rows, n_cols, _p(indptr, I64),
+                          _p(indices, I64),
                           _p(out_indptr, I64), _p(out_indices, I64),
                           _p(col_ptr, I64), _p(col_indices, I64))
     return out_indptr, out_indices[:m], col_ptr, col_indices[:m]

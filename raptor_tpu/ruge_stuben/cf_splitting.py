@@ -45,7 +45,8 @@ def _pattern(s: CSRMatrix):
     transpose cost seconds each and used to run 2-3x per split)."""
     from raptor_tpu import native
     if native.available():
-        return native.split_pattern(s.indptr, s.indices, s.n_rows)
+        return native.split_pattern(s.indptr, s.indices, s.n_rows,
+                                    s.n_cols)
     indptr, indices = _strip_diag(s)
     col_ptr, col_indices = _transpose_pattern(indptr, indices, s.n_rows,
                                               s.n_cols)

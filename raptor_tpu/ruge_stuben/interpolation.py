@@ -403,29 +403,42 @@ def filter_interp(p: CSRMatrix, filter_threshold: float) -> CSRMatrix:
     return CSRMatrix.from_scipy(out)
 
 
-def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
-                       variables, engine: str, level_nnz: int) -> CSRMatrix:
-    """Route extended+i to the host kernel or device/interp.py."""
+def _device_interp_inputs(a: CSRMatrix, s: CSRMatrix, states):
+    """Shared device-engine preamble: strong flags + coarse map."""
+    from raptor_tpu import native
+    a_indptr, a_indices, _ = a.sorted_csr()
+    s_indptr, s_indices, _ = s.sorted_csr()
+    strong = native.mark_strong(a_indptr, a_indices, s_indptr, s_indices,
+                                a.n_rows)
+    col_to_new, n_coarse = _coarse_map(states)
+    return strong, col_to_new, n_coarse
+
+
+def _use_device_interp(engine: str, level_nnz: int) -> bool:
     if engine not in ("host", "device", "auto"):
         raise ValueError(f"interp engine {engine!r}")
-    use_dev = num_variables == 1 and (
-        engine == "device"
-        or (engine == "auto" and _device_interp_profitable(level_nnz)))
-    if use_dev:
-        from raptor_tpu import native
+    if engine == "host":
+        return False
+    from raptor_tpu import native
+    if not native.available():
+        return False
+    return engine == "device" or _device_interp_profitable(level_nnz)
+
+
+def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
+                       variables, engine: str, level_nnz: int) -> CSRMatrix:
+    """Route extended+i to the host kernel or device/interp.py.  ANY
+    device-side failure (width overflow, XLA error, relay death) falls
+    back to the host kernel — setup must never abort on an engine
+    choice."""
+    if num_variables == 1 and _use_device_interp(engine, level_nnz):
         from raptor_tpu.device import interp as dinterp
-        if native.available():
-            n = a.n_rows
-            a_indptr, a_indices, _ = a.sorted_csr()
-            s_indptr, s_indices, _ = s.sorted_csr()
-            strong = native.mark_strong(a_indptr, a_indices,
-                                        s_indptr, s_indices, n)
-            col_to_new, n_coarse = _coarse_map(states)
-            try:
-                return dinterp.extended_interp_device(
-                    a, strong, np.asarray(states), col_to_new, n_coarse)
-            except dinterp.InterpOverflow:
-                pass           # pathological width: host kernel below
+        strong, col_to_new, n_coarse = _device_interp_inputs(a, s, states)
+        try:
+            return dinterp.extended_interp_device(
+                a, strong, np.asarray(states), col_to_new, n_coarse)
+        except Exception as e:                       # noqa: BLE001
+            _warn_device_fallback("extended", e)
     return extended_interpolation(a, s, states, num_variables, variables)
 
 
@@ -433,27 +446,26 @@ def _mod_classical_dispatch(a: CSRMatrix, s: CSRMatrix, states,
                             num_variables, variables, engine: str,
                             level_nnz: int) -> CSRMatrix:
     """Route mod-classical to the host kernel or device/interp.py (the
-    device path handles multi-variable weak sums natively)."""
-    if engine not in ("host", "device", "auto"):
-        raise ValueError(f"interp engine {engine!r}")
-    use_dev = (engine == "device"
-               or (engine == "auto"
-                   and _device_interp_profitable(level_nnz)))
-    if use_dev:
-        from raptor_tpu import native
+    device path handles multi-variable weak sums natively); device
+    failures fall back to host like _extended_dispatch."""
+    if _use_device_interp(engine, level_nnz):
         from raptor_tpu.device import interp as dinterp
-        if native.available():
-            n = a.n_rows
-            a_indptr, a_indices, _ = a.sorted_csr()
-            s_indptr, s_indices, _ = s.sorted_csr()
-            strong = native.mark_strong(a_indptr, a_indices,
-                                        s_indptr, s_indices, n)
-            col_to_new, n_coarse = _coarse_map(states)
+        strong, col_to_new, n_coarse = _device_interp_inputs(a, s, states)
+        try:
             return dinterp.mod_classical_interp_device(
                 a, strong, np.asarray(states), col_to_new, n_coarse,
                 variables, num_variables)
+        except Exception as e:                       # noqa: BLE001
+            _warn_device_fallback("mod_classical", e)
     return mod_classical_interpolation(a, s, states, num_variables,
                                        variables)
+
+
+def _warn_device_fallback(kind: str, err: Exception) -> None:
+    import warnings
+    warnings.warn(f"device {kind} interpolation failed "
+                  f"({type(err).__name__}: {err}); using the host kernel",
+                  RuntimeWarning, stacklevel=3)
 
 
 def _device_interp_profitable(level_nnz: int) -> bool:

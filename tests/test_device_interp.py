@@ -199,6 +199,47 @@ def test_mc_per_level_replay():
         np.testing.assert_allclose(pd.data, ph.data, rtol=0, atol=1e-12)
 
 
+def test_device_failure_falls_back_to_host(monkeypatch):
+    """ANY device-engine exception (XLA error, relay death, overflow)
+    must fall back to the host kernel with a warning — setup never
+    aborts on an engine choice."""
+    import warnings
+
+    from raptor_tpu.device import interp as dinterp
+    from raptor_tpu.ruge_stuben import interpolation as it
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device failure")
+
+    monkeypatch.setattr(dinterp, "extended_interp_device", boom)
+    monkeypatch.setattr(dinterp, "mod_classical_interp_device", boom)
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8), (16, 16), 1)
+    s = strength(A, StrengthType.Classical, 0.25, 1, None)
+    states = np.asarray(cf.split_pmis(s, form_rand_weights(
+        A.global_num_rows, 0)))
+    for kind in ("extended", "mod_classical"):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            dispatch = (it._extended_dispatch if kind == "extended"
+                        else it._mod_classical_dispatch)
+            p = dispatch(A.global_csr, s.global_csr, states, 1, None,
+                         "device", A.nnz)
+        assert p.nnz > 0
+        assert any("host kernel" in str(w.message) for w in rec)
+
+
+def test_split_pattern_rectangular():
+    """Native split_pattern sizes col_ptr by n_cols (rectangular S)."""
+    import scipy.sparse as sp
+    m = sp.random(30, 50, density=0.2, random_state=1, format="csr")
+    m.sort_indices()
+    ip, ix, cp, ci = native.split_pattern(m.indptr, m.indices, 30, 50)
+    mt = sp.csr_matrix((np.ones(len(ix)), ix, ip), shape=(30, 50)).tocsc()
+    mt.sort_indices()
+    assert np.array_equal(cp, mt.indptr.astype(np.int64))
+    assert np.array_equal(ci, mt.indices.astype(np.int64))
+
+
 def test_par_interpolation_engine_fallback():
     """Multi-variable systems route back to the host kernel (device path
     is single-variable only)."""
