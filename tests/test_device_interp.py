@@ -240,6 +240,28 @@ def test_split_pattern_rectangular():
     assert np.array_equal(ci, mt.indices.astype(np.int64))
 
 
+def test_both_device_engines_compose():
+    """interp_mode='device' + rap_mode='device' in ONE setup: the fully
+    on-device setup path builds a hierarchy that converges like host."""
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (40, 40), 1)
+    b = A.mult(np.ones(A.global_num_rows))
+    iters = {}
+    for mode in ("host", "device"):
+        ml = ParRugeStubenSolver(0.25, CoarsenType.PMIS,
+                                 InterpType.Extended)
+        ml.interp_mode = mode
+        ml.rap_mode = mode
+        ml.setup(A)
+        dh = DeviceHierarchy(ml, dpar.make_mesh(1))
+        r = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
+        iters[mode] = int(r.n_iters)
+    assert abs(iters["device"] - iters["host"]) <= 2
+
+
 def test_par_interpolation_engine_fallback():
     """Multi-variable systems route back to the host kernel (device path
     is single-variable only)."""
