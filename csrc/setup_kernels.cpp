@@ -752,6 +752,52 @@ void level_schedule(i64 n, const i64* indptr, const i64* indices,
 // in ruge_stuben/strength.py bit-for-bit: same comparisons, same
 // min/max row scaling, diagonal always kept). ``variables`` may be null
 // (single-unknown). Writes 0/1 into keep[nnz].
+// Fused classical strength: threshold + compress to the S CSR in ONE
+// pass (the mask + NumPy filter_entries route costs a cumsum and two
+// nnz-sized fancy gathers — ~2 s at 2048^2). Same keep rule as
+// classical_strength_mask below (the oracle). out arrays sized nnz;
+// returns S nnz.
+i64 classical_strength_csr(i64 n, const i64* indptr, const i64* indices,
+                           const double* data, double theta,
+                           const i64* variables, i64 num_variables,
+                           i64* out_indptr, i64* out_indices,
+                           double* out_data) {
+    i64 m = 0;
+    out_indptr[0] = 0;
+    for (i64 i = 0; i < n; i++) {
+        double diag = 0.0;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++)
+            if (indices[j] == i) { diag = data[j]; break; }
+        bool neg = diag < 0.0;
+        double mn = INFINITY, mx = -INFINITY;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            if (c == i) continue;
+            if (num_variables != 1 && variables[c] != variables[i])
+                continue;
+            double v = data[j];
+            if (v < mn) mn = v;
+            if (v > mx) mx = v;
+        }
+        double thr = (neg ? mx : mn) * theta;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            bool keep;
+            if (c == i) keep = true;
+            else if (num_variables != 1 && variables[c] != variables[i])
+                keep = false;
+            else keep = neg ? (data[j] > thr) : (data[j] < thr);
+            if (keep) {
+                out_indices[m] = c;
+                out_data[m] = data[j];
+                m++;
+            }
+        }
+        out_indptr[i + 1] = m;
+    }
+    return m;
+}
+
 void classical_strength_mask(i64 n, const i64* indptr, const i64* indices,
                              const double* data, double theta,
                              const i64* variables, i64 num_variables,

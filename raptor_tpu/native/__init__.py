@@ -89,6 +89,10 @@ def load():
         lib.classical_strength_mask.argtypes = (
             [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I64,
              ctypes.c_int64, I8])
+        lib.classical_strength_csr.argtypes = (
+            [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I64,
+             ctypes.c_int64, I64, I64, F64])
+        lib.classical_strength_csr.restype = ctypes.c_int64
         lib.symmetric_strength_mask.argtypes = (
             [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I8])
         lib.dist_cljp_update.argtypes = ([ctypes.c_int64] * 3
@@ -467,6 +471,29 @@ def classical_strength_mask(indptr, indices, data, theta,
                                 _p(variables, I64), int(num_variables),
                                 _p(keep, I8))
     return keep
+
+
+def classical_strength_csr(indptr, indices, data, theta,
+                           variables=None, num_variables=1):
+    """S as a CSR directly (threshold + compress fused in one C pass;
+    same keep rule as classical_strength_mask, the oracle)."""
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n = len(indptr) - 1
+    if variables is None:
+        variables = np.zeros(1, dtype=np.int64)
+        num_variables = 1
+    else:
+        variables = _c(variables)
+    out_indptr = np.empty(n + 1, dtype=np.int64)
+    out_indices = np.empty(len(indices), dtype=np.int64)
+    out_data = np.empty(len(indices))
+    m = lib.classical_strength_csr(
+        n, _p(indptr, I64), _p(indices, I64), _p(data, F64),
+        float(theta), _p(variables, I64), int(num_variables),
+        _p(out_indptr, I64), _p(out_indices, I64), _p(out_data, F64))
+    return out_indptr, out_indices[:m], out_data[:m]
 
 
 def symmetric_strength_mask(indptr, indices, data, theta):

@@ -47,12 +47,16 @@ def classical_strength(a: CSRMatrix, theta: float = 0.25,
                        variables: np.ndarray = None) -> CSRMatrix:
     from raptor_tpu import native
     if native.available():
-        # single fused pass (bit-identical to the NumPy path below,
-        # which remains the oracle/fallback)
-        keep = native.classical_strength_mask(
+        # single fused threshold+compress pass (bit-identical to the
+        # NumPy path below, which remains the oracle/fallback; the
+        # mask+filter_entries route paid a cumsum and two nnz-sized
+        # gathers on top)
+        indptr, indices, data = native.classical_strength_csr(
             a.indptr, a.indices, a.data, theta,
             variables if num_variables != 1 else None, num_variables)
-        return a.filter_entries(keep.astype(bool))
+        # (in-row order is inherited from A; sortedness is computed
+        # lazily by has_sorted_indices when needed)
+        return CSRMatrix(a.n_rows, a.n_cols, indptr, indices, data)
     n = a.n_rows
     rows, cols, data = a.row_ids(), a.indices, a.data
     diag = a.diagonal()
