@@ -497,19 +497,28 @@ i64 extended_interp(i64 n,
     // states[] loads inside the distance-2 scans: bit0 strong, bit1
     // column SELECTED, bit2 value < 0, bit3 value > 0 (v*sgn<0 with
     // sgn = +-1.0 is exactly v<0 / v>0, so the strong-F row's diagonal
-    // sign just selects which bit to test).
+    // sign just selects which bit to test), bit4 column UNSELECTED.
     i64 nnz_a = a_indptr[n];
     std::vector<i8> flags(nnz_a);
     for (i64 t = 0; t < nnz_a; t++) {
         double v = a_data[t];
+        i64 st = states[a_indices[t]];
         i8 f = (i8)(strong[t] != 0);
-        if (states[a_indices[t]] == SELECTED) f |= 2;
+        if (st == SELECTED) f |= 2;
+        else if (st == UNSELECTED) f |= 16;
         if (v < 0) f |= 4;
         else if (v > 0) f |= 8;
         flags[t] = f;
     }
+    // per-row negbit (which sign bit means v*sgn_row < 0)
+    std::vector<i8> nb(n);
+    for (i64 i = 0; i < n; i++) nb[i] = diag[i] < 0 ? 8 : 4;
 
-    std::vector<i64> pos(n, -1), stamp(n, -1);
+    // stamp and row-relative position MERGED into one word: the
+    // membership test inside the distance-2 scans is the kernel's hot
+    // random access — one 8-byte load instead of two (pos < 2^32: a
+    // P row is at most the pattern bound, far under it).
+    std::vector<i64> ps(n, -1);
     i64 nnz = 0;
     for (i64 i = 0; i < n; i++) {
         if (states[i] == SELECTED) {
@@ -517,25 +526,28 @@ i64 extended_interp(i64 n,
             continue;
         }
         i64 row_start = nnz;
+        const i64 tag = i;
         // pattern: strong C of i, plus strong C of strong F neighbors
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 col = a_indices[j];
-            if (!strong[j]) continue;
-            if (states[col] == SELECTED) {
-                if (stamp[col] != i) {
-                    pos[col] = nnz; stamp[col] = i;
+            i8 fj = flags[j];
+            if (!(fj & 1)) continue;
+            if (fj & 2) {
+                if ((ps[col] >> 32) != tag) {
+                    ps[col] = (tag << 32) | (i64)(uint32_t)(nnz - row_start);
                     out_rows[nnz] = i; out_cols[nnz] = col;
                     out_vals[nnz++] = a_data[j];
                 } else {
-                    out_vals[pos[col]] = a_data[j];
+                    out_vals[row_start + (uint32_t)ps[col]] = a_data[j];
                 }
-            } else if (states[col] == UNSELECTED) {
+            } else if (fj & 16) {
                 // strong-C entries of row col: one flag byte per entry
                 for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
                     if ((flags[k] & 3) != 3) continue;
                     i64 ck = a_indices[k];
-                    if (stamp[ck] != i) {
-                        pos[ck] = nnz; stamp[ck] = i;
+                    if ((ps[ck] >> 32) != tag) {
+                        ps[ck] = (tag << 32)
+                                 | (i64)(uint32_t)(nnz - row_start);
                         out_rows[nnz] = i; out_cols[nnz] = ck;
                         out_vals[nnz++] = 0.0;
                     }
@@ -547,22 +559,22 @@ i64 extended_interp(i64 n,
         double weak_sum = diag[i];
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 col = a_indices[j];
-            if (col == i || strong[j]) continue;
-            if (states[col] == UNSELECTED || stamp[col] != i) {
+            if (col == i || (flags[j] & 1)) continue;
+            if ((flags[j] & 16) || (ps[col] >> 32) != tag) {
                 if (num_variables == 1 || variables[i] == variables[col])
                     weak_sum += a_data[j];
             }
         }
         // distribute strong-F values (+i term)
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
+            if ((flags[j] & 17) != 17) continue;
             i64 col = a_indices[j];
-            if (!strong[j] || states[col] != UNSELECTED) continue;
-            i8 negbit = diag[col] < 0 ? 8 : 4;
+            i8 negbit = nb[col];
             double cs = 0.0;
             for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
                 if (!(flags[k] & negbit)) continue;
                 i64 ck = a_indices[k];
-                if ((stamp[ck] == i && pos[ck] >= row_start) || ck == i)
+                if ((ps[ck] >> 32) == tag || ck == i)
                     cs += a_data[k];
             }
             double coarse_sum;
@@ -577,8 +589,10 @@ i64 extended_interp(i64 n,
                 if (f & 2) {
                     if ((f & negbit) == 0) continue;
                     i64 ck = a_indices[k];
-                    if (ck != col && stamp[ck] == i)
-                        out_vals[pos[ck]] += coarse_sum * a_data[k];
+                    i64 p = ps[ck];
+                    if (ck != col && (p >> 32) == tag)
+                        out_vals[row_start + (uint32_t)p]
+                            += coarse_sum * a_data[k];
                 } else if (a_indices[k] == i) {
                     weak_sum += coarse_sum * a_data[k];
                 }
