@@ -43,6 +43,14 @@ class AMGConfig:
     max_iterations: int = 100
     # topology (TAPComm: first level using node-aware comm; -1 = off)
     tap_amg: int = -1
+    # setup engines: "host" (native kernels, bit-parity), "device"
+    # (TPU: device/spgemm.py + device/interp.py), "auto" (device for
+    # large levels on a real TPU)
+    rap_mode: str = "auto"
+    interp_mode: str = "auto"
+    # setup distribution: "global" (host-global) or "distributed"
+    # (per-shard stages over the Transport seam)
+    setup_mode: str = "global"
     # device
     dtype: str = "float64"
     lane_pad: int = 1
@@ -75,6 +83,9 @@ class AMGConfig:
         ml.solve_tol = self.solve_tol
         ml.max_iterations = self.max_iterations
         ml.tap_amg = self.tap_amg
+        ml.rap_mode = self.rap_mode
+        ml.interp_mode = self.interp_mode
+        ml.setup_mode = self.setup_mode
         if weights is not None:
             ml.weights = np.asarray(weights, dtype=np.float64)
         return ml
