@@ -57,14 +57,20 @@ class ParSmoothedAggregationSolver(ParMultilevel):
             p = ps.dist_jacobi_prolongation(a, t, self.prolong_weight,
                                             self.prolong_smooth_steps)
         else:
-            s = strength(a.global_csr, self.strength_type,
-                         self.strong_threshold)
-            states = mis2(s, w)
-            n_aggs, aggs = aggregate(a.global_csr, s, states, w)
-            t, r = fit_candidates(n_aggs, aggs, self.B[:n],
-                                  self.num_candidates, self.interp_tol)
-            p = jacobi_prolongation(a.global_csr, t, self.prolong_weight,
-                                    self.prolong_smooth_steps)
+            with self.setup_times.phase("strength"):
+                s = strength(a.global_csr, self.strength_type,
+                             self.strong_threshold)
+            with self.setup_times.phase("aggregation"):
+                states = mis2(s, w)
+                n_aggs, aggs = aggregate(a.global_csr, s, states, w)
+            with self.setup_times.phase("candidates"):
+                t, r = fit_candidates(n_aggs, aggs, self.B[:n],
+                                      self.num_candidates,
+                                      self.interp_tol)
+            with self.setup_times.phase("prolongation"):
+                p = jacobi_prolongation(a.global_csr, t,
+                                        self.prolong_weight,
+                                        self.prolong_smooth_steps)
 
         # coarse cols partitioned by root ownership (roots in row order)
         row_bounds = a.partition.row_bounds
