@@ -878,6 +878,48 @@ void symmetric_strength_mask(i64 n, const i64* indptr, const i64* indices,
     }
 }
 
+// Fused symmetric strength: threshold + compress to S in one pass
+// (same keep rule as symmetric_strength_mask above, the oracle).
+// out arrays sized nnz; returns S nnz.
+i64 symmetric_strength_csr(i64 n, const i64* indptr, const i64* indices,
+                           const double* data, double theta,
+                           i64* out_indptr, i64* out_indices,
+                           double* out_data) {
+    std::vector<double> thr(n);
+    std::vector<char> neg(n);
+    for (i64 i = 0; i < n; i++) {
+        double diag = 0.0;
+        double mn = INFINITY, mx = -INFINITY;
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            double v = data[j];
+            if (c == i) { diag = v; continue; }
+            if (v < mn) mn = v;
+            if (v > mx) mx = v;
+        }
+        neg[i] = diag < 0.0;
+        thr[i] = (neg[i] ? mx : mn) * theta;
+    }
+    i64 m = 0;
+    out_indptr[0] = 0;
+    for (i64 i = 0; i < n; i++) {
+        for (i64 j = indptr[i]; j < indptr[i + 1]; j++) {
+            i64 c = indices[j];
+            double v = data[j];
+            bool k;
+            if (c == i) k = true;
+            else {
+                bool srow = neg[i] ? (v > thr[i]) : (v < thr[i]);
+                bool scol = neg[c] ? (v > thr[c]) : (v < thr[c]);
+                k = srow || scol;
+            }
+            if (k) { out_indices[m] = c; out_data[m] = v; m++; }
+        }
+        out_indptr[i + 1] = m;
+    }
+    return m;
+}
+
 namespace {
 // binary search for v in sorted a[0..len)
 inline bool bfind(const i64* a, i64 len, i64 v) {

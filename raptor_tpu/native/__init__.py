@@ -95,6 +95,10 @@ def load():
         lib.classical_strength_csr.restype = ctypes.c_int64
         lib.symmetric_strength_mask.argtypes = (
             [ctypes.c_int64, I64, I64, F64, ctypes.c_double, I8])
+        lib.symmetric_strength_csr.argtypes = (
+            [ctypes.c_int64, I64, I64, F64, ctypes.c_double,
+             I64, I64, F64])
+        lib.symmetric_strength_csr.restype = ctypes.c_int64
         lib.dist_cljp_update.argtypes = ([ctypes.c_int64] * 3
                                          + [I64] * 13 + [F64, F64])
         lib.dist_mis2_step1.argtypes = ([ctypes.c_int64] + [I64] * 4
@@ -492,6 +496,22 @@ def classical_strength_csr(indptr, indices, data, theta,
     m = lib.classical_strength_csr(
         n, _p(indptr, I64), _p(indices, I64), _p(data, F64),
         float(theta), _p(variables, I64), int(num_variables),
+        _p(out_indptr, I64), _p(out_indices, I64), _p(out_data, F64))
+    return out_indptr, out_indices[:m], out_data[:m]
+
+
+def symmetric_strength_csr(indptr, indices, data, theta):
+    """Symmetric-strength S as a CSR directly (fused threshold +
+    compress; symmetric_strength_mask is the oracle)."""
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n = len(indptr) - 1
+    out_indptr = np.empty(n + 1, dtype=np.int64)
+    out_indices = np.empty(len(indices), dtype=np.int64)
+    out_data = np.empty(len(indices))
+    m = lib.symmetric_strength_csr(
+        n, _p(indptr, I64), _p(indices, I64), _p(data, F64), float(theta),
         _p(out_indptr, I64), _p(out_indices, I64), _p(out_data, F64))
     return out_indptr, out_indices[:m], out_data[:m]
 

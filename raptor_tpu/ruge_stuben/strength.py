@@ -82,9 +82,9 @@ def classical_strength(a: CSRMatrix, theta: float = 0.25,
 def symmetric_strength(a: CSRMatrix, theta: float = 0.25) -> CSRMatrix:
     from raptor_tpu import native
     if native.available():
-        keep = native.symmetric_strength_mask(a.indptr, a.indices,
-                                              a.data, theta)
-        return a.filter_entries(keep.astype(bool))
+        indptr, indices, data = native.symmetric_strength_csr(
+            a.indptr, a.indices, a.data, theta)
+        return CSRMatrix(a.n_rows, a.n_cols, indptr, indices, data)
     n = a.n_rows
     rows, cols, data = a.row_ids(), a.indices, a.data
     diag = a.diagonal()
