@@ -116,7 +116,7 @@ def _gmres_shard(A: DeviceParCSR, x, b, tol, restart: int, max_iter: int,
         return (j < m) & (k < max_iter) & (~done)
 
     def outer_body(st):
-        x, k, res_hist, done = st
+        x, k, res_hist, done, prev_beta = st
         r = b - spmv_shard(A, x)
         beta = jnp.sqrt(jax.lax.psum(jnp.vdot(r, r), comm_axes()))
         safe = jnp.where(beta < zero_tol, 1.0, beta)
@@ -139,14 +139,27 @@ def _gmres_shard(A: DeviceParCSR, x, b, tol, restart: int, max_iter: int,
                                               lower=False)
         comb = jnp.einsum("i,i...->...", y, V[:m])
         x = x + apply_M(comb)
-        return x, k, res_hist, done
+        # convergence is decided on the TRUE residual: in f32 the |g|
+        # estimate drifts optimistic as orthogonality decays, so a
+        # restart whose estimate converged but whose real residual
+        # didn't keeps iterating (one extra SpMV per restart)
+        rt = b - spmv_shard(A, x)
+        beta_t = jnp.sqrt(jax.lax.psum(jnp.vdot(rt, rt), comm_axes()))
+        # stagnation guardrail: a restart that improves the true
+        # residual by <0.1% is at the precision floor (f32 cannot reach
+        # arbitrary tolerances; the same rule as DeviceHierarchy.solve's
+        # stall detection) — stop instead of burning max_iter restarts
+        stalled = beta_t >= prev_beta * 0.999
+        done = (beta_t <= atol) | stalled
+        res_hist = res_hist.at[k].set(beta_t / b_norm)
+        return x, k, res_hist, done, beta_t
 
     def outer_cond(st):
-        _, k, _, done = st
+        _, k, _, done, _ = st
         return (k < max_iter) & (~done)
 
-    st = (x, jnp.array(0), res_hist, beta0 <= atol)
-    x, k, res_hist, _ = jax.lax.while_loop(outer_cond, outer_body, st)
+    st = (x, jnp.array(0), res_hist, beta0 <= atol, beta0)
+    x, k, res_hist, _, _ = jax.lax.while_loop(outer_cond, outer_body, st)
     return x, res_hist, k
 
 
