@@ -1,6 +1,7 @@
 """Benchmark driver: prints ONE JSON line covering the BASELINE metric
 set (BASELINE.json: SpMV and RAP-SpGEMM nnz/s per chip, AMG setup time,
-solve time + iterations to 1e-8 relative residual).
+solve time + iterations to 1e-8 relative residual, plus SA and BSR
+flagship configs).
 
 Headline: SpMV throughput (nnz/s) on the 27-pt Laplacian (the reference's
 core kernel, examples/benchmark_spmv.cpp), measured honestly on this chip:
@@ -19,22 +20,34 @@ traffic): DIA SpMV moves 4 B of matrix values per nnz plus the amortized
 x/b streams (~2 rows per K=27 diagonals), so
 roofline = stream_bw / (4 * (K+2)/K).
 
-The remaining BASELINE metrics ride in ``extras`` of the same line:
+The remaining BASELINE metrics ride in ``extras`` of the same line,
+accumulated INCREMENTALLY in priority order under a hard watchdog
+(RAPTOR_BENCH_DEADLINE_S, default 460 s): whatever has been measured
+when the deadline fires is emitted — the bench can time out a section
+but can never record nothing (the round-3 failure mode, BENCH_r03.json
+rc:124 parsed:null).
+
 - ``rap_nnz_per_s``: Galerkin triple-product throughput summed over all
-  levels of the 2048^2 aniso setup (output nnz of AP and P^T(AP) per
-  second of RAP wall time; examples/benchmark_matmult.cpp equivalent).
-- ``setup_seconds``: full AMG setup wall time (examples/benchmark_setup.cpp)
-  with per-phase splits.
+  levels (output nnz of AP and P^T(AP) per second of RAP wall time).
+- ``setup_seconds``: full AMG setup wall time with per-phase splits;
+  with a live TPU the interpolation and RAP phases run the DEVICE
+  engines (interp_mode=rap_mode=auto), so these splits are the on-chip
+  device-engine record.
 - ``solve_*``: mixed-precision solve (f32 hierarchy + f64 refinement,
-  DeviceHierarchy.solve_mixed) to 1e-8 RELATIVE residual: wall seconds of
-  a warm solve (compile excluded) + refinement count, on both headline
-  problems (2048^2 rotated-aniso 2-D, 128^3 27-pt Laplacian 3-D).
+  DeviceHierarchy.solve_mixed) to 1e-8 RELATIVE residual.
+- ``sa_*`` / ``bsr_*``: smoothed-aggregation (BASELINE config 3) and
+  BSR elasticity (config 5) setup + solve.
+- ``p_apply_ms_lap27_l0`` / ``pt_apply_ms_lap27_l0``: level-0 transfer
+  operator apply on the 128^3 hierarchy (the windowed-ELL/BELL kernel
+  path selected by the VPU cost model).
 
 RAPTOR_BENCH_FAST=1 shrinks the grids for a CPU smoke run.
 """
 
 import json
 import os
+import signal
+import sys
 import time
 
 import jax
@@ -45,6 +58,33 @@ N_LO, N_HI = 2, 102
 REPS = 5
 
 FAST = os.environ.get("RAPTOR_BENCH_FAST", "0") == "1"
+DEADLINE_S = int(os.environ.get("RAPTOR_BENCH_DEADLINE_S", "460"))
+
+# global accumulators: the watchdog emits these no matter where the
+# bench was interrupted
+_EXTRAS: dict = {}
+_HEADLINE = {"value": 0.0, "vs": 0.0}
+_EMITTED = False
+
+
+def _emit():
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps({
+        "metric": "spmv_nnz_per_s_laplacian27_128cubed_f32",
+        "value": _HEADLINE["value"],
+        "unit": "nnz/s",
+        "vs_baseline": _HEADLINE["vs"],
+        "extras": _EXTRAS,
+    }), flush=True)
+
+
+def _on_deadline(signum, frame):   # noqa: ARG001
+    _EXTRAS["deadline_hit"] = True
+    _emit()
+    os._exit(0)
 
 
 def _timed(fn, *args) -> float:
@@ -113,7 +153,7 @@ def bench_spmv():
     return nnz_s, roofline_nnz_s, stream_bw
 
 
-def _solve_to_1e8(ml, A, grid_label, extras):
+def _solve_to_1e8(ml, A, grid_label):
     """Warm + timed mixed-precision solve to 1e-8 relative residual."""
     from raptor_tpu.device import par as dpar
     from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
@@ -132,29 +172,30 @@ def _solve_to_1e8(ml, A, grid_label, extras):
     x, hist = dh.solve_mixed(np.zeros(n), b, tol=1e-8, max_iter=200,
                              return_device=True)
     dt = time.perf_counter() - t0
-    extras[f"solve_1e8_seconds_{grid_label}"] = round(dt, 4)
-    extras[f"solve_1e8_iters_{grid_label}"] = int(len(hist) - 1)
-    extras[f"solve_1e8_final_relres_{grid_label}"] = float(hist[-1])
+    _EXTRAS[f"solve_1e8_seconds_{grid_label}"] = round(dt, 4)
+    _EXTRAS[f"solve_1e8_iters_{grid_label}"] = int(len(hist) - 1)
+    _EXTRAS[f"solve_1e8_final_relres_{grid_label}"] = float(hist[-1])
+    return dh
 
 
-def bench_amg(extras):
-    """Setup (with RAP split) + solve-to-1e-8 on the headline problems."""
+def _record_setup(ml, label, phase_suffix=""):
+    _EXTRAS[f"setup_levels_{label}"] = len(ml.levels)
+    rap_nnz = sum(s[1] for s in ml.rap_stats)
+    rap_t = sum(s[2] for s in ml.rap_stats)
+    _EXTRAS[f"rap_nnz_per_s_{label}"] = round(rap_nnz / max(rap_t, 1e-9))
+    _EXTRAS[f"rap_seconds_{label}"] = round(rap_t, 3)
+    for name, t in sorted(ml.setup_times.times.items()):
+        _EXTRAS[f"setup_phase_{name}_s{phase_suffix}"] = round(t, 3)
+
+
+def bench_amg_2d():
+    """2048^2 rotated aniso, RS+ModClassical (reference default config)."""
     from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
     from raptor_tpu.gallery.stencils import (
-        diffusion_stencil_2d, laplace_stencil_27pt, par_stencil_grid)
+        diffusion_stencil_2d, par_stencil_grid)
     from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
-    from raptor_tpu.utils.hostmem import pin_arena
-
-    # keep setup's large transient buffers in the persistent heap arena
-    # (cold runs otherwise pay first-touch faults on every fresh mmap:
-    # 103 s cold vs 26-45 s warm at 2048^2 in round 2)
-    pin_arena(prefault_bytes=0 if FAST else 6 << 30)
 
     n_dev = len(jax.devices())
-
-    # --- 2048^2 rotated anisotropic diffusion, RS (reference default:
-    # interior RS then Falgout) + ModClassical: 15 refinements to 1e-8
-    # vs HMIS+Extended's convergence stall on this problem ---------------
     n2d = 128 if FAST else 2048
     A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
                          (n2d, n2d), n_dev)
@@ -164,18 +205,23 @@ def bench_amg(extras):
     ml.num_smooth_sweeps = 3
     t0 = time.perf_counter()
     ml.setup(A)
-    setup_s = time.perf_counter() - t0
-    extras["setup_seconds_aniso2048sq_rs_mc"] = round(setup_s, 3)
-    extras["setup_levels_aniso2048sq"] = len(ml.levels)
-    rap_nnz = sum(s[1] for s in ml.rap_stats)
-    rap_t = sum(s[2] for s in ml.rap_stats)
-    extras["rap_nnz_per_s_aniso2048sq"] = round(rap_nnz / max(rap_t, 1e-9))
-    extras["rap_seconds_aniso2048sq"] = round(rap_t, 3)
-    for name, t in sorted(ml.setup_times.times.items()):
-        extras[f"setup_phase_{name}_s"] = round(t, 3)
-    _solve_to_1e8(ml, A, "aniso2048sq", extras)
+    _EXTRAS["setup_seconds_aniso2048sq_rs_mc"] = round(
+        time.perf_counter() - t0, 3)
+    _record_setup(ml, "aniso2048sq")
+    _solve_to_1e8(ml, A, "aniso2048sq")
 
-    # --- 128^3 27-pt Laplacian, PMIS+Extended -----------------------------
+
+def bench_amg_3d():
+    """128^3 27-pt Laplacian, PMIS+Extended; interp/RAP auto-engines run
+    ON DEVICE with a live TPU — the setup phase splits below are the
+    on-chip device-engine record (reference anchor:
+    par_ruge_stuben_solver.hpp:146-147, par_interpolation.cpp:301)."""
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.gallery.stencils import (
+        laplace_stencil_27pt, par_stencil_grid)
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    n_dev = len(jax.devices())
     n3d = 32 if FAST else 128
     A3 = par_stencil_grid(laplace_stencil_27pt(), (n3d, n3d, n3d), n_dev)
     ml3 = ParRugeStubenSolver(0.25, CoarsenType.PMIS, InterpType.Extended,
@@ -183,23 +229,123 @@ def bench_amg(extras):
     ml3.num_smooth_sweeps = 2
     t0 = time.perf_counter()
     ml3.setup(A3)
-    extras["setup_seconds_lap27_128cubed"] = round(
+    _EXTRAS["setup_seconds_lap27_128cubed"] = round(
         time.perf_counter() - t0, 3)
-    rap_nnz = sum(s[1] for s in ml3.rap_stats)
-    rap_t = sum(s[2] for s in ml3.rap_stats)
-    extras["rap_nnz_per_s_lap27_128cubed"] = round(
-        rap_nnz / max(rap_t, 1e-9))
-    for name, t in sorted(ml3.setup_times.times.items()):
-        extras[f"setup_phase_{name}_s_lap27"] = round(t, 3)
-    _solve_to_1e8(ml3, A3, "lap27_128cubed", extras)
+    _EXTRAS["interp_engine_lap27"] = getattr(ml3, "interp_engine_used",
+                                             "host")
+    _EXTRAS["rap_engine_lap27"] = getattr(ml3, "rap_engine_used", "host")
+    _record_setup(ml3, "lap27_128cubed", phase_suffix="_lap27")
+    dh = _solve_to_1e8(ml3, A3, "lap27_128cubed")
+    return ml3, dh
 
 
-def _device_reachable(timeout_s: int = 300) -> bool:
+def bench_transfer_apply(ml3):
+    """Level-0 P / P^T apply on the 128^3 hierarchy: the operators the
+    windowed-ELL / BELL Pallas kernels were built for (round 3)."""
+    from raptor_tpu.core.par_matrix import ParCSRMatrix
+    from raptor_tpu.core.partition import Partition
+    from raptor_tpu.device import par as dpar
+
+    mesh = dpar.make_mesh(1)
+    for name, embed, key in (("P", "cols", "p"), ("Pt", "rows", "pt")):
+        a = ml3.levels[0].P._g() if name == "P" else \
+            ml3.levels[0].P.transpose()._g()
+        A = ParCSRMatrix(a, Partition.create(a.n_rows, a.n_cols, 1))
+        dA = dpar.device_put_matrix(
+            A, mesh, dtype=jnp.float32, lane_pad=128,
+            need_transpose=False, embed=embed)
+        x = dpar.device_put_vector(
+            np.random.default_rng(0).random(a.n_cols),
+            A.partition.col_bounds, dA.cols_pad, mesh, dtype=jnp.float32)
+
+        def chain(dA, x, n):
+            def body(_, c):
+                b = dpar._shard_op(dpar.spmv_shard, mesh, dA, x)
+                return c + jnp.sum(b)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        f = jax.jit(chain, static_argnums=2)
+        float(f(dA, x, 2))
+        float(f(dA, x, 52))
+        t_lo = min(_timed(f, dA, x, 2) for _ in range(1))
+        t_hi = min(_timed(f, dA, x, 52) for _ in range(1))
+        per = max(1e-9, (t_hi - t_lo) / 50)
+        _EXTRAS[f"{key}_apply_ms_lap27_l0"] = round(per * 1e3, 3)
+        _EXTRAS[f"{key}_format_lap27_l0"] = dA.on_format
+
+
+def bench_sa():
+    """Smoothed aggregation (BASELINE config 3): 64^3 lap27 SA setup +
+    device V-cycle solve (sas_* analog; examples/benchmark_sa.py)."""
+    from raptor_tpu.aggregation.solver import ParSmoothedAggregationSolver
+    from raptor_tpu.core.types import RelaxType
+    from raptor_tpu.gallery.stencils import (
+        laplace_stencil_27pt, par_stencil_grid)
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+    from raptor_tpu.device import par as dpar
+
+    n = 24 if FAST else 64
+    n_dev = len(jax.devices())
+    A = par_stencil_grid(laplace_stencil_27pt(), (n, n, n), n_dev)
+    ml = ParSmoothedAggregationSolver(strong_threshold=0.0,
+                                      relax_type=RelaxType.Chebyshev)
+    ml.num_smooth_sweeps = 2
+    t0 = time.perf_counter()
+    ml.setup(A)
+    _EXTRAS["sa_setup_seconds_lap27_64cubed"] = round(
+        time.perf_counter() - t0, 3)
+    _EXTRAS["sa_levels_lap27_64cubed"] = len(ml.levels)
+
+    mesh = dpar.make_mesh(n_dev)
+    dh = DeviceHierarchy(ml, mesh, dtype=jnp.float32)
+    b = A.mult(np.ones(A.global_num_rows))
+    x, hist = dh.solve_mixed(np.zeros_like(b), b, tol=1e-8, max_iter=200)
+    t0 = time.perf_counter()
+    x, hist = dh.solve_mixed(np.zeros_like(b), b, tol=1e-8, max_iter=200,
+                             return_device=True)
+    _EXTRAS["sa_solve_1e8_seconds_lap27_64cubed"] = round(
+        time.perf_counter() - t0, 4)
+    _EXTRAS["sa_solve_1e8_iters_lap27_64cubed"] = int(len(hist) - 1)
+    _EXTRAS["sa_solve_1e8_final_relres"] = float(hist[-1])
+
+
+def bench_bsr():
+    """BSR elasticity (BASELINE config 5): blocked AMG setup + blocked
+    V-cycle to 1e-6 (examples/benchmark_bsr_amg.py)."""
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.gallery.fem import par_fem
+    from raptor_tpu.multilevel.bsr_hierarchy import (
+        BSRDeviceHierarchy, ParBSRRugeStubenSolver)
+
+    nx, ny = (32, 16) if FAST else (128, 64)
+    n_dev = len(jax.devices())
+    A, _ = par_fem("elasticity", nx, ny, n_dev)
+    _EXTRAS["bsr_dofs_elasticity"] = int(A.global_num_rows)
+    ml = ParBSRRugeStubenSolver(2, strong_threshold=0.25)
+    t0 = time.perf_counter()
+    ml.setup(A)
+    _EXTRAS["bsr_setup_seconds_elasticity"] = round(
+        time.perf_counter() - t0, 3)
+    _EXTRAS["bsr_levels_elasticity"] = len(ml.levels)
+
+    mesh = dpar.make_mesh(n_dev)
+    dh = BSRDeviceHierarchy(ml, mesh, sweeps=3)
+    b = A.mult(np.ones(A.global_num_rows))
+    x, hist, k = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b),
+                          tol=1e-6, max_iter=100)
+    t0 = time.perf_counter()
+    x, hist, k = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b),
+                          tol=1e-6, max_iter=100)
+    _EXTRAS["bsr_solve_1e6_seconds_elasticity"] = round(
+        time.perf_counter() - t0, 4)
+    _EXTRAS["bsr_solve_1e6_iters_elasticity"] = int(k)
+
+
+def _device_reachable(timeout_s: int = 45) -> bool:
     """Probe the backend in a subprocess with a hard timeout: the axon
     relay, when down, HANGS jax initialization forever — a hung bench
     records nothing, a fast-fail records the outage."""
     import subprocess
-    import sys
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -211,12 +357,13 @@ def _device_reachable(timeout_s: int = 300) -> bool:
         return False
 
 
-def _host_only_metrics() -> dict:
+def _host_only_metrics():
     """Relay-down fallback: the chip metrics are unreachable, but the
     HOST setup path (assembly, strength, splitting, interpolation, RAP
     — all native kernels) is still real and measurable on the CPU
-    backend.  Records the bench configs' setup phase splits so an
-    outage round still carries numbers."""
+    backend. REDUCED sizes (1024^2 / 64^3) so the whole outage line
+    lands well inside 2 minutes (the round-3 full-size fallback blew
+    the driver budget: BENCH_r03.json rc:124)."""
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
@@ -224,67 +371,86 @@ def _host_only_metrics() -> dict:
         diffusion_stencil_2d, laplace_stencil_27pt, par_stencil_grid)
     from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
     from raptor_tpu.utils.hostmem import pin_arena
-    pin_arena(prefault_bytes=0 if FAST else 8 << 30)
-    extras = {"device_unreachable": True}
+    pin_arena(prefault_bytes=0 if FAST else 1 << 30)
+    _EXTRAS["device_unreachable"] = True
     configs = [
-        ("aniso2048sq_rs_mc", (128 if FAST else 2048,) * 2,
+        ("aniso1024sq_rs_mc", (128 if FAST else 1024,) * 2,
          diffusion_stencil_2d(0.001, np.pi / 8),
          CoarsenType.RS, InterpType.ModClassical),
-        ("lap27_128cubed", (32 if FAST else 128,) * 3,
+        ("lap27_64cubed", (32 if FAST else 64,) * 3,
          laplace_stencil_27pt(), CoarsenType.PMIS, InterpType.Extended),
     ]
     for name, grid, stencil, ct, it in configs:
         t0 = time.perf_counter()
         A = par_stencil_grid(stencil, grid, 1)
-        extras[f"assembly_seconds_{name}"] = round(
+        _EXTRAS[f"assembly_seconds_{name}"] = round(
             time.perf_counter() - t0, 3)
         ml = ParRugeStubenSolver(0.25, ct, it,
                                  relax_type=RelaxType.Chebyshev)
+        ml.rap_mode = "host"
+        ml.interp_mode = "host"
         t0 = time.perf_counter()
         ml.setup(A)
-        extras[f"host_setup_seconds_{name}"] = round(
+        _EXTRAS[f"host_setup_seconds_{name}"] = round(
             time.perf_counter() - t0, 3)
         for ph, t in sorted(ml.setup_times.times.items()):
-            extras[f"host_setup_phase_{ph}_s_{name}"] = round(t, 3)
+            _EXTRAS[f"host_setup_phase_{ph}_s_{name}"] = round(t, 3)
         rap_nnz = sum(s[1] for s in ml.rap_stats)
         rap_t = sum(s[2] for s in ml.rap_stats)
-        extras[f"host_rap_nnz_per_s_{name}"] = round(
+        _EXTRAS[f"host_rap_nnz_per_s_{name}"] = round(
             rap_nnz / max(rap_t, 1e-9))
-    return extras
+
+
+def _section(label, fn, *args):
+    """Run one bench section; a failure records the error and moves on
+    (never lose the line)."""
+    try:
+        return fn(*args)
+    except Exception as e:   # noqa: BLE001
+        _EXTRAS[f"error_{label}"] = repr(e)[:200]
+        return None
 
 
 def main():
-    extras = {}
+    signal.signal(signal.SIGALRM, _on_deadline)
+    signal.alarm(DEADLINE_S)
+    # also emit on SIGTERM (driver kill) — rc will be nonzero but the
+    # line is already on stdout
+    signal.signal(signal.SIGTERM, _on_deadline)
+
     if not _device_reachable():
-        extras = {"error": "device backend unreachable (relay down); "
-                           "host-side setup metrics below; see "
-                           "BASELINE_RESULTS.md for the last chip set"}
-        try:
-            extras.update(_host_only_metrics())
-        except Exception as e:   # noqa: BLE001 — never lose the line
-            extras["host_metrics_error"] = repr(e)
-        print(json.dumps({
-            "metric": "spmv_nnz_per_s_laplacian27_128cubed_f32",
-            "value": 0, "unit": "nnz/s", "vs_baseline": 0,
-            "extras": extras,
-        }))
+        _EXTRAS["error"] = ("device backend unreachable (relay down); "
+                            "host-side setup metrics below; see "
+                            "BASELINE_RESULTS.md for the last chip set")
+        _section("host_metrics", _host_only_metrics)
+        _emit()
         return
+
+    # keep setup's large transient buffers in the persistent heap arena
+    # (cold runs otherwise pay first-touch faults on every fresh mmap:
+    # 103 s cold vs 26-45 s warm at 2048^2 in round 2)
+    from raptor_tpu.utils.hostmem import pin_arena
+    pin_arena(prefault_bytes=0 if FAST else 6 << 30)
+
     # headline SpMV runs with x64 OFF (pure-f32 programs, comparable to
     # BENCH_r01); the AMG section then enables x64 for the f64 residuals
     # of the mixed-precision refinement (fresh shapes, no retrace overlap)
-    nnz_s, roofline_nnz_s, stream_bw = bench_spmv()
-    extras["stream_bw_GBps"] = round(stream_bw / 1e9, 1)
-    extras["spmv_vs_roofline"] = round(nnz_s / roofline_nnz_s, 4)
-    jax.config.update("jax_enable_x64", True)
-    bench_amg(extras)
+    r = _section("spmv", bench_spmv)
+    if r is not None:
+        nnz_s, roofline_nnz_s, stream_bw = r
+        _HEADLINE["value"] = nnz_s
+        _HEADLINE["vs"] = nnz_s / roofline_nnz_s
+        _EXTRAS["stream_bw_GBps"] = round(stream_bw / 1e9, 1)
+        _EXTRAS["spmv_vs_roofline"] = round(nnz_s / roofline_nnz_s, 4)
 
-    print(json.dumps({
-        "metric": "spmv_nnz_per_s_laplacian27_128cubed_f32",
-        "value": nnz_s,
-        "unit": "nnz/s",
-        "vs_baseline": nnz_s / roofline_nnz_s,
-        "extras": extras,
-    }))
+    jax.config.update("jax_enable_x64", True)
+    ml3dh = _section("amg3d", bench_amg_3d)
+    _section("amg2d", bench_amg_2d)
+    if ml3dh is not None:
+        _section("transfer", bench_transfer_apply, ml3dh[0])
+    _section("sa", bench_sa)
+    _section("bsr", bench_bsr)
+    _emit()
 
 
 if __name__ == "__main__":

@@ -9,6 +9,9 @@ and times the forward apply with the chained-fori_loop delta method.
 
 Run (real chip):  python examples/benchmark_transfer_formats.py 128
 Run (CPU mesh):   JAX_PLATFORMS=cpu python examples/benchmark_transfer_formats.py 48
+One format only (chip-fault isolation — a bad HBM->VMEM DMA can wedge
+the chip, so probe unproven kernels one per process under timeout):
+    python examples/benchmark_transfer_formats.py 48 /tmp well
 """
 
 import os
@@ -84,6 +87,9 @@ def _time_apply(mesh, dA, x):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     cache = sys.argv[2] if len(sys.argv) > 2 else "/tmp"
+    only = sys.argv[3] if len(sys.argv) > 3 else None
+    fmts = (None, "well", "bell", "ell") if only is None else \
+        ((None,) if only == "auto" else (only,))
     ops = _build_or_load(n, cache)
     mesh = dpar.make_mesh(1)
     for name, embed in (("P", "cols"), ("Pt", "rows")):
@@ -92,7 +98,7 @@ def main():
         print(f"== {name}: {a.n_rows} x {a.n_cols}, nnz {a.indptr[-1]} ==")
         xh = np.random.default_rng(0).random(a.n_cols)
         ref = a.mult(xh)
-        for fmt in (None, "well", "bell", "ell"):
+        for fmt in fmts:
             try:
                 kw = dict(dtype=jnp.float32, lane_pad=128,
                           need_transpose=False, embed=embed)

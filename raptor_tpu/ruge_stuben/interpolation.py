@@ -425,6 +425,12 @@ def _use_device_interp(engine: str, level_nnz: int) -> bool:
     return engine == "device" or _device_interp_profitable(level_nnz)
 
 
+# which engine the last dispatch actually used ("host" | "device"),
+# recorded so callers (bench.py, setup reports) can prove the device
+# path ran rather than silently falling back
+LAST_ENGINE = {"interp": "host"}
+
+
 def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
                        variables, engine: str, level_nnz: int) -> CSRMatrix:
     """Route extended+i to the host kernel or device/interp.py.  ANY
@@ -435,10 +441,13 @@ def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
         from raptor_tpu.device import interp as dinterp
         strong, col_to_new, n_coarse = _device_interp_inputs(a, s, states)
         try:
-            return dinterp.extended_interp_device(
+            p = dinterp.extended_interp_device(
                 a, strong, np.asarray(states), col_to_new, n_coarse)
+            LAST_ENGINE["interp"] = "device"
+            return p
         except Exception as e:                       # noqa: BLE001
             _warn_device_fallback("extended", e)
+    LAST_ENGINE["interp"] = "host"
     return extended_interpolation(a, s, states, num_variables, variables)
 
 
@@ -452,11 +461,14 @@ def _mod_classical_dispatch(a: CSRMatrix, s: CSRMatrix, states,
         from raptor_tpu.device import interp as dinterp
         strong, col_to_new, n_coarse = _device_interp_inputs(a, s, states)
         try:
-            return dinterp.mod_classical_interp_device(
+            p = dinterp.mod_classical_interp_device(
                 a, strong, np.asarray(states), col_to_new, n_coarse,
                 variables, num_variables)
+            LAST_ENGINE["interp"] = "device"
+            return p
         except Exception as e:                       # noqa: BLE001
             _warn_device_fallback("mod_classical", e)
+    LAST_ENGINE["interp"] = "host"
     return mod_classical_interpolation(a, s, states, num_variables,
                                        variables)
 

@@ -16,11 +16,29 @@ def test_comm_model():
     stats = model_comm_plan(plan, shards_per_host=4)
     assert sum(stats.n_msgs.values()) > 0
     assert stats.inter_host_bytes > 0
+    assert stats.max_bytes_per_host_pair > 0
     tap = build_tap_plan(A, 2, 4)
     tap_stats = model_tap_plan(tap)
     # TAP never increases inter-host traffic
     assert tap_stats.inter_host_bytes <= stats.inter_host_bytes
     assert "comm model" in str(stats)
+    # per-step breakdown is exact: only the G step crosses hosts, and its
+    # byte total is exactly the deduplicated DCN value count (tap.py:69)
+    steps = tap_stats.steps
+    assert set(steps) == {"L", "S", "G", "R"}
+    assert steps["G"].inter_host_bytes == tap.dcn_values * 8
+    assert tap_stats.inter_host_bytes == steps["G"].inter_host_bytes
+    for s in ("L", "S", "R"):
+        assert steps[s].inter_host_bytes == 0
+    assert tap_stats.intra_host_bytes == sum(
+        steps[s].intra_host_bytes for s in ("L", "S", "R"))
+    # message counts by class sum across steps to the plan total
+    for cls in ("short", "eager", "rendezvous"):
+        assert tap_stats.n_msgs.get(cls, 0) == sum(
+            st.n_msgs.get(cls, 0) for st in steps.values())
+    # no placeholders: every count is a real non-negative integer
+    assert tap_stats.max_msgs_per_shard > 0
+    assert tap_stats.max_bytes_per_host_pair > 0
 
 
 def test_profiler():
