@@ -1685,3 +1685,323 @@ void finalize_interp(i64 n, i64 nnz, const i64* rows, i64* cols,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multilevel k-way graph partitioning.
+//
+// The reference gets edge-cut-minimizing repartitioning from ParMETIS /
+// PT-Scotch (util/linalg/external/parmetis_wrapper.hpp:12,
+// ptscotch_wrapper.hpp:17). This is an original METIS-style multilevel
+// k-way: heavy-edge-matching coarsening -> greedy region growing on the
+// coarsest graph -> boundary FM refinement at every uncoarsening level.
+// Deterministic (fixed LCG), no external dependency.
+//
+// Input: symmetric adjacency CSR with no self loops (caller symmetrizes);
+// ew (edge weights) may be null (unit weights). Output: part[n] in [0,k).
+// Returns the edge cut (sum of cut edge weights, each edge counted once).
+// ---------------------------------------------------------------------------
+
+namespace kway {
+
+struct Graph {
+    i64 n = 0;
+    std::vector<i64> xadj, adj;
+    std::vector<double> ew;   // edge weights
+    std::vector<i64> vw;      // vertex weights (fine-vertex counts)
+};
+
+struct Lcg {
+    uint64_t s;
+    explicit Lcg(uint64_t seed) : s(seed) {}
+    uint64_t next() { s = s * 6364136223846793005ull + 1442695040888963407ull; return s >> 17; }
+    i64 below(i64 m) { return m > 0 ? (i64)(next() % (uint64_t)m) : 0; }
+};
+
+// Heavy-edge matching: visit vertices in a fixed shuffled order, match each
+// unmatched vertex with its unmatched neighbor of maximum edge weight.
+// cmap[v] = coarse id; returns n_coarse.
+static i64 hem_match(const Graph& g, std::vector<i64>& cmap, Lcg& rng,
+                     i64 max_vwt) {
+    std::vector<i64> order(g.n);
+    for (i64 i = 0; i < g.n; i++) order[i] = i;
+    for (i64 i = g.n - 1; i > 0; i--) std::swap(order[i], order[rng.below(i + 1)]);
+    cmap.assign(g.n, -1);
+    i64 nc = 0;
+    for (i64 oi = 0; oi < g.n; oi++) {
+        i64 v = order[oi];
+        if (cmap[v] >= 0) continue;
+        i64 best = -1;
+        double bw = -1.0;
+        for (i64 e = g.xadj[v]; e < g.xadj[v + 1]; e++) {
+            i64 u = g.adj[e];
+            if (cmap[u] >= 0 || u == v) continue;
+            // weight cap keeps hub-heavy (power-law) graphs matchable
+            // into balanceable coarse vertices
+            if (g.vw[v] + g.vw[u] > max_vwt) continue;
+            double w = g.ew[e];
+            // prefer heavier edges; among equals prefer lighter vertices
+            // (keeps coarse vertex weights balanced)
+            if (w > bw || (w == bw && best >= 0 && g.vw[u] < g.vw[best])) {
+                bw = w; best = u;
+            }
+        }
+        cmap[v] = nc;
+        if (best >= 0) cmap[best] = nc;
+        nc++;
+    }
+    return nc;
+}
+
+// Contract g by cmap into nc coarse vertices (Gustavson-style row merge
+// with a dense marker).
+static Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 nc) {
+    Graph c;
+    c.n = nc;
+    c.vw.assign(nc, 0);
+    for (i64 v = 0; v < g.n; v++) c.vw[cmap[v]] += g.vw[v];
+    // fine members per coarse vertex (counting sort)
+    std::vector<i64> cnt(nc + 1, 0), members(g.n);
+    for (i64 v = 0; v < g.n; v++) cnt[cmap[v] + 1]++;
+    for (i64 i = 0; i < nc; i++) cnt[i + 1] += cnt[i];
+    {
+        std::vector<i64> pos(cnt.begin(), cnt.end() - 1);
+        for (i64 v = 0; v < g.n; v++) members[pos[cmap[v]]++] = v;
+    }
+    std::vector<i64> marker(nc, -1);
+    std::vector<i64> touched;
+    std::vector<double> acc(nc, 0.0);
+    c.xadj.reserve(nc + 1);
+    c.xadj.push_back(0);
+    for (i64 cv = 0; cv < nc; cv++) {
+        touched.clear();
+        for (i64 mi = cnt[cv]; mi < cnt[cv + 1]; mi++) {
+            i64 v = members[mi];
+            for (i64 e = g.xadj[v]; e < g.xadj[v + 1]; e++) {
+                i64 cu = cmap[g.adj[e]];
+                if (cu == cv) continue;          // interior edge vanishes
+                if (marker[cu] < 0) { marker[cu] = 1; touched.push_back(cu); }
+                acc[cu] += g.ew[e];
+            }
+        }
+        std::sort(touched.begin(), touched.end());
+        for (i64 cu : touched) {
+            c.adj.push_back(cu);
+            c.ew.push_back(acc[cu]);
+            marker[cu] = -1;
+            acc[cu] = 0.0;
+        }
+        c.xadj.push_back((i64)c.adj.size());
+    }
+    return c;
+}
+
+// Greedy graph growing on the coarsest graph: grow each part by BFS from a
+// random seed until it reaches the weight target; leftovers go to the
+// lightest adjacent (else lightest) part.
+static void init_partition(const Graph& g, i64 k, std::vector<i64>& part,
+                           Lcg& rng) {
+    part.assign(g.n, -1);
+    i64 total = 0;
+    for (i64 v = 0; v < g.n; v++) total += g.vw[v];
+    double target = (double)total / (double)k;
+    std::vector<i64> queue;
+    for (i64 p = 0; p < k - 1; p++) {
+        // seed: random unassigned vertex
+        i64 seed = -1;
+        for (i64 tries = 0; tries < 8 && seed < 0; tries++) {
+            i64 cand = rng.below(g.n);
+            if (part[cand] < 0) seed = cand;
+        }
+        if (seed < 0)
+            for (i64 v = 0; v < g.n; v++) if (part[v] < 0) { seed = v; break; }
+        if (seed < 0) break;
+        queue.clear();
+        queue.push_back(seed);
+        part[seed] = p;
+        i64 w = g.vw[seed];
+        for (size_t qi = 0; qi < queue.size() && w < target; qi++) {
+            i64 v = queue[qi];
+            for (i64 e = g.xadj[v]; e < g.xadj[v + 1] && w < target; e++) {
+                i64 u = g.adj[e];
+                if (part[u] >= 0) continue;
+                part[u] = p;
+                w += g.vw[u];
+                queue.push_back(u);
+            }
+        }
+    }
+    for (i64 v = 0; v < g.n; v++) if (part[v] < 0) part[v] = k - 1;
+}
+
+// One boundary-refinement sweep: move boundary vertices to the neighbor
+// part with the highest connectivity gain, subject to a balance cap.
+// Returns number of moves.
+static i64 refine_sweep(const Graph& g, i64 k, std::vector<i64>& part,
+                        std::vector<i64>& pw, i64 maxw) {
+    std::vector<double> conn(k, 0.0);
+    std::vector<i64> touched;
+    i64 moves = 0;
+    for (i64 v = 0; v < g.n; v++) {
+        i64 cur = part[v];
+        bool over = pw[cur] > maxw;
+        touched.clear();
+        for (i64 e = g.xadj[v]; e < g.xadj[v + 1]; e++) {
+            i64 p = part[g.adj[e]];
+            if (conn[p] == 0.0) touched.push_back(p);
+            conn[p] += g.ew[e];
+        }
+        i64 best = -1;
+        double bestgain = -1e300;
+        for (i64 p : touched) {
+            if (p == cur) continue;
+            if (pw[p] + g.vw[v] > maxw) continue;
+            double gain = conn[p] - conn[cur];
+            if (gain > bestgain ||
+                (gain == bestgain && best >= 0 && pw[p] < pw[best])) {
+                best = p;
+                bestgain = gain;
+            }
+        }
+        // overweight source: take the least-bad move out; balanced
+        // source: positive gain only (zero-gain moves allowed when they
+        // strictly improve balance, to escape plateaus)
+        bool take = best >= 0 &&
+            (over || bestgain > 0.0 ||
+             (bestgain == 0.0 && pw[best] + g.vw[v] < pw[cur]));
+        if (take) {
+            pw[cur] -= g.vw[v];
+            pw[best] += g.vw[v];
+            part[v] = best;
+            moves++;
+        }
+        for (i64 p : touched) conn[p] = 0.0;
+    }
+    return moves;
+}
+
+// Force feasibility: drain overweight parts into the lightest parts,
+// preferring vertices with the smallest connectivity loss.
+static void rebalance(const Graph& g, i64 k, std::vector<i64>& part,
+                      std::vector<i64>& pw, i64 maxw) {
+    std::vector<double> conn(k, 0.0);
+    std::vector<i64> touched;
+    for (i64 round = 0; round < 2 * k; round++) {
+        i64 src = -1;
+        for (i64 p = 0; p < k; p++)
+            if (pw[p] > maxw && (src < 0 || pw[p] > pw[src])) src = p;
+        if (src < 0) return;
+        // walk src's vertices, move each to its best part with room
+        // until src fits
+        for (i64 v = 0; v < g.n && pw[src] > maxw; v++) {
+            if (part[v] != src) continue;
+            touched.clear();
+            for (i64 e = g.xadj[v]; e < g.xadj[v + 1]; e++) {
+                i64 p = part[g.adj[e]];
+                if (conn[p] == 0.0) touched.push_back(p);
+                conn[p] += g.ew[e];
+            }
+            i64 best = -1;
+            double bestgain = -1e300;
+            for (i64 p : touched) {
+                if (p == src || pw[p] + g.vw[v] > maxw) continue;
+                double gain = conn[p] - conn[src];
+                if (gain > bestgain) { best = p; bestgain = gain; }
+            }
+            if (best < 0) {   // no adjacent part has room: lightest part
+                for (i64 p = 0; p < k; p++)
+                    if (p != src && (best < 0 || pw[p] < pw[best]))
+                        best = p;
+            }
+            for (i64 p : touched) conn[p] = 0.0;
+            if (best >= 0 && pw[best] + g.vw[v] <= maxw) {
+                pw[src] -= g.vw[v];
+                pw[best] += g.vw[v];
+                part[v] = best;
+            }
+        }
+    }
+}
+
+static void refine(const Graph& g, i64 k, std::vector<i64>& part) {
+    std::vector<i64> pw(k, 0);
+    i64 total = 0;
+    for (i64 v = 0; v < g.n; v++) { pw[part[v]] += g.vw[v]; total += g.vw[v]; }
+    i64 maxw = (i64)std::ceil(1.05 * (double)total / (double)k);
+    for (i64 sweep = 0; sweep < 12; sweep++)
+        if (refine_sweep(g, k, part, pw, maxw) == 0) break;
+    rebalance(g, k, part, pw, maxw);
+    for (i64 sweep = 0; sweep < 6; sweep++)
+        if (refine_sweep(g, k, part, pw, maxw) == 0) break;
+}
+
+static double edge_cut(const Graph& g, const std::vector<i64>& part) {
+    double cut = 0.0;
+    for (i64 v = 0; v < g.n; v++)
+        for (i64 e = g.xadj[v]; e < g.xadj[v + 1]; e++)
+            if (part[g.adj[e]] != part[v]) cut += g.ew[e];
+    return 0.5 * cut;   // symmetric: each edge seen twice
+}
+
+}  // namespace kway
+
+extern "C" {
+
+// n, indptr/indices: symmetric no-self-loop adjacency CSR. ew may be null.
+// part[n] out. Returns edge cut scaled by 2^20 (integer ABI).
+i64 partition_kway(i64 n, const i64* indptr, const i64* indices,
+                   const double* ew, i64 k, i64* part) {
+    using namespace kway;
+    if (k <= 1 || n == 0) {
+        for (i64 v = 0; v < n; v++) part[v] = 0;
+        return 0;
+    }
+    Graph g;
+    g.n = n;
+    g.xadj.assign(indptr, indptr + n + 1);
+    g.adj.assign(indices, indices + indptr[n]);
+    if (ew) g.ew.assign(ew, ew + indptr[n]);
+    else g.ew.assign(indptr[n], 1.0);
+    g.vw.assign(n, 1);
+
+    Lcg rng(0x5eedULL);
+    // coarsen until small or stalled
+    std::vector<Graph> levels;
+    std::vector<std::vector<i64>> maps;
+    levels.push_back(std::move(g));
+    i64 stop_n = std::max<i64>(24 * k, 256);
+    i64 max_vwt = std::max<i64>(1, (i64)(1.5 * (double)n / (double)stop_n));
+    while (levels.back().n > stop_n) {
+        std::vector<i64> cmap;
+        i64 nc = hem_match(levels.back(), cmap, rng, max_vwt);
+        if (nc > (i64)(0.95 * (double)levels.back().n)) break;  // stalled
+        Graph c = contract(levels.back(), cmap, nc);
+        maps.push_back(std::move(cmap));
+        levels.push_back(std::move(c));
+    }
+
+    // initial partition on the coarsest level: several random restarts,
+    // keep the best refined cut
+    std::vector<i64> cpart;
+    double best_cut = 1e300;
+    for (i64 trial = 0; trial < 4; trial++) {
+        std::vector<i64> cand;
+        init_partition(levels.back(), k, cand, rng);
+        refine(levels.back(), k, cand);
+        double cut = edge_cut(levels.back(), cand);
+        if (cut < best_cut) { best_cut = cut; cpart.swap(cand); }
+    }
+
+    // uncoarsen with refinement at every level
+    for (i64 li = (i64)maps.size() - 1; li >= 0; li--) {
+        const std::vector<i64>& cmap = maps[li];
+        const Graph& fine = levels[li];
+        std::vector<i64> fpart(fine.n);
+        for (i64 v = 0; v < fine.n; v++) fpart[v] = cpart[cmap[v]];
+        refine(fine, k, fpart);
+        cpart.swap(fpart);
+    }
+    for (i64 v = 0; v < n; v++) part[v] = cpart[v];
+    return (i64)(edge_cut(levels.front(), cpart) * 1048576.0);
+}
+
+}  // extern "C"

@@ -43,6 +43,27 @@ def main():
 
     part = Partition.create(a.n_rows, a.n_cols, n_shards)
     A = ParCSRMatrix(a, part)
+
+    # quality repartition (the reference's ParMETIS step,
+    # benchmark_nek5000.cpp's pre-partitioned inputs): native multilevel
+    # k-way vs naive contiguous rows vs RCM banding, by induced halo
+    from raptor_tpu.linalg.repartition import (comm_volume,
+                                               partition_graph,
+                                               repartition_matrix)
+    naive = comm_volume(A, np.repeat(np.arange(n_shards),
+                                     -(-A.global_num_rows // n_shards))
+                        [:A.global_num_rows])
+    t0 = time.perf_counter()
+    proc = partition_graph(A, n_shards, method="kway")
+    t_kway = time.perf_counter() - t0
+    vk = comm_volume(A, proc)
+    vr = comm_volume(A, partition_graph(A, n_shards, method="rcm"))
+    print(f"partition halo_values: naive {naive['halo_values']}, "
+          f"rcm {vr['halo_values']}, kway {vk['halo_values']} "
+          f"(edge cut {naive['edge_cut']}/{vr['edge_cut']}/"
+          f"{vk['edge_cut']}; kway {t_kway:.3f} s)")
+    A, _ = repartition_matrix(A, proc)
+
     rng = np.random.default_rng(0)
     b = A.mult(rng.random(A.global_num_rows))
 

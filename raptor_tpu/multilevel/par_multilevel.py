@@ -183,6 +183,16 @@ class ParMultilevel:
                 k: v - before.get(k, 0.0)
                 for k, v in self.setup_times.times.items()
                 if v - before.get(k, 0.0) > 0.0})
+            # degenerate coarsening (all-F split -> 0 coarse rows, or a
+            # stalled split -> no reduction): drop the useless level and
+            # treat the current one as coarsest rather than building an
+            # empty/identical operator (the reference exits instead,
+            # par_ruge_stuben_solver.hpp loop guard)
+            nc = self.levels[-1].A.global_num_rows
+            if nc == 0 or nc >= self.levels[-2].A.global_num_rows:
+                self.levels.pop()
+                self.levels[-1].P = None
+                break
         self.duplicate_coarse()
 
     def extend_hierarchy(self) -> None:

@@ -69,6 +69,9 @@ def load():
                                   + [F64, I64, F64, I64])
         lib.aggregate.restype = ctypes.c_int64
         lib.mark_strong.argtypes = [ctypes.c_int64] + [I64] * 4 + [I8]
+        lib.partition_kway.argtypes = [ctypes.c_int64, I64, I64, F64,
+                                       ctypes.c_int64, I64]
+        lib.partition_kway.restype = ctypes.c_int64
         interp_args = ([ctypes.c_int64, I64, I64, F64, I8, I64, I64,
                         ctypes.c_int64, I64, I64, F64])
         lib.mod_classical_interp.argtypes = interp_args
@@ -215,6 +218,23 @@ def aggregate(s_indptr, s_indices, a_indptr, a_indices, a_data, states, r,
                          _p(a_indptr, I64), _p(a_indices, I64),
                          _p(a_data, F64), _p(states, I64), _p(r, F64),
                          _p(aggregates, I64))
+
+
+def partition_kway(indptr, indices, ew, n, k):
+    """Multilevel k-way partition of a symmetric no-self-loop adjacency
+    CSR (csrc partition_kway; the ParMETIS_V3_PartKway analog). Returns
+    (part[n], edge_cut)."""
+    lib = load()
+    indptr, indices = _c(indptr), _c(indices)
+    part = np.zeros(n, dtype=np.int64)
+    if ew is not None:
+        ew = np.ascontiguousarray(ew, dtype=np.float64)
+        ew_p = _p(ew, F64)
+    else:
+        ew_p = F64()
+    cut = lib.partition_kway(n, _p(indptr, I64), _p(indices, I64),
+                             ew_p, k, _p(part, I64))
+    return part, cut / 1048576.0
 
 
 def mark_strong(a_indptr, a_indices, s_indptr, s_indices, n):
