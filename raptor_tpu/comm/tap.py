@@ -72,10 +72,21 @@ class TAPPlanHost:
 
 def build_tap_plan(a: ParCSRMatrix, H: int, L: int,
                    lane_pad: int = 1) -> TAPPlanHost:
-    part = a.partition
+    col_maps = [np.asarray(blk.off_proc_column_map) for blk in a.shards()]
+    return build_tap_plan_from_maps(col_maps, a.partition, H, L, lane_pad)
+
+
+def build_tap_plan_from_maps(col_maps, part, H: int, L: int,
+                             lane_pad: int = 1) -> TAPPlanHost:
+    """Build the TAP schedule from each shard's off-proc column map only
+    (the plan needs no matrix values). This is the multi-controller
+    entry: each controller allgathers its local shards' (small) halo
+    column maps over the setup transport and then deterministically
+    builds the identical global plan — the same construction TAPComm
+    does collectively over MPI (core/tap_comm.cpp:24-120)."""
     S = part.n_shards
     assert S == H * L, (S, H, L)
-    shards = a.shards()
+    assert len(col_maps) == S, (len(col_maps), S)
 
     def host_of(s):
         return s // L
@@ -93,7 +104,7 @@ def build_tap_plan(a: ParCSRMatrix, H: int, L: int,
     U = {}                # (A, B) -> sorted unique global col list
     req_remote = {}       # (req, A) -> (global cols, halo positions)
     for r in range(S):
-        cmap = shards[r].off_proc_column_map
+        cmap = col_maps[r]
         owners = part.col_owner(cmap)
         B = host_of(r)
         for o in np.unique(owners):
@@ -116,7 +127,7 @@ def build_tap_plan(a: ParCSRMatrix, H: int, L: int,
     dcn_values = sum(len(v) for v in U.values())
     dcn_plain = sum(len(g) for (r, A), (g, p) in req_remote.items())
 
-    Hpad = max(1, max(len(s.off_proc_column_map) for s in shards))
+    Hpad = max(1, max(len(c) for c in col_maps))
     Hpad = ((Hpad + lane_pad - 1) // lane_pad) * lane_pad
 
     # --- L step arrays ---------------------------------------------------------
@@ -271,21 +282,37 @@ class DeviceTAP:
     halo_pad: int
 
 
-def device_put_tap(plan: TAPPlanHost, mesh, dtype=jnp.float64) -> DeviceTAP:
+def device_put_tap(plan: TAPPlanHost, mesh, dtype=jnp.float64,
+                   tr=None, first_shard: int = 0,
+                   n_local: int = None) -> DeviceTAP:
+    """Place the stacked [S, ...] plan arrays shard-per-device.
+
+    ``tr=None`` (single controller): plain sharded device_put. With a
+    transport (multi-controller), every controller holds the identical
+    global plan (built from allgathered column maps) but may address
+    only its own devices — each uploads just its
+    [first_shard, first_shard + n_local) slices."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def put(x, dt=None):
-        # convert in NumPy: on-device converts compile one program/shape
+    def conv(x):
         x = np.asarray(x)
-        arr = np.asarray(x, dtype=jax.dtypes.canonicalize_dtype(
-            dt if dt is not None else x.dtype))
-        spec = P((HOST_AXIS, LOCAL_AXIS), *([None] * (arr.ndim - 1)))
-        return jax.device_put(arr, NamedSharding(mesh, spec))
+        if x.dtype.kind != "i":
+            x = np.asarray(x, dtype=jax.dtypes.canonicalize_dtype(dtype))
+        return x
 
-    kw = {}
-    for f in _TAP_DATA:
-        v = getattr(plan, f)
-        kw[f] = put(v, None if v.dtype.kind == "i" else dtype)
+    if tr is None:
+        def put(arr):
+            spec = P((HOST_AXIS, LOCAL_AXIS),
+                     *([None] * (arr.ndim - 1)))
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+        kw = {f: put(conv(getattr(plan, f))) for f in _TAP_DATA}
+    else:
+        from raptor_tpu.device import par as dpar
+        staged = {f: conv(getattr(plan, f))[first_shard:
+                                            first_shard + n_local]
+                  for f in _TAP_DATA}
+        kw = dpar.put_stacked(staged, mesh, tr=tr,
+                              first_shard=first_shard)
     return DeviceTAP(
         **kw, H=plan.H, L=plan.L, QL=plan.sendL_idx.shape[-1],
         QS=plan.sendS_idx.shape[-1], QG=plan.gpack_idx.shape[-1],

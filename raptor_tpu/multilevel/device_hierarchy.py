@@ -161,7 +161,8 @@ class DeviceHierarchy:
                   relax_type=None, num_smooth_sweeps: int = 1,
                   relax_weight: float = 1.0, solve_tol: float = 1e-7,
                   max_iterations: int = 100, dtype=jnp.float64,
-                  lane_pad: int = None) -> "DeviceHierarchy":
+                  lane_pad: int = None,
+                  tap_amg: int = -1) -> "DeviceHierarchy":
         """Build the device solve plan from a per-rank ``SpmdHierarchy``
         (comm/spmd.py): each controller packs and uploads ONLY its local
         level slices onto its addressable devices of the global mesh.
@@ -194,9 +195,29 @@ class DeviceHierarchy:
         self.relax_weight = relax_weight
         self.solve_tol = solve_tol
         self.max_iterations = max_iterations
-        self.tap_amg = -1
+        self.tap_amg = tap_amg
+        if tap_amg >= 0:
+            assert len(mesh.axis_names) == 2, \
+                "tap_amg needs a 2-D (host, local) mesh (make_mesh2)"
         self._tr_factory = make_transport
         self._fine_A = hier.levels[0].a_local
+
+        def tap_put(m_par, trx):
+            """TAP plan for a local-view matrix: allgather each rank's
+            (small) halo column maps over the transport, build the
+            identical global plan everywhere, upload own shards only."""
+            from raptor_tpu.comm.tap import (build_tap_plan_from_maps,
+                                             device_put_tap)
+            H, L = mesh.devices.shape
+            local_maps = [np.asarray(blk.off_proc_column_map)
+                          for blk in m_par.shards()]
+            gathered = trx.allgather_obj(local_maps)
+            flat = [np.asarray(c) for rank_maps in gathered
+                    for c in rank_maps]
+            plan = build_tap_plan_from_maps(flat, m_par.partition, H, L)
+            return device_put_tap(plan, mesh, dtype=dtype, tr=trx,
+                                  first_shard=m_par.first_shard,
+                                  n_local=len(m_par.shards()))
 
         need = {"jacobi": ("tri",), "sor": ("tri",), "ssor": ("tri",),
                 "mc_sor": ("color",), "mc_ssor": ("color",),
@@ -210,6 +231,10 @@ class DeviceHierarchy:
                                    need_transpose=False, tr=tr)
             dRX = build_relax(a, mesh, dA, dtype=dtype, need=need, tr=tr)
             dP = dPt = None
+            tap_level = 0 <= tap_amg <= i
+            TA = TP = TPt = None
+            if tap_level:
+                TA = tap_put(a, tr)
             if lvl.p_blocks is not None:
                 part = a.partition
                 cb = hier.levels[i + 1].a_local.partition.row_bounds
@@ -231,7 +256,10 @@ class DeviceHierarchy:
                                         lane_pad=lane_pad, embed="rows",
                                         need_transpose=False,
                                         tr=make_transport(pt_par))
-            levels.append(DeviceLevel(dA, dRX, dP, dPt, None, None, None))
+                if tap_level:
+                    TP = tap_put(p_par, tr_p)
+                    TPt = tap_put(pt_par, make_transport(pt_par))
+            levels.append(DeviceLevel(dA, dRX, dP, dPt, TA, TP, TPt))
         self.levels = tuple(levels)
 
         lu, piv = hier.coarse_lu

@@ -7,7 +7,12 @@ DeviceHierarchy.from_spmd + a sharded solve on the GLOBAL mesh. Writes
 this rank's solution rows + iteration count to an .npz for the parent
 to compare against the in-process oracle.
 
-Usage: python _mc_worker.py <rank> <world> <coord_port> <out.npz>
+Usage: python _mc_worker.py <rank> <world> <coord_port> <out.npz> [tap]
+
+With ``tap``, the global mesh is 2-D (world//2 hosts x 2 locals) and the
+solve runs the node-aware TAP exchange from level 0 (tap_amg=0) — the
+TAP x multi-controller composition (core/tap_comm.cpp under real
+multi-rank).
 """
 
 import os
@@ -15,6 +20,7 @@ import sys
 
 rank, world, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                int(sys.argv[3]), sys.argv[4])
+tap = len(sys.argv) > 5 and sys.argv[5] == "tap"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=1")
@@ -67,9 +73,15 @@ hier = spmd_rs_setup(a_local, w, make_transport,
                      coarsen=CoarsenType.HMIS,
                      interp=InterpType.Extended)
 
-mesh = dpar.make_mesh(world)            # the GLOBAL device mesh
-dh = DeviceHierarchy.from_spmd(hier, mesh, make_transport,
-                               relax_type=RelaxType.Chebyshev)
+if tap:                                 # 2-D (host, local) GLOBAL mesh
+    mesh = dpar.make_mesh2(world // 2, 2)
+    dh = DeviceHierarchy.from_spmd(hier, mesh, make_transport,
+                                   relax_type=RelaxType.Chebyshev,
+                                   tap_amg=0)
+else:
+    mesh = dpar.make_mesh(world)        # the GLOBAL device mesh
+    dh = DeviceHierarchy.from_spmd(hier, mesh, make_transport,
+                                   relax_type=RelaxType.Chebyshev)
 
 r0, r1 = int(part.row_bounds[rank]), int(part.row_bounds[rank + 1])
 b_local = np.asarray(my_block.to_scipy() @ np.ones(n))

@@ -29,8 +29,7 @@ def _free_port() -> int:
     return p
 
 
-@pytest.mark.parametrize("world", [2, 4])
-def test_multicontroller_bridge(tmp_path, world):
+def _launch_workers(tmp_path, world, extra_args=()):
     port = _free_port()
     worker = pathlib.Path(__file__).parent / "_mc_worker.py"
     procs, outs = [], []
@@ -47,7 +46,7 @@ def test_multicontroller_bridge(tmp_path, world):
         env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
         procs.append(subprocess.Popen(
             [sys.executable, str(worker), str(r), str(world), str(port),
-             str(out)], env=env,
+             str(out)] + list(extra_args), env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     logs = []
     for p in procs:
@@ -60,8 +59,11 @@ def test_multicontroller_bridge(tmp_path, world):
         logs.append(stdout)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    return outs
 
-    # in-process oracle (same problem/config as the worker)
+
+def _oracle(world):
+    """In-process reference (same problem/config as the worker)."""
     from raptor_tpu.comm.spmd import spmd_rs_setup
     from raptor_tpu.comm.transport import InProcessTransport
     from raptor_tpu.core.par_matrix import par_matrix_from_scipy
@@ -85,12 +87,33 @@ def test_multicontroller_bridge(tmp_path, world):
     r = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
     x_ref = dh.host(np.asarray(r.x))
     hist_ref = np.asarray(r.res)
-    hist_ref = hist_ref[hist_ref >= 0.0]
+    return x_ref, hist_ref[hist_ref >= 0.0], int(r.n_iters)
 
+
+def _compare(outs, x_ref, hist_ref, n_iters, rtol=1e-12, atol=1e-14):
     for out in outs:
         d = np.load(out)
-        assert int(d["n_iters"]) == int(r.n_iters)
-        np.testing.assert_allclose(d["hist"], hist_ref, rtol=1e-12)
+        assert int(d["n_iters"]) == n_iters
+        np.testing.assert_allclose(d["hist"], hist_ref, rtol=rtol,
+                                   atol=atol)
         np.testing.assert_allclose(
-            d["x"], x_ref[int(d["r0"]):int(d["r1"])], rtol=1e-12,
-            atol=1e-14)
+            d["x"], x_ref[int(d["r0"]):int(d["r1"])], rtol=rtol,
+            atol=atol)
+
+
+@pytest.mark.parametrize("world", [2, 4])
+def test_multicontroller_bridge(tmp_path, world):
+    outs = _launch_workers(tmp_path, world)
+    _compare(outs, *_oracle(world))
+
+
+def test_multicontroller_tap_mesh(tmp_path):
+    """TAP x multi-controller: 4 jax.distributed processes solving on a
+    (2, 2) 2-D (host, local) global mesh with node-aware exchange from
+    level 0 — the last untested composition of the two distribution
+    mechanisms (reference: tap_comm.cpp construction under real
+    multi-rank). Matches the plain 1-D in-process solve to roundoff
+    (TAP's gateway staging reorders the transpose-reduce sums, so
+    bitwise equality cannot hold; iteration count must be identical)."""
+    outs = _launch_workers(tmp_path, 4, extra_args=("tap",))
+    _compare(outs, *_oracle(4), rtol=1e-8, atol=1e-12)
