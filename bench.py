@@ -259,10 +259,12 @@ def bench_transfer_apply(ml3):
             A.partition.col_bounds, dA.cols_pad, mesh, dtype=jnp.float32)
 
         def chain(dA, x, n):
-            def body(_, c):
+            def body(_, x):
                 b = dpar._shard_op(dpar.spmv_shard, mesh, dA, x)
-                return c + jnp.sum(b)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+                # dependency feedback: without it XLA hoists the SpMV
+                # out of the loop (measured 0.01 ms "applies" in r4)
+                return x * (1.0 + 1e-30 * jnp.sum(b))
+            return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
         f = jax.jit(chain, static_argnums=2)
         float(f(dA, x, 2))

@@ -479,8 +479,13 @@ i64 mod_classical_interp(i64 n,
     return nnz;
 }
 
-// Extended+i interpolation (interpolation.cpp:9-205 semantics; matches the
-// Python implementation). Buffers sized by the caller (dist-2 pattern).
+// Extended+i interpolation with the PRODUCTION (parallel) semantics of
+// par_interpolation.cpp:301-1010 (what ParRugeStubenSolver runs; the
+// serial interpolation.cpp:9-205 differs in convergence-relevant ways:
+// weak-in-pattern entries fold into P, NoNeighbors weak exclusion,
+// zero-weak-sum division guard, no distribution on zero coarse_sum).
+// Matches the Python implementation bit-for-bit. Buffers sized by the
+// caller (dist-2 pattern).
 i64 extended_interp(i64 n,
                     const i64* a_indptr, const i64* a_indices,
                     const double* a_data,
@@ -528,6 +533,7 @@ i64 extended_interp(i64 n,
         i64 row_start = nnz;
         const i64 tag = i;
         // pattern: strong C of i, plus strong C of strong F neighbors
+        // (values all 0.0; the single A pass below fills them)
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 col = a_indices[j];
             i8 fj = flags[j];
@@ -536,9 +542,7 @@ i64 extended_interp(i64 n,
                 if ((ps[col] >> 32) != tag) {
                     ps[col] = (tag << 32) | (i64)(uint32_t)(nnz - row_start);
                     out_rows[nnz] = i; out_cols[nnz] = col;
-                    out_vals[nnz++] = a_data[j];
-                } else {
-                    out_vals[row_start + (uint32_t)ps[col]] = a_data[j];
+                    out_vals[nnz++] = 0.0;
                 }
             } else if (fj & 16) {
                 // strong-C entries of row col: one flag byte per entry
@@ -555,51 +559,57 @@ i64 extended_interp(i64 n,
             }
         }
         i64 row_end = nnz;
-        // weak sum: diag + entries neither strong nor in the pattern
+        // single A pass (par_interpolation.cpp:719-841): pattern
+        // columns (strong C or weak alike) accumulate into P; strong F
+        // distributes over the shared coarse pattern (+i term); other
+        // weak entries fold into weak_sum (NoNeighbors excluded)
         double weak_sum = diag[i];
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 col = a_indices[j];
-            if (col == i || (flags[j] & 1)) continue;
-            if ((flags[j] & 16) || (ps[col] >> 32) != tag) {
-                if (num_variables == 1 || variables[i] == variables[col])
+            if (col == i) continue;
+            i64 p = ps[col];
+            if ((p >> 32) == tag) {
+                out_vals[row_start + (uint32_t)p] += a_data[j];
+            } else if (flags[j] & 1) {
+                if (!(flags[j] & 16)) continue;   // strong non-F
+                i8 negbit = nb[col];
+                double cs = 0.0;
+                for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
+                    if (!(flags[k] & negbit)) continue;
+                    i64 ck = a_indices[k];
+                    if (ck == col) continue;
+                    if ((ps[ck] >> 32) == tag || ck == i)
+                        cs += a_data[k];
+                }
+                if (cs < ZERO_TOL && cs > -ZERO_TOL) {
+                    weak_sum += a_data[j];
+                } else {
+                    double ratio = a_data[j] / cs;
+                    for (i64 k = a_indptr[col]; k < a_indptr[col + 1];
+                         k++) {
+                        if (!(flags[k] & negbit)) continue;
+                        i64 ck = a_indices[k];
+                        if (ck == col) continue;
+                        if (ck == i) {
+                            weak_sum += ratio * a_data[k];
+                        } else {
+                            i64 pk = ps[ck];
+                            if ((pk >> 32) == tag)
+                                out_vals[row_start + (uint32_t)pk]
+                                    += ratio * a_data[k];
+                        }
+                    }
+                }
+            } else {
+                if ((num_variables == 1
+                     || variables[i] == variables[col])
+                    && states[col] != -2 /* NoNeighbors */)
                     weak_sum += a_data[j];
             }
         }
-        // distribute strong-F values (+i term)
-        for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
-            if ((flags[j] & 17) != 17) continue;
-            i64 col = a_indices[j];
-            i8 negbit = nb[col];
-            double cs = 0.0;
-            for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
-                if (!(flags[k] & negbit)) continue;
-                i64 ck = a_indices[k];
-                if ((ps[ck] >> 32) == tag || ck == i)
-                    cs += a_data[k];
-            }
-            double coarse_sum;
-            if (cs < ZERO_TOL && cs > -ZERO_TOL) {
-                weak_sum += a_data[j];
-                coarse_sum = cs;  // reference keeps the tiny raw value
-            } else {
-                coarse_sum = a_data[j] / cs;
-            }
-            for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
-                i8 f = flags[k];
-                if (f & 2) {
-                    if ((f & negbit) == 0) continue;
-                    i64 ck = a_indices[k];
-                    i64 p = ps[ck];
-                    if (ck != col && (p >> 32) == tag)
-                        out_vals[row_start + (uint32_t)p]
-                            += coarse_sum * a_data[k];
-                } else if (a_indices[k] == i) {
-                    weak_sum += coarse_sum * a_data[k];
-                }
-            }
-        }
-        for (i64 t = row_start; t < row_end; t++)
-            out_vals[t] /= -weak_sum;
+        if (weak_sum > ZERO_TOL || weak_sum < -ZERO_TOL)
+            for (i64 t = row_start; t < row_end; t++)
+                out_vals[t] /= -weak_sum;
     }
     return nnz;
 }
@@ -1537,7 +1547,9 @@ void interp_dev_pack(i64 n, const i64* indptr, const i64* indices,
                 }
             }
             if (!sb && col != i) {
-                wsum0[i] += v;
+                // NoNeighbors columns never reach the weak sum
+                // (par_interpolation.cpp:831-838)
+                if (st != -2) wsum0[i] += v;
                 if (cst) {
                     awc_c[naw * n + i] = (int32_t)col;
                     awc_v[naw * n + i] = v;

@@ -66,10 +66,13 @@ def _build_or_load(n, cache):
 
 def _time_apply(mesh, dA, x):
     def chain(dA, x, n):
-        def body(_, c):
+        def body(_, x):
             b = dpar._shard_op(dpar.spmv_shard, mesh, dA, x)
-            return c + jnp.sum(b)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            # feed a (numerically negligible) function of b back into x:
+            # without the dependency XLA hoists the SpMV out of the loop
+            # and the delta method measures nothing
+            return x * (1.0 + 1e-30 * jnp.sum(b))
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
     f = jax.jit(chain, static_argnums=2)
     float(f(dA, x, 2))
     float(f(dA, x, 52))

@@ -106,10 +106,11 @@ def spmd_rs_setup(a_local: ParCSRMatrix, weights: np.ndarray,
         else:
             p_blocks, n_coarse = ps.dist_extended_interpolation(
                 a, s, states, tr=tr, assemble=False)
-            if coarsen in (CoarsenType.PMIS, CoarsenType.HMIS):
-                # row-local: truncation + row-sum rescale per rank
-                p_blocks = [filter_interp(pb, interp_filter)
-                            for pb in p_blocks]
+            # the reference filters extended+i under every coarsening
+            # (par_ruge_stuben_solver.hpp:121); row-local truncation +
+            # row-sum rescale per rank
+            p_blocks = [filter_interp(pb, interp_filter)
+                        for pb in p_blocks]
 
         part = a.partition
         cb = _coarse_bounds(states, part.row_bounds)

@@ -118,8 +118,10 @@ def _prep(a: CSRMatrix, strong: np.ndarray, states: np.ndarray, dtype):
     bcs_c, bcs_v = pack(bcs_m)
 
     # weak-sum base: diag + all non-strong off-diag entries of F rows
-    # (the in-pattern weak-C part is subtracted on device)
-    wm = ~strongb & offd & f_row
+    # toward non-isolated columns (NoNeighbors excluded,
+    # par_interpolation.cpp:831-838); the in-pattern weak-C part is
+    # subtracted on device
+    wm = ~strongb & offd & f_row & (st_col != CFState.NoNeighbors)
     wsum0 = diag + np.bincount(rows[wm], weights=data[wm], minlength=n)
 
     # transpose samples a_ki per SF pair (k = pair col, i = pair row):
@@ -148,11 +150,14 @@ def _prep(a: CSRMatrix, strong: np.ndarray, states: np.ndarray, dtype):
 
 # --- the device kernel --------------------------------------------------------
 
-def _interp_chunk(sc_c, sc_v, sf_c, sf_v, di_v, at_v, awc_c, awc_v,
+def _interp_chunk(sc_c, sc_v, sf_c, sf_v, di_v, awc_c, awc_v,
                   wsum0, scg_c, bcs_c, bcs_v, bcw_c, bcw_v, dsc,
                   p_cap: int, ztol: float):
-    """One row chunk.  Chunk-local slabs are [W, C]; gather sources
-    (scg/bcs/bcw/dsc) are the full-width device-resident operands."""
+    """One row chunk with the PRODUCTION (parallel) extended+i
+    semantics (par_interpolation.cpp:719-841; see the host kernel's
+    docstring for the serial-vs-parallel differences).  Chunk-local
+    slabs are [W, C]; gather sources (scg/bcs/bcw/dsc) are the
+    full-width device-resident operands."""
     W_SF, C = sf_c.shape
     active = sf_c != SENT
     safe = jnp.where(active, sf_c, 0)
@@ -174,29 +179,36 @@ def _interp_chunk(sc_c, sc_v, sf_c, sf_v, di_v, at_v, awc_c, awc_v,
     d = (jnp.take(dsc, safe) * active
          + di_v + jnp.where(mem_w, bwv, 0).sum(axis=0))
 
-    # 3. ratios + weak sums (ZERO_TOL branch mirrors the reference:
-    # tiny D keeps D itself as the multiplier and folds a_ik into weak)
+    # 3. ratios + weak sums. Tiny D: fold a_ik into weak and distribute
+    # NOTHING (r = 0 — the parallel reference's else-branch, :781-786);
+    # the +i term is SIGN-FILTERED (di_v, not raw a_ki — :797-801)
     tiny = jnp.abs(d) < ztol
-    r = jnp.where(tiny, d, sf_v / jnp.where(tiny, 1.0, d)) * active
+    r = jnp.where(tiny, 0.0, sf_v / jnp.where(tiny, 1.0, d)) * active
     aw_m = ((awc_c[None] == p0c[:, None, :]).any(0) & (awc_c != SENT))
     weak = (wsum0
             + jnp.where(tiny & active, sf_v, 0).sum(axis=0)
-            + (r * at_v).sum(axis=0)
+            + (r * di_v).sum(axis=0)
             - jnp.where(aw_m, awc_v, 0).sum(axis=0))
 
     # 4. contributions r_ik * a_kj: strong-C(k) needs no mask (always in
-    # pattern); weak-C(k) masked by mem_w; merge into the pattern
+    # pattern); weak-C(k) masked by mem_w; PLUS the row's own weak
+    # entries whose column is in the pattern (they fold INTO P in the
+    # parallel semantics, :727-732); merge into the pattern
     bs = jnp.take(bcs_c, safe, axis=1)                     # [W_BCS, W_SF, C]
     bsv = jnp.take(bcs_v, safe, axis=1)
     bs_ok = (bs != SENT) & active[None]
     fc = jnp.concatenate(
         [p0c, jnp.where(bs_ok, bs, SENT).reshape(-1, C),
-         jnp.where(mem_w, bw, SENT).reshape(-1, C)], axis=0)
+         jnp.where(mem_w, bw, SENT).reshape(-1, C),
+         jnp.where(aw_m, awc_c, SENT)], axis=0)
     fv = jnp.concatenate(
         [p0v, jnp.where(bs_ok, r[None] * bsv, 0).reshape(-1, C),
-         jnp.where(mem_w, r[None] * bwv, 0).reshape(-1, C)], axis=0)
+         jnp.where(mem_w, r[None] * bwv, 0).reshape(-1, C),
+         jnp.where(aw_m, awc_v, 0)], axis=0)
     pc, pv, counts, _ = _merge_compact(fc, fv, p_cap, -1.0)
-    pv = pv / (-weak)[None, :]
+    ok = jnp.abs(weak) > ztol
+    pv = jnp.where(ok[None, :], pv / jnp.where(ok, -weak, 1.0)[None, :],
+                   pv)
     return pc, pv, counts, mx
 
 
@@ -365,7 +377,6 @@ def extended_interp_device(a: CSRMatrix, strong: np.ndarray,
     sf_cd = jnp.asarray(padded(sf_c, SENT))
     sf_vd = jnp.asarray(padded(sf_v.astype(dtype)))
     di_vd = jnp.asarray(padded(ops["di_v"].astype(dtype)))
-    at_vd = jnp.asarray(padded(ops["at_v"].astype(dtype)))
     awc_cd = jnp.asarray(padded(awc_c, SENT))
     awc_vd = jnp.asarray(padded(awc_v.astype(dtype)))
     wsum0d = jnp.asarray(np.pad(ops["wsum0"],
@@ -376,7 +387,7 @@ def extended_interp_device(a: CSRMatrix, strong: np.ndarray,
         sl = np.s_[:, s:s + C]
         pc, pv, cnt, m = _jit_interp(
             scg_d[sl], sc_vd[sl], sf_cd[sl], sf_vd[sl],
-            di_vd[sl], at_vd[sl], awc_cd[sl], awc_vd[sl],
+            di_vd[sl], awc_cd[sl], awc_vd[sl],
             wsum0d[s:s + C],
             scg_d, bcs_cd, bcs_vd, bcw_cd, bcw_vd, dsc_d,
             p_cap=p_cap, ztol=float(ZERO_TOL))

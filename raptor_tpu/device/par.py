@@ -449,11 +449,16 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 tr, [bell_stats(blk) for blk in fmt_blocks])
                 for st in p_l]
             Wb = max((w for w, _ in stats), default=0)
-            # BELL auto-selection is opt-in: its XLA row-gather SpMV is
-            # fast on CPU meshes but measured slow on this TPU (needs a
-            # Pallas kernel); the high-plane-budget BDIA path covers the
-            # unstructured coarse operators meanwhile
-            bell_on = os.environ.get("RAPTOR_TPU_BELL", "0") == "1"
+            # BELL auto-selection is opt-in AND CPU-only: the Pallas
+            # kernel is bit-correct in interpret mode and ran on-chip at
+            # 48^3, but Mosaic REJECTS it at production widths (128^3 P
+            # and P^T both fail remote_compile, round-4 shoot-out) — and
+            # a compile failure surfaces only at first apply, far too
+            # late to fall back. Shoot-out decision: windowed-ELL is the
+            # production 3-D transfer format; bell stays reachable via
+            # force_format="bell" for explicit experiments.
+            bell_on = (os.environ.get("RAPTOR_TPU_BELL", "0") == "1"
+                       and jax.devices()[0].platform != "tpu")
             if bell_on and Wb > 0 and A128 > 2:
                 # measured per-entry gather cost is orders of magnitude
                 # above a streamed slot; 128 is a conservative penalty

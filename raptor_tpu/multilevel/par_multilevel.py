@@ -288,10 +288,13 @@ class ParRugeStubenSolver(ParMultilevel):
                                       self.num_variables, self.variables,
                                       engine=getattr(self, "interp_mode",
                                                      "host"))
-                if ct in (CoarsenType.PMIS, CoarsenType.HMIS):
-                    p = ParCSRMatrix(filter_interp(p.global_csr,
-                                                   self.interp_filter),
-                                     p.partition)
+                # the reference filters extended+i under EVERY
+                # coarsening (par_ruge_stuben_solver.hpp:121 passes
+                # interp_filter unconditionally; filtering happens
+                # inside par_interpolation.cpp:967)
+                p = ParCSRMatrix(filter_interp(p.global_csr,
+                                               self.interp_filter),
+                                 p.partition)
             else:
                 p = par_interpolation(a, s, states, "direct")
 
@@ -367,8 +370,9 @@ class ParRugeStubenSolver(ParMultilevel):
             pg = ps.dist_extended_interpolation(a, s, states)
         else:
             raise ValueError(f"unknown interp type {it}")
-        if it == InterpType.Extended and ct in (CoarsenType.PMIS,
-                                                CoarsenType.HMIS):
+        if it == InterpType.Extended:
+            # every coarsening filters extended+i (see the global-mode
+            # dispatch above)
             from raptor_tpu.ruge_stuben.interpolation import filter_interp
             pg = filter_interp(pg, self.interp_filter)
 

@@ -238,11 +238,25 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
 def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
                            num_variables: int = 1,
                            variables: np.ndarray = None) -> CSRMatrix:
-    """Extended+i (distance-2) interpolation (interpolation.cpp:9-205,
-    parallel par_interpolation.cpp:301). P's row pattern = strong C
+    """Extended+i (distance-2) interpolation with the PRODUCTION
+    (parallel) semantics of par_interpolation.cpp:301-1010 — the code
+    ParRugeStubenSolver actually runs. P's row pattern = strong C
     neighbors of i plus strong C neighbors of i's strong F neighbors;
     each strong F neighbor's value is distributed over that pattern with
-    the "+i" term folding A_(col,i) back into the weak sum."""
+    the "+i" term folding A_(col,i) back into the weak sum.
+
+    The parallel path differs from the serial interpolation.cpp:9-205
+    in ways that MATTER for convergence on coarse (non-M-matrix)
+    operators — found by the live reference oracle
+    (tests/test_reference_oracle.py) after our serial-semantics port
+    degraded HMIS+Extended to 100 iters at 1024^2 aniso where the
+    reference holds 21:
+      - a WEAK A entry whose column is in the pattern adds its value
+        to that P coefficient (par_interpolation.cpp:727-732); the
+        serial code drops it entirely
+      - NoNeighbors columns are excluded from the weak sum (:835)
+      - the -weak_sum division is guarded by zero_tol (:949)
+    """
     import scipy.sparse as sp
     n = a.n_rows
     col_to_new, n_coarse = _coarse_map(states)
@@ -301,16 +315,14 @@ def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
         row_cols, row_vals = [], []
 
         # pattern: strong C of i, plus strong C of strong F neighbors
+        # (values all start at 0.0; the A pass below fills them)
         for j in range(s_indptr[i], s_indptr[i + 1]):
             col = s_indices[j]
-            val = s_data[j]
             if states[col] == S_:
                 if pos[col] < row_start:
                     pos[col] = nnz_sofar + len(row_cols)
                     row_cols.append(col)
-                    row_vals.append(val)
-                else:
-                    row_vals[pos[col] - row_start] = val
+                    row_vals.append(0.0)
             elif states[col] == F:
                 for col_k in s_indices[s_indptr[col]:s_indptr[col + 1]]:
                     if states[col_k] == S_ and pos[col_k] < row_start:
@@ -318,8 +330,12 @@ def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
                         row_cols.append(col_k)
                         row_vals.append(0.0)
         row_end_len = len(row_cols)
+        pos[i] = nnz_sofar + row_end_len   # "+i" sentinel (:716)
 
-        # weak sum: diag + A entries neither strong nor in P's pattern
+        # single A pass (par_interpolation.cpp:719-841): every entry
+        # whose column is in the pattern adds to that P slot (strong C
+        # or weak alike); strong F entries distribute over the shared
+        # coarse pattern; remaining weak entries fold into weak_sum
         weak_sum = diag[i]
         ctr = s_indptr[i]
         endS = s_indptr[i + 1]
@@ -327,44 +343,52 @@ def extended_interpolation(a: CSRMatrix, s: CSRMatrix, states: np.ndarray,
             col = a_indices[j]
             if col == i:
                 continue
-            if ctr < endS and s_indices[ctr] == col:
+            val = a_data[j]
+            idx = pos[col]
+            if idx >= row_start and col != i:
+                row_vals[idx - row_start] += val
+                if ctr < endS and s_indices[ctr] == col:
+                    ctr += 1
+            elif ctr < endS and s_indices[ctr] == col:
                 ctr += 1
-            else:
-                if states[col] == F or pos[col] < row_start:
-                    if num_variables == 1 or variables[i] == variables[col]:
-                        weak_sum += a_data[j]
-
-        # distribute strong F values over shared coarse pattern (+i term)
-        for j in range(s_indptr[i], s_indptr[i + 1]):
-            col = s_indices[j]
-            if states[col] != F:
-                continue
-            sgn = -1.0 if s_diag[col] < 0 else 1.0
-            coarse_sum = 0.0
-            for k in range(a_indptr[col], a_indptr[col + 1]):
-                col_k = a_indices[k]
-                if pos[col_k] >= row_start or col_k == i:
-                    val = a_data[k]
-                    if val * sgn < 0:
-                        coarse_sum += val
-            if abs(coarse_sum) < ZERO_TOL:
-                weak_sum += s_data[j]
-            else:
-                coarse_sum = s_data[j] / coarse_sum
-            for k in range(a_indptr[col], a_indptr[col + 1]):
-                col_k = a_indices[k]
-                if col_k == col:
+                if states[col] != F:
                     continue
-                val = a_data[k]
-                if states[col_k] == S_:
-                    idx = pos[col_k]
-                    if val * sgn < 0 and idx >= row_start:
-                        row_vals[idx - row_start] += coarse_sum * val
-                elif col_k == i:
-                    weak_sum += coarse_sum * val
+                # strong F neighbor: distribute over shared coarse
+                # pattern, signs opposite to A_(col,col)
+                sgn = 1.0 if s_diag[col] > 0 else -1.0
+                coarse_sum = 0.0
+                for k in range(a_indptr[col], a_indptr[col + 1]):
+                    col_k = a_indices[k]
+                    if col_k == col:
+                        continue
+                    val_k = a_data[k]
+                    if val_k * sgn < 0 and pos[col_k] >= row_start:
+                        coarse_sum += val_k
+                if abs(coarse_sum) < ZERO_TOL:
+                    weak_sum += val
+                else:
+                    cs = val / coarse_sum
+                    for k in range(a_indptr[col], a_indptr[col + 1]):
+                        col_k = a_indices[k]
+                        if col_k == col:
+                            continue
+                        val_k = a_data[k]
+                        if val_k * sgn < 0 and pos[col_k] >= row_start:
+                            if col_k == i:
+                                weak_sum += cs * val_k
+                            else:
+                                row_vals[pos[col_k] - row_start] += \
+                                    cs * val_k
+            else:
+                if (num_variables == 1
+                        or variables[i] == variables[col]) \
+                        and states[col] != CFState.NoNeighbors:
+                    weak_sum += val
 
-        for k in range(row_end_len):
-            row_vals[k] /= -weak_sum
+        pos[i] = -1                         # clear the sentinel
+        if abs(weak_sum) > ZERO_TOL:
+            for k in range(row_end_len):
+                row_vals[k] /= -weak_sum
         p_rows.extend([i] * row_end_len)
         p_cols.extend(row_cols)
         p_vals.extend(row_vals)

@@ -1,0 +1,118 @@
+"""Third correctness oracle: the reference RAPtor C++ library built
+single-rank (csrc/mpi1 shim) and diffed level-by-level against our
+setup — the hypre_compare analog
+(/root/reference/raptor/tests/hypre_compare.hpp:11), with the reference
+itself as the independent implementation.
+
+Level-0/1 transfer operators must match BIT-exactly (same algorithms,
+same glibc rand weights); deeper levels may drift by 1-ulp RAP rounding
+flipping strength ties, so they are judged the way the reference judges
+hypre parity: matching level counts/rates and equal preconditioner
+quality (V-cycle iterations to 1e-7)."""
+
+import numpy as np
+import pytest
+
+from raptor_tpu.external.reference_oracle import build_oracle, run_oracle
+
+pytestmark = pytest.mark.skipif(
+    build_oracle() is None,
+    reason="reference tree or toolchain unavailable")
+
+
+def _ours(problem, n, coarsen, interp, threshold=0.25):
+    from raptor_tpu.core.types import CoarsenType, InterpType
+    from raptor_tpu.gallery.stencils import (diffusion_stencil_2d,
+                                             laplace_stencil_27pt,
+                                             par_stencil_grid)
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    if problem == "lap27":
+        A = par_stencil_grid(laplace_stencil_27pt(), (n, n, n), 1)
+    else:
+        A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                             (n, n), 1)
+    ml = ParRugeStubenSolver(threshold, CoarsenType[coarsen],
+                             InterpType[interp])
+    ml.setup(A)
+    return A, ml
+
+
+def _solve_iters(A, ml):
+    from raptor_tpu.device import par as dpar
+    from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
+
+    dh = DeviceHierarchy(ml, dpar.make_mesh(1))
+    b = A.mult(np.ones(A.global_num_rows))
+    r = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
+    return int(r.n_iters)
+
+
+@pytest.mark.parametrize("problem,n,coarsen,interp", [
+    ("aniso", 25, "CLJP", "ModClassical"),
+    ("aniso", 25, "Falgout", "Direct"),
+    ("lap27", 10, "PMIS", "Extended"),
+])
+def test_oracle_level0_bitexact_rap_roundoff(problem, n, coarsen,
+                                             interp):
+    """Level-0 P agrees with the real C++ implementation to the last
+    bit (pattern) / 1 ulp (values), and the Galerkin product of that
+    identical P agrees to summation roundoff. Determinism necessarily
+    ends there: the ~1e-14 RAP rounding differences flip classical-
+    strength TIES on symmetric operators (verified directly — running
+    OUR strength on the reference's A1 vs ours gives different patterns
+    at equal |dA1| <= 2e-14), so deeper levels are compared by quality
+    (next test), exactly how the reference compares itself to hypre
+    (hypre_compare.hpp, tol=1e-05)."""
+    ref = run_oracle(problem, n, coarsen, interp)
+    A, ml = _ours(problem, n, coarsen, interp)
+    assert ref["levels"][0][0] == ml.levels[0].A.global_num_rows
+    Pr = ref["P"][0]
+    Po = ml.levels[0].P._g()
+    ip, c, v = Po.sorted_csr()
+    assert Pr.shape == (Po.n_rows, Po.n_cols)
+    np.testing.assert_array_equal(Pr.indptr, ip)
+    np.testing.assert_array_equal(Pr.indices, c)
+    assert np.abs(Pr.data - v).max() < 1e-14
+    # Ac of the bit-identical P: pure summation roundoff
+    A1r = ref["A"][1]
+    A1o = ml.levels[1].A.global_csr.to_scipy()
+    assert A1r.nnz == A1o.nnz
+    assert abs(A1r - A1o).max() < 1e-12
+
+
+@pytest.mark.parametrize("problem,n,coarsen,interp", [
+    ("aniso", 50, "CLJP", "ModClassical"),
+    ("lap27", 12, "PMIS", "Extended"),
+])
+def test_oracle_preconditioner_quality(problem, n, coarsen, interp):
+    """Whole-hierarchy parity the way the reference judges hypre parity:
+    same level count (+-1 — deep strength ties flip on 1-ulp RAP
+    rounding) and the same V-cycle iteration count (+-2) to 1e-7."""
+    ref = run_oracle(problem, n, coarsen, interp)
+    A, ml = _ours(problem, n, coarsen, interp)
+    assert abs(len(ref["levels"]) - len(ml.levels)) <= 1
+    # coarsening rates agree level by level (within ties)
+    for (rr, _), lo in zip(ref["levels"][:3], ml.levels[:3]):
+        ro = lo.A.global_num_rows
+        assert abs(rr - ro) <= max(2, 0.05 * ro), (rr, ro)
+    iters = _solve_iters(A, ml)
+    assert abs(ref["iters"] - iters) <= 2, (ref["iters"], iters)
+
+
+def test_oracle_hmis_extended_h_stability():
+    """Round-3 stall closure, REVERSED by this oracle: the round-3
+    diagnosis called the HMIS+Extended degradation "h-dependent
+    coarsening, not a bug", but the independent C++ implementation
+    holds ~21 V-cycles from 256^2 through 1024^2 on the rotated
+    anisotropic operator. The real cause was a semantics divergence in
+    our extended+i port (serial interpolation.cpp semantics instead of
+    the production par_interpolation.cpp:301 path: weak-in-pattern
+    entries must fold INTO P). This test pins the fix: our iteration
+    counts must track the reference's (+-2) as h shrinks."""
+    for n in (64, 128, 256):
+        ref = run_oracle("aniso", n, "HMIS", "Extended")["iters"]
+        from raptor_tpu.core.types import RelaxType   # noqa: F401
+        A, ml = _ours("aniso", n, "HMIS", "Extended")
+        ours = _solve_iters(A, ml)
+        assert abs(ours - ref) <= 2, (n, ours, ref)
