@@ -409,6 +409,9 @@ i64 mod_classical_interp(i64 n,
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 c = a_indices[j];
             if (c == i || strong[j]) continue;
+            // NoNeighbors columns never reach the weak sum
+            // (par_interpolation.cpp:1327)
+            if (states[c] == -2) continue;
             if (num_variables == 1 || variables[i] == variables[c])
                 weak_sums[i] += a_data[j];
         }
@@ -449,23 +452,30 @@ i64 mod_classical_interp(i64 n,
             out_rows[nnz] = i; out_cols[nnz] = c; out_vals[nnz++] = a_data[j];
         }
         double weak_sum = weak_sums[i];
-        double sgn = sign[i];
-        i8 negbit = sgn < 0 ? 8 : 4;   // v*sgn<0  <=>  flags & negbit
-        i8 want = (i8)(2 | negbit);    // SELECTED non-diag, sign-filtered
-        // distribute strong-F values over shared coarse entries
+        // distribute strong-F values over shared coarse entries; the
+        // sign filter uses the NEIGHBOR's diagonal sign and a tiny
+        // coarse sum still distributes its raw value (parallel
+        // semantics, par_interpolation.cpp:1255-1292 — the serial
+        // interpolation.cpp:206-441 differs on both)
         for (i64 j = a_indptr[i]; j < a_indptr[i + 1]; j++) {
             i64 col = a_indices[j];
             if (!strong[j] || states[col] != UNSELECTED) continue;
+            i8 negbit = sign[col] < 0 ? 8 : 4;  // v*sgn_k<0 <=> flag bit
+            i8 want = (i8)(2 | negbit);  // SELECTED non-diag, sign-ok
             double cs = 0.0;
             for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
                 if ((flags[k] & want) != want) continue;
                 i64 ck = a_indices[k];
                 if (stamp[ck] == i) cs += a_data[k];
             }
+            double ratio;
             if (cs < ZERO_TOL && cs > -ZERO_TOL) {
                 weak_sum += a_data[j];
+                ratio = cs;            // raw tiny multiplier (:1292)
             } else {
-                double ratio = a_data[j] / cs;
+                ratio = a_data[j] / cs;
+            }
+            if (ratio != 0.0) {
                 for (i64 k = a_indptr[col]; k < a_indptr[col + 1]; k++) {
                     if ((flags[k] & want) != want) continue;
                     i64 ck = a_indices[k];
@@ -1655,7 +1665,7 @@ void interp_dev_pack_mc(i64 n, const i64* indptr, const i64* indices,
                 ba_v[nba * n + i] = v;
                 nba++;
             }
-            if (!sb && col != i &&
+            if (!sb && col != i && st != -2 /* NoNeighbors, :1327 */ &&
                 (num_variables == 1 || variables[i] == variables[col]))
                 wsum0[i] += v;
         }

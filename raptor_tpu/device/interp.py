@@ -217,24 +217,27 @@ _jit_interp = jax.jit(_interp_chunk, static_argnames=("p_cap", "ztol"))
 
 # --- mod-classical (distance-1) kernel ----------------------------------------
 
-def _mc_chunk(sc_c, sc_v, sf_c, sf_v, wsum0, sgn, bag_c, bag_v,
+def _mc_chunk(sc_c, sc_v, sf_c, sf_v, wsum0, sgn_all, bag_c, bag_v,
               ztol: float):
-    """Mod-classical chunk: pattern IS the strong-C slab (no expand, no
-    merge); each strong-F neighbor's value distributes over the C-state
-    entries of its row that land in the pattern, sign-filtered by the
-    TARGET row's diagonal sign (interpolation.cpp:206-441 semantics:
-    tiny coarse sums fold into weak and contribute NOTHING, there is no
-    +i term, and contributions accumulate onto existing slots)."""
+    """Mod-classical chunk with the PRODUCTION (parallel) semantics
+    (par_interpolation.cpp:1255-1330): pattern IS the strong-C slab (no
+    expand, no merge); each strong-F neighbor k's value distributes
+    over the C-state entries of its row that land in the pattern,
+    sign-filtered by k's OWN diagonal sign (gathered from ``sgn_all``);
+    a tiny coarse sum folds a_ik into weak but still distributes its
+    raw value (:1292); there is no +i term; contributions accumulate
+    onto existing slots."""
     active = sf_c != SENT
     safe = jnp.where(active, sf_c, 0)
     ba = jnp.take(bag_c, safe, axis=1)                 # [W_BA, W_SF, C]
     bav = jnp.take(bag_v, safe, axis=1)
-    sok = ((bav * sgn[None, None, :] < 0) & (ba != SENT) & active[None])
+    sgnk = jnp.take(sgn_all, safe)                     # [W_SF, C]
+    sok = ((bav * sgnk[None] < 0) & (ba != SENT) & active[None])
     mem = (ba[None] == sc_c[:, None, None, :])   # [W_SC, W_BA, W_SF, C]
     hit = mem.any(axis=0) & sok                        # [W_BA, W_SF, C]
     d = jnp.where(hit, bav, 0).sum(axis=0)             # [W_SF, C]
     tiny = jnp.abs(d) < ztol
-    ratio = jnp.where(tiny, 0.0, sf_v / jnp.where(tiny, 1.0, d)) * active
+    ratio = jnp.where(tiny, d, sf_v / jnp.where(tiny, 1.0, d)) * active
     weak = wsum0 + jnp.where(tiny & active, sf_v, 0).sum(axis=0)
     contrib = jnp.where(mem & hit[None],
                         ratio[None, None] * bav[None], 0).sum(axis=(1, 2))
@@ -292,7 +295,7 @@ def mod_classical_interp_device(a: CSRMatrix, strong: np.ndarray,
         sl = np.s_[:, s:s + C]
         pv = _jit_mc(
             sc_cd[sl], sc_vd[sl], sf_cd[sl], sf_vd[sl],
-            wsum0d[s:s + C], sgnd[s:s + C],
+            wsum0d[s:s + C], sgnd,
             bag_c, bag_v, ztol=float(ZERO_TOL))
         vals_out.append(np.asarray(pv))
     vals = np.concatenate(vals_out, axis=1)[:, :n]

@@ -116,12 +116,19 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
                                 states: np.ndarray,
                                 num_variables: int = 1,
                                 variables: np.ndarray = None) -> CSRMatrix:
-    """interpolation.cpp:206-441 (hypre's modified classical interpolation).
+    """Modified classical interpolation with the PRODUCTION (parallel)
+    semantics of par_interpolation.cpp:1012-1400 (what
+    ParRugeStubenSolver runs; the serial interpolation.cpp:206-441
+    differs: it sign-filters by the TARGET row's diagonal where the
+    parallel path uses the strong-F NEIGHBOR's, skips distribution on
+    tiny coarse sums where the parallel path distributes the raw tiny
+    value, and has no NoNeighbors weak exclusion).
 
     Row-sequential host loop: for each F row i with weak sum w_i (diag +
-    non-strong same-variable entries), distribute each strong-F neighbor's
-    value over the strong-C entries it shares with row i (sign-filtered by
-    -sign(diag)), then scale by -1/w_i."""
+    non-strong same-variable non-isolated entries), distribute each
+    strong-F neighbor k's value over the strong-C entries it shares
+    with row i (entries of sign opposite to a_kk), then scale by
+    -1/w_i."""
     n = a.n_rows
     col_to_new, n_coarse = _coarse_map(states)
 
@@ -161,7 +168,8 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
     else:
         same_var = variables[rows_all] == variables[a_indices]
 
-    weak = ~strong_mask & ~is_diag & same_var
+    weak = (~strong_mask & ~is_diag & same_var
+            & (states[a_indices] != CFState.NoNeighbors))
     weak_sums = diag.copy()
     np.add.at(weak_sums, rows_all[weak], a_data[weak])
 
@@ -197,10 +205,10 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
         pos[ss_cols] = np.arange(len(ss_cols))
 
         weak_sum = weak_sums[i]
-        sgn = sign[i]
         for jj, (col, suv) in enumerate(zip(su_cols, su_vals)):
-            # coarse_sum: col's connections (strong or weak-coarse) that are
-            # strong-coarse in row i, sign-filtered
+            # coarse_sum: col's connections (strong or weak-coarse) that
+            # are strong-coarse in row i, of sign opposite to a_(col,col)
+            sgn = sign[col]
             cs = 0.0
             for mat in (SS, NS):
                 kk = slice(mat.indptr[col], mat.indptr[col + 1])
@@ -210,8 +218,10 @@ def mod_classical_interpolation(a: CSRMatrix, s: CSRMatrix,
                 cs += vk[m].sum()
             if abs(cs) < ZERO_TOL:
                 weak_sum += suv
+                ratio = cs    # raw tiny multiplier (:1292)
             else:
                 ratio = suv / cs
+            if ratio != 0.0:
                 for mat in (SS, NS):
                     kk = slice(mat.indptr[col], mat.indptr[col + 1])
                     ck = mat.indices[kk]
