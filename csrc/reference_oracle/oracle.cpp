@@ -5,7 +5,12 @@
 // hypre_compare.hpp:11 third-oracle harness, with RAPtor itself as the
 // independent implementation.
 //
-// Usage: oracle <aniso|lap27> <n> <coarsen> <interp> <threshold> <outdir>
+// Usage: oracle <aniso|lap27|PATH.pm> <n> <coarsen> <interp> <threshold>
+//        <outdir>
+//   problem: the two gallery stencils, or any .pm matrix file (read by
+//            the reference's own readParMatrix — this makes the oracle
+//            a live external-solver wrapper for ARBITRARY operators,
+//            the hypre_wrapper.cpp:205-244 creator analog; <n> ignored)
 //   coarsen: RS | CLJP | Falgout | PMIS | HMIS
 //   interp:  Direct | ModClassical | Extended
 //
@@ -88,7 +93,11 @@ int main(int argc, char** argv)
     std::string outdir = argv[6];
 
     ParCSRMatrix* A;
-    if (prob == "lap27")
+    if (prob.size() > 3 && prob.substr(prob.size() - 3) == ".pm")
+    {
+        A = readParMatrix(prob.c_str());
+    }
+    else if (prob == "lap27")
     {
         std::vector<int> grid(3, n);
         double* stencil = laplace_stencil_27pt();

@@ -100,6 +100,31 @@ def test_oracle_preconditioner_quality(problem, n, coarsen, interp):
     assert abs(ref["iters"] - iters) <= 2, (ref["iters"], iters)
 
 
+def test_oracle_matrix_file(test_data):
+    """Arbitrary-operator entry (the external-solver wrapper analog,
+    hypre_wrapper.cpp:205-244): the oracle reads any .pm file with the
+    reference's own readParMatrix and runs the real solver on it —
+    level-0 P must stay bit-exact against ours on the same file."""
+    from raptor_tpu.core.par_matrix import par_matrix_from_scipy
+    from raptor_tpu.core.types import CoarsenType, InterpType
+    from raptor_tpu.gallery.io import read_pm
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    path = str(test_data / "aniso.pm")
+    ref = run_oracle(path, 0, "CLJP", "ModClassical")
+    A = par_matrix_from_scipy(read_pm(path).to_scipy(), 1)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.CLJP,
+                             InterpType.ModClassical)
+    ml.setup(A)
+    Pr = ref["P"][0]
+    ip, c, v = ml.levels[0].P._g().sorted_csr()
+    np.testing.assert_array_equal(Pr.indptr, ip)
+    np.testing.assert_array_equal(Pr.indices, c)
+    assert np.abs(Pr.data - v).max() < 1e-14
+    iters = _solve_iters(A, ml)
+    assert abs(ref["iters"] - iters) <= 2
+
+
 def test_oracle_hmis_extended_h_stability():
     """Round-3 stall closure, REVERSED by this oracle: the round-3
     diagnosis called the HMIS+Extended degradation "h-dependent
