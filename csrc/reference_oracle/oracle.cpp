@@ -11,7 +11,9 @@
 //            the reference's own readParMatrix — this makes the oracle
 //            a live external-solver wrapper for ARBITRARY operators,
 //            the hypre_wrapper.cpp:205-244 creator analog; <n> ignored)
-//   coarsen: RS | CLJP | Falgout | PMIS | HMIS
+//   coarsen: RS | CLJP | Falgout | PMIS | HMIS | SA
+//            (SA = ParSmoothedAggregationSolver, MIS aggregation +
+//             Jacobi-smoothed prolongation; <interp> is then ignored)
 //   interp:  Direct | ModClassical | Extended
 //
 // Output: <outdir>/summary.txt (rows/nnz per level) and per-level
@@ -112,13 +114,20 @@ int main(int argc, char** argv)
         delete[] stencil;
     }
 
-    coarsen_t ct = co == "RS" ? RS : co == "CLJP" ? CLJP :
-                   co == "Falgout" ? Falgout : co == "PMIS" ? PMIS : HMIS;
-    interp_t it = in == "Direct" ? Direct :
-                  in == "ModClassical" ? ModClassical : Extended;
-
-    ParMultilevel* ml = new ParRugeStubenSolver(threshold, ct, it,
-                                                Classical, SOR);
+    ParMultilevel* ml;
+    if (co == "SA")
+    {
+        ml = new ParSmoothedAggregationSolver(threshold);
+    }
+    else
+    {
+        coarsen_t ct = co == "RS" ? RS : co == "CLJP" ? CLJP :
+                       co == "Falgout" ? Falgout :
+                       co == "PMIS" ? PMIS : HMIS;
+        interp_t it = in == "Direct" ? Direct :
+                      in == "ModClassical" ? ModClassical : Extended;
+        ml = new ParRugeStubenSolver(threshold, ct, it, Classical, SOR);
+    }
     ml->track_times = false;
     ml->setup(A);
 

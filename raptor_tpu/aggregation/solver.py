@@ -51,7 +51,11 @@ class ParSmoothedAggregationSolver(ParMultilevel):
             masks = ps.dist_symmetric_strength(a, self.strong_threshold)
             s_par = ps.strength_masks_to_par(a, masks)
             states = ps.dist_mis2(s_par, w)
-            n_aggs, aggs = ps.dist_aggregate(a, s_par, states, w)
+            # the production solver aggregates WITHOUT rand tie-breaks
+            # (par_smoothed_aggregation_solver.hpp:80 passes no
+            # rand_vals; only the unit tests pass weights.txt) — found
+            # by the live reference oracle on lap27
+            n_aggs, aggs = ps.dist_aggregate(a, s_par, states)
             t, r = ps.dist_fit_candidates(a, n_aggs, aggs, self.B[:n],
                                           self.interp_tol)
             p = ps.dist_jacobi_prolongation(a, t, self.prolong_weight,
@@ -62,7 +66,9 @@ class ParSmoothedAggregationSolver(ParMultilevel):
                              self.strong_threshold)
             with self.setup_times.phase("aggregation"):
                 states = mis2(s, w)
-                n_aggs, aggs = aggregate(a.global_csr, s, states, w)
+                # no rand tie-breaks in the production solver (see the
+                # distributed branch note)
+                n_aggs, aggs = aggregate(a.global_csr, s, states)
             with self.setup_times.phase("candidates"):
                 t, r = fit_candidates(n_aggs, aggs, self.B[:n],
                                       self.num_candidates,

@@ -204,7 +204,9 @@ def spmd_sa_setup(a_local: ParCSRMatrix, weights: np.ndarray,
         s = ps.strength_masks_to_par(a, masks)
         tr_s = make_transport(s)
         states = np.asarray(ps.dist_mis2(s, w, tr=tr_s))
-        n_aggs, aggs = ps.dist_aggregate(a, s, states, w, tr=tr_s)
+        # production solver aggregates without rand tie-breaks
+        # (par_smoothed_aggregation_solver.hpp:80; see aggregation/solver.py)
+        n_aggs, aggs = ps.dist_aggregate(a, s, states, tr=tr_s)
         t_blocks, R = ps.dist_fit_candidates(a, n_aggs, aggs, b_cand,
                                              interp_tol, tr=tr,
                                              assemble=False)

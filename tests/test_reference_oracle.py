@@ -125,6 +125,27 @@ def test_oracle_matrix_file(test_data):
     assert abs(ref["iters"] - iters) <= 2
 
 
+def test_oracle_smoothed_aggregation():
+    """SA production parity: the reference's solver aggregates WITHOUT
+    rand tie-breaks (par_smoothed_aggregation_solver.hpp:80 — only its
+    unit tests pass weights.txt); after matching that, the whole lap27
+    SA hierarchy agrees to 1 ulp."""
+    ref = run_oracle("lap27", 12, "SA", "-", threshold=0.0)
+    from raptor_tpu.aggregation.solver import ParSmoothedAggregationSolver
+    from raptor_tpu.gallery.stencils import (laplace_stencil_27pt,
+                                             par_stencil_grid)
+    A = par_stencil_grid(laplace_stencil_27pt(), (12, 12, 12), 1)
+    ml = ParSmoothedAggregationSolver(strong_threshold=0.0)
+    ml.setup(A)
+    assert ref["levels"] == [(lvl.A.global_num_rows, lvl.A.nnz)
+                             for lvl in ml.levels]
+    Pr = ref["P"][0]
+    ip, c, v = ml.levels[0].P._g().sorted_csr()
+    np.testing.assert_array_equal(Pr.indptr, ip)
+    np.testing.assert_array_equal(Pr.indices, c)
+    assert np.abs(Pr.data - v).max() < 1e-14
+
+
 def test_oracle_hmis_extended_h_stability():
     """Round-3 stall closure, REVERSED by this oracle: the round-3
     diagnosis called the HMIS+Extended degradation "h-dependent
