@@ -231,8 +231,8 @@ def bench_amg_3d():
     ml3.setup(A3)
     _EXTRAS["setup_seconds_lap27_128cubed"] = round(
         time.perf_counter() - t0, 3)
-    _EXTRAS["interp_engine_lap27"] = getattr(ml3, "interp_engine_used",
-                                             "host")
+    from raptor_tpu.ruge_stuben.interpolation import LAST_ENGINE
+    _EXTRAS["interp_device_dispatches_lap27"] = LAST_ENGINE["device_calls"]
     _EXTRAS["rap_engine_lap27"] = getattr(ml3, "rap_engine_used", "host")
     _record_setup(ml3, "lap27_128cubed", phase_suffix="_lap27")
     dh = _solve_to_1e8(ml3, A3, "lap27_128cubed")

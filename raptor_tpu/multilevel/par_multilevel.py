@@ -142,9 +142,11 @@ class ParMultilevel:
                       if need_ap else None)
                 ac = ParCSRMatrix(
                     ac_c, p.partition.transpose().product(p.partition))
+                self.rap_engine_used = "device"
                 return ap, ac
             except dsp.CapOverflow:
                 pass    # pathological width: host engine below
+        self.rap_engine_used = "host"
         ap = a.multiply(p)
         # AP->mult_T(P) = P^T (A P): native transpose-SpGEMM, already
         # canonical (sorted/deduped/dropped) — no extra canonicalize

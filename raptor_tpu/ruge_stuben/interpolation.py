@@ -459,10 +459,12 @@ def _use_device_interp(engine: str, level_nnz: int) -> bool:
     return engine == "device" or _device_interp_profitable(level_nnz)
 
 
-# which engine the last dispatch actually used ("host" | "device"),
-# recorded so callers (bench.py, setup reports) can prove the device
-# path ran rather than silently falling back
-LAST_ENGINE = {"interp": "host"}
+# which engine the last dispatch actually used ("host" | "device") and
+# a running count of device dispatches, recorded so callers (bench.py,
+# setup reports) can prove the device path ran rather than silently
+# falling back (coarse levels legitimately use host, so the LAST value
+# alone would under-report)
+LAST_ENGINE = {"interp": "host", "device_calls": 0}
 
 
 def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
@@ -478,6 +480,7 @@ def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
             p = dinterp.extended_interp_device(
                 a, strong, np.asarray(states), col_to_new, n_coarse)
             LAST_ENGINE["interp"] = "device"
+            LAST_ENGINE["device_calls"] += 1
             return p
         except Exception as e:                       # noqa: BLE001
             _warn_device_fallback("extended", e)
@@ -499,6 +502,7 @@ def _mod_classical_dispatch(a: CSRMatrix, s: CSRMatrix, states,
                 a, strong, np.asarray(states), col_to_new, n_coarse,
                 variables, num_variables)
             LAST_ENGINE["interp"] = "device"
+            LAST_ENGINE["device_calls"] += 1
             return p
         except Exception as e:                       # noqa: BLE001
             _warn_device_fallback("mod_classical", e)
