@@ -78,17 +78,22 @@ def ell_spmv_T(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray,
 # P^T apply (reference util/linalg/par_spmv.cpp:91-209).
 
 def wind_ell_stats(a: CSRMatrix, rows_pad: int, ba: int):
-    """(W, WR) for the windowed-ELL layout at tile size ba*128 rows.
+    """(W, WR, T, scan) for the windowed-ELL layout at tile size ba*128.
 
     W is the ELL row width; WR the max per-tile column-window height in
     128-blocks, measured from the 8-aligned window base (8-sublane DMA
-    tiling) and rounded up to a multiple of 8."""
+    tiling) and rounded up to a multiple of 8. ``scan`` is the total
+    kernel scan work in (tile, slot, window-row) steps under the
+    per-slot dynamic bounds (wind_ell_arrays jlo/jhi): with CSR rows
+    column-sorted, slot w of a tile only spans a narrow band of window
+    rows, so scan << W*WR*T for transfer operators (the transposed 3-D
+    prolongator drops ~10x)."""
     row_nnz = np.diff(a.indptr)
     W = int(row_nnz.max()) if a.nnz else 0
     TR = ba * LANE
     T = -(-_round_up(max(rows_pad, a.n_rows, 1), TR) // TR)
     if a.nnz == 0:
-        return W, 8, T
+        return W, 8, T, 0
     rows = np.repeat(np.arange(a.n_rows), row_nnz)
     q = (a.indices // LANE).astype(np.int64)
     tid = rows // TR
@@ -98,7 +103,16 @@ def wind_ell_stats(a: CSRMatrix, rows_pad: int, ba: int):
     np.maximum.at(hi, tid, q)
     occ = lo <= hi
     span = int(np.max(hi[occ] - (lo[occ] & ~7) + 1, initial=1))
-    return W, int(_round_up(span, 8)), T
+    # per-(tile, slot) spans = the bounded kernel's true work
+    pos = np.arange(a.nnz) - np.repeat(a.indptr[:-1], row_nnz)
+    flat = tid * W + pos
+    slo = np.full(T * W, np.iinfo(np.int64).max, dtype=np.int64)
+    shi = np.full(T * W, -1, dtype=np.int64)
+    np.minimum.at(slo, flat, q)
+    np.maximum.at(shi, flat, q)
+    act = shi >= 0
+    scan = int(np.sum(shi[act] - slo[act] + 1))
+    return W, int(_round_up(span, 8)), T, scan
 
 
 def wind_ell_arrays(a: CSRMatrix, rows_pad: int, W: int, WR: int, ba: int,
@@ -107,10 +121,15 @@ def wind_ell_arrays(a: CSRMatrix, rows_pad: int, W: int, WR: int, ba: int,
 
     Returns (ws [T] int32 8-aligned window starts (in 128-blocks of the
     source vector), rel [W, R] int32 window-relative cols = col - 128*ws,
-    vals [W, R]). R = rows_pad rounded up to ba*128. Padding entries have
-    rel 0 / val 0 (they read window row 0 lane 0 and contribute nothing).
-    ws is clamped so ws + WR never exceeds the padded source height the
-    SpMV wrapper builds (wind_src_height)."""
+    vals [W, R], jlo [T, W] int32, jhi [T, W] int32). R = rows_pad
+    rounded up to ba*128. Padding entries have rel 0 / val 0 (they read
+    window row 0 lane 0 and contribute nothing). ws is clamped so
+    ws + WR never exceeds the padded source height the SpMV wrapper
+    builds (wind_src_height). jlo/jhi are the per-(tile, slot)
+    window-row scan bounds (half-open) over REAL entries: the Pallas
+    kernel scans only rows [jlo, jhi) per slot — with column-sorted CSR
+    rows each slot spans a narrow band, a ~10x scan cut on transposed
+    3-D prolongators. Empty (tile, slot) pairs get [0, 0)."""
     TR = ba * LANE
     R = _round_up(max(rows_pad, a.n_rows, 1), TR)
     T = R // TR
@@ -118,6 +137,8 @@ def wind_ell_arrays(a: CSRMatrix, rows_pad: int, W: int, WR: int, ba: int,
     ws = np.zeros(T, dtype=np.int32)
     rel = np.zeros((W, R), dtype=np.int32)
     vals = np.zeros((W, R), dtype=dtype)
+    jlo = np.zeros((T, W), dtype=np.int32)
+    jhi = np.zeros((T, W), dtype=np.int32)
     if a.nnz:
         row_nnz = np.diff(a.indptr)
         rows = np.repeat(np.arange(a.n_rows), row_nnz)
@@ -133,7 +154,17 @@ def wind_ell_arrays(a: CSRMatrix, rows_pad: int, W: int, WR: int, ba: int,
             (int(r.min()), int(r.max()), WR * LANE)
         rel[pos, rows] = r
         vals[pos, rows] = a.data
-    return ws, rel, vals
+        qrel = q - ws[tid]
+        flat = tid * W + pos
+        slo = np.full(T * W, np.iinfo(np.int64).max, dtype=np.int64)
+        shi = np.full(T * W, -1, dtype=np.int64)
+        np.minimum.at(slo, flat, qrel)
+        np.maximum.at(shi, flat, qrel)
+        act = shi >= 0
+        slo[~act] = 0
+        jlo[:] = slo.reshape(T, W)
+        jhi[:] = (shi + 1).reshape(T, W).clip(min=0)
+    return ws, rel, vals, jlo, jhi
 
 
 def wind_src_height(cols_pad: int, WR: int) -> int:

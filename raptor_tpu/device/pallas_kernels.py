@@ -68,7 +68,7 @@ def dia_spmv_pallas(offsets: Tuple[int, ...], vals: jnp.ndarray,
             kernel,
             grid=(R // blk,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((K, blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
@@ -178,17 +178,27 @@ def _bdia_call(kernel, d_offsets, idx, vals, x2, P, A_pad, L, ba, win):
 
 def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
                          vals: jnp.ndarray, x: jnp.ndarray, WR: int,
-                         ba: int, rows_pad: int) -> jnp.ndarray:
+                         ba: int, rows_pad: int,
+                         jlo: jnp.ndarray = None,
+                         jhi: jnp.ndarray = None,
+                         interpret: bool = False) -> jnp.ndarray:
     """Windowed-ELL SpMV: the transfer-operator kernel.
 
     Per tile of ba*128 rows, the x window ([WR, 128] blocks starting at
     the 8-aligned ws[tile]) is DMAed into VMEM once; every ELL entry is
     then resolved by a lane gather (the VPU's native 128-wide shuffle)
-    out of its window row, selected by a scan over the WR rows. Total
-    work is W*WR streaming VPU passes per tile — no general gathers.
+    out of its window row, selected by a scan over the window rows.
     This is the TPU answer to the reference's P->mult / P->mult_T row
     loops (util/linalg/par_spmv.cpp:91-209), whose per-entry XLA-gather
     fallback was ~1000x slower.
+
+    With ``jlo``/``jhi`` ([T, W] int32 scan bounds from
+    wind_ell_arrays), slot w of tile t only scans window rows
+    [jlo[t, w], jhi[t, w]) — with column-sorted CSR rows each slot
+    spans a narrow band, so total work is sum-of-spans instead of
+    W*WR per tile (~10x cut on the transposed 3-D prolongator, whose
+    full scan is 83 slots x 632 rows). Without bounds the full W*WR
+    scan runs.
 
     Returns None (caller falls back to formats.wind_ell_spmv) for f64 or
     empty layouts."""
@@ -200,10 +210,13 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
     if W == 0 or R % TR or WR % 8:
         return None
     T = R // TR
+    if jlo is not None and T * W > (1 << 17):
+        jlo = jhi = None    # scan-bound tables too big for SMEM prefetch
     H = wind_src_height(x.shape[0], WR)
     x2 = jnp.pad(x, (0, H * LANE - x.shape[0])).reshape(H, LANE)
 
-    def kernel(ws_ref, rel_ref, val_ref, x_ref, out_ref, win, ls, sem):
+    def kernel_scan(ws_ref, rel_ref, val_ref, x_ref, out_ref, win, ls,
+                    sem):
         s = pl.multiple_of(ws_ref[pl.program_id(0)], 8)
         cp = pltpu.make_async_copy(x_ref.at[pl.ds(s, WR)], win, sem)
         cp.start()
@@ -226,28 +239,63 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
         acc0 = jnp.zeros((ba, LANE), dtype=val_ref.dtype)
         out_ref[:] = jax.lax.fori_loop(0, WR, jbody, acc0).reshape(-1)
 
+    def kernel_bounded(ws_ref, jlo_ref, jhi_ref, rel_ref, val_ref, x_ref,
+                       out_ref, win, sem):
+        i = pl.program_id(0)
+        s = pl.multiple_of(ws_ref[i], 8)
+        cp = pltpu.make_async_copy(x_ref.at[pl.ds(s, WR)], win, sem)
+        cp.start()
+        cp.wait()
+        acc = jnp.zeros((ba, LANE), dtype=val_ref.dtype)
+        for w in range(W):
+            relw = rel_ref[w].reshape(ba, LANE)
+            lsw = jax.lax.bitwise_and(relw, 127)
+            qw = jax.lax.shift_right_logical(relw, 7)
+            vw = val_ref[w].reshape(ba, LANE)
+
+            def jbody(j, acc, lsw=lsw, qw=qw, vw=vw):
+                row = jnp.broadcast_to(win[pl.ds(j, 1)], (ba, LANE))
+                g = jnp.take_along_axis(row, lsw, axis=1)
+                return acc + jnp.where(qw == j, g, 0.0) * vw
+
+            acc = jax.lax.fori_loop(jlo_ref[i, w], jhi_ref[i, w],
+                                    jbody, acc)
+        out_ref[:] = acc.reshape(-1)
+
+    bounded = jlo is not None
+    n_pref = 3 if bounded else 1
+    operands = [jnp.asarray(ws, jnp.int32)]
+    if bounded:
+        operands += [jnp.asarray(jlo, jnp.int32),
+                     jnp.asarray(jhi, jnp.int32)]
+    scratch = [pltpu.VMEM((WR, LANE), vals.dtype)]
+    if not bounded:
+        scratch.append(pltpu.VMEM((W, ba, LANE), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA)
+
+    def _im_tile(i, *pref):
+        return (0, i)
+
+    def _im_out(i, *pref):
+        return (i,)
+
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=n_pref,
             grid=(T,),
             in_specs=[
-                pl.BlockSpec((W, TR), lambda i, ws: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((W, TR), lambda i, ws: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((W, TR), _im_tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((W, TR), _im_tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((TR,), lambda i, ws: (i,),
+            out_specs=pl.BlockSpec((TR,), _im_out,
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((WR, LANE), vals.dtype),
-                pltpu.VMEM((W, ba, LANE), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
         )
         out = pl.pallas_call(
-            kernel,
+            kernel_bounded if bounded else kernel_scan,
             grid_spec=grid_spec,
+            interpret=interpret,
             out_shape=jax.ShapeDtypeStruct((R,), vals.dtype,
                                            vma=jax.typeof(vals).vma),
             compiler_params=pltpu.CompilerParams(
@@ -256,7 +304,7 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
                 flops=2 * W * R,
                 bytes_accessed=(2 * W * R + 2 * R) * vals.dtype.itemsize,
                 transcendentals=0),
-        )(jnp.asarray(ws, jnp.int32), rel, vals, x2)
+        )(*operands, rel, vals, x2)
     return out[:rows_pad]
 
 

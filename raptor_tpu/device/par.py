@@ -118,7 +118,7 @@ _DATA_FIELDS = ["on_cols", "on_vals", "off_rows", "off_cols", "off_vals",
                 "dia_vals", "bd_idx", "bd_vals",
                 "bl_src", "bl_idx", "bl_vals",
                 "rest_rows", "rest_cols", "rest_vals", "emb_idx",
-                "emb_mask", "wl_ws",
+                "emb_mask", "wl_ws", "wl_jlo", "wl_jhi",
                 "send_idx", "send_mask", "halo_src",
                 "slot_to_halo", "recv_mask", "row_mask", "col_mask"]
 _META_FIELDS = ["rows_pad", "cols_pad", "halo_pad", "slot", "dia_pad",
@@ -179,6 +179,8 @@ class DeviceParCSR:
     # gathers (transfer operators whose spans defeat DIA/BDIA, e.g.
     # 3-D extended+i P / P^T)
     wl_ws: jnp.ndarray      # [S, T] int32 8-aligned window starts
+    wl_jlo: jnp.ndarray     # [S, T, W] int32 per-(tile, slot) scan lo
+    wl_jhi: jnp.ndarray     # [S, T, W] int32 per-(tile, slot) scan hi
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
     halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
@@ -490,9 +492,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     # or for a sparse-filled BDIA plane set — whose per-tile column
     # footprint is narrow (3-D transfer operators). Stats unified across
     # shards for SPMD uniformity. Cost model in VPU element-ops:
-    # well = 3*W*WR*R (a lane-gather+select pass over every tile per
-    # ELL slot per window row) vs bdia = 3*P*fmt_R streaming planes +
-    # ~128/entry for the per-entry 'rest' gathers.
+    # well = 3*scan*TR (the bounded kernel scans sum-of-(tile, slot)
+    # spans, each step a lane-gather+select over TR rows) vs bdia =
+    # 3*P*fmt_R streaming planes + ~128/entry for the per-entry 'rest'
+    # gathers.
     wl_ba, wl_wr, wl_T = 8, 0, 1
     wW = 0
     if force_format == "well" or (
@@ -501,12 +504,13 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         stats = [st for p_l in _gall(
             tr, [wind_ell_stats(blk.on_proc, R, wl_ba) for blk in shards])
             for st in p_l]
-        wW = max(w for w, _, _ in stats)
-        wWR = max(wr for _, wr, _ in stats)
+        wW = max(w for w, _, _, _ in stats)
+        wWR = max(wr for _, wr, _, _ in stats)
+        w_scan = max(sc for _, _, _, sc in stats)
         R_w = _round_up(R, wl_ba * 128)
         auto_ok = False
         if force_format is None and wWR <= WELL_MAX_WR and R >= 2048:
-            cost_well = 3 * wW * wWR * R_w
+            cost_well = 3 * w_scan * wl_ba * 128
             if use_dia == "ell":
                 auto_ok = True
             elif use_dia == "bdia":
@@ -615,6 +619,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     row_mask = np.zeros((SL, R), dtype=npdt)
     col_mask = np.zeros((SL, C), dtype=npdt)
     wl_ws = np.zeros((SL, wl_T), dtype=np.int32)
+    wl_W = on_cols.shape[1] if use_dia == "well" else 1
+    wl_jlo = np.zeros((SL, wl_T if use_dia == "well" else 1, wl_W),
+                      dtype=np.int32)
+    wl_jhi = np.zeros_like(wl_jlo)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
             dia_vals[s] = dia_arrays(fmt_blocks[s], union, fmt_R,
@@ -623,7 +631,8 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 on_cols[s], on_vals[s] = ell_arrays(
                     blk.on_proc, R, on_cols.shape[1], dtype=npdt)
         elif use_dia == "well":
-            wl_ws[s], on_cols[s], on_vals[s] = wind_ell_arrays(
+            (wl_ws[s], on_cols[s], on_vals[s], wl_jlo[s],
+             wl_jhi[s]) = wind_ell_arrays(
                 blk.on_proc, R, on_cols.shape[1], wl_wr, wl_ba, C,
                 dtype=npdt)
         else:
@@ -660,7 +669,7 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         rest_rows=rest_rows, rest_cols=rest_cols,
         rest_vals=_np_as(rest_vals, npdt),
         emb_idx=emb_idx, emb_mask=_np_as(emb_mask, npdt),
-        wl_ws=wl_ws,
+        wl_ws=wl_ws, wl_jlo=wl_jlo, wl_jhi=wl_jhi,
         send_idx=plan.send_idx, send_mask=_np_as(plan.send_mask, npdt),
         halo_src=plan.halo_src, slot_to_halo=plan.slot_to_halo,
         recv_mask=_np_as(plan.recv_mask, npdt),
@@ -820,7 +829,8 @@ def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
         out = None
         if use_pallas():
             out = wind_ell_spmv_pallas(A.wl_ws, A.on_cols, A.on_vals, x,
-                                       A.wl_wr, A.wl_ba, A.rows_pad)
+                                       A.wl_wr, A.wl_ba, A.rows_pad,
+                                       jlo=A.wl_jlo, jhi=A.wl_jhi)
         if out is None:
             out = wind_ell_spmv(A.wl_ws, A.on_cols, A.on_vals, x,
                                 A.wl_ba, A.wl_wr, A.rows_pad)

@@ -191,3 +191,45 @@ def test_bell_pallas_kernel_interpret():
         assert np.array_equal(np.asarray(out), np.asarray(ref))
         oracle = (m @ x.astype(np.float64))[:n]
         np.testing.assert_allclose(np.asarray(out)[:n], oracle, atol=1e-4)
+
+def test_well_bounded_pallas_kernel_interpret():
+    """wind_ell_spmv_pallas with per-(tile, slot) scan bounds (interpret
+    mode) matches the XLA windowed-ELL formulation to f32 roundoff
+    (accumulation order differs: w-outer bounded scans vs XLA's tree
+    reduction) — including empty (tile, slot) pairs (fori_loop(0, 0))
+    and padding tails."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.matrix import CSRMatrix
+    from raptor_tpu.device.formats import (LANE, wind_ell_arrays,
+                                           wind_ell_spmv, wind_ell_stats)
+    from raptor_tpu.device.pallas_kernels import wind_ell_spmv_pallas
+
+    rng = np.random.default_rng(7)
+    ba = 8
+    # banded random (windowed-friendly) with highly variable row lengths
+    n = 3000
+    diags = {o: rng.random(n) * (rng.random(n) > 0.6)
+             for o in (-900, -128, -5, 0, 3, 130, 890)}
+    m = sp.diags(list(diags.values()), list(diags.keys()),
+                 shape=(n, n), format="csr")
+    m.eliminate_zeros()
+    m.sort_indices()
+    a = CSRMatrix.from_scipy(m)
+    W, WR, T, scan = wind_ell_stats(a, n, ba)
+    assert scan < W * WR * T  # the bounds actually cut the scan
+    ws, rel, vals, jlo, jhi = wind_ell_arrays(
+        a, n, W, WR, ba, n, dtype=np.float32)
+    x = rng.random(n).astype(np.float32)
+    R = rel.shape[1]
+    ref = wind_ell_spmv(jnp.asarray(ws), jnp.asarray(rel),
+                        jnp.asarray(vals), jnp.asarray(x), ba, WR, R)
+    out = wind_ell_spmv_pallas(jnp.asarray(ws), jnp.asarray(rel),
+                               jnp.asarray(vals), jnp.asarray(x),
+                               WR, ba, R, jlo=jnp.asarray(jlo),
+                               jhi=jnp.asarray(jhi), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    oracle = m @ x.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out)[:n], oracle, atol=1e-4)
