@@ -6,7 +6,12 @@
 // independent implementation.
 //
 // Usage: oracle <aniso|lap27|PATH.pm> <n> <coarsen> <interp> <threshold>
-//        <outdir>
+//        <outdir> [rhs.bin]
+//   rhs.bin (optional): int32 n + f64[n] right-hand side. When given
+//   the driver runs in SOLVE mode — the external-solver wrapper analog
+//   of the reference's own hypre_wrapper.cpp:205-244 creators: solve
+//   A x = b from x0 = 0, write <outdir>/x.bin (same binary layout) and
+//   <outdir>/residuals.txt, and skip the per-level hierarchy dumps.
 //   problem: the two gallery stencils, or any .pm matrix file (read by
 //            the reference's own readParMatrix — this makes the oracle
 //            a live external-solver wrapper for ARBITRARY operators,
@@ -131,17 +136,71 @@ int main(int argc, char** argv)
     ml->track_times = false;
     ml->setup(A);
 
-    // preconditioner-quality probe: V-cycle iterations to the solver's
-    // relative tolerance on b = A*ones (par_multilevel.hpp:461-497)
     ParVector x(A->global_num_cols, A->on_proc_num_cols);
     ParVector b(A->global_num_rows, A->local_num_rows);
+    char path[4096];
+
+    if (argc >= 8)
+    {
+        // SOLVE mode: external rhs in, solution + residuals out
+        FILE* rf = fopen(argv[7], "rb");
+        if (!rf)
+        {
+            fprintf(stderr, "cannot read rhs %s\n", argv[7]);
+            return 2;
+        }
+        int32_t nb = 0;
+        if (fread(&nb, 4, 1, rf) != 1 || nb != A->local_num_rows)
+        {
+            fprintf(stderr, "rhs length %d != rows %d\n", (int)nb,
+                    A->local_num_rows);
+            return 2;
+        }
+        if (fread(b.local.values.data(), 8, nb, rf) != (size_t)nb)
+        {
+            fprintf(stderr, "short rhs read\n");
+            return 2;
+        }
+        fclose(rf);
+        x.set_const_value(0.0);
+        ml->max_iterations = 200;
+        ml->store_residuals = true;
+        int iters = ml->solve(x, b);
+
+        snprintf(path, sizeof(path), "%s/x.bin", outdir.c_str());
+        FILE* xf = fopen(path, "wb");
+        int32_t nx = (int32_t)A->on_proc_num_cols;
+        fwrite(&nx, 4, 1, xf);
+        fwrite(x.local.values.data(), 8, nx, xf);
+        fclose(xf);
+        snprintf(path, sizeof(path), "%s/residuals.txt", outdir.c_str());
+        FILE* rs = fopen(path, "w");
+        std::vector<double>& res = ml->get_residuals();
+        for (int i = 0; i <= iters && i < (int)res.size(); i++)
+            fprintf(rs, "%.17e\n", res[i]);
+        fclose(rs);
+        snprintf(path, sizeof(path), "%s/summary.txt", outdir.c_str());
+        FILE* s = fopen(path, "w");
+        fprintf(s, "iters %d\n", iters);
+        for (int i = 0; i < ml->num_levels; i++)
+            fprintf(s, "%d %ld %ld\n", i,
+                    (long)ml->levels[i]->A->global_num_rows,
+                    (long)ml->levels[i]->A->local_nnz);
+        fclose(s);
+        delete ml;
+        delete A;
+        MPI_Finalize();
+        return 0;
+    }
+
+    // preconditioner-quality probe: V-cycle iterations to the solver's
+    // relative tolerance on b = A*ones (par_multilevel.hpp:461-497)
     x.set_const_value(1.0);
     A->mult(x, b);
     x.set_const_value(0.0);
     ml->max_iterations = 200;
     int iters = ml->solve(x, b);
 
-    char path[4096];
     snprintf(path, sizeof(path), "%s/summary.txt", outdir.c_str());
     FILE* s = fopen(path, "w");
     fprintf(s, "iters %d\n", iters);

@@ -38,12 +38,13 @@ def _ours(problem, n, coarsen, interp, threshold=0.25):
     return A, ml
 
 
-def _solve_iters(A, ml):
+def _solve_iters(A, ml, b=None):
     from raptor_tpu.device import par as dpar
     from raptor_tpu.multilevel.device_hierarchy import DeviceHierarchy
 
     dh = DeviceHierarchy(ml, dpar.make_mesh(1))
-    b = A.mult(np.ones(A.global_num_rows))
+    if b is None:
+        b = A.mult(np.ones(A.global_num_rows))
     r = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b))
     return int(r.n_iters)
 
@@ -162,3 +163,25 @@ def test_oracle_hmis_extended_h_stability():
         A, ml = _ours("aniso", n, "HMIS", "Extended")
         ours = _solve_iters(A, ml)
         assert abs(ours - ref) <= 2, (n, ours, ref)
+
+def test_solve_with_reference_external_solver():
+    """solve_with_reference: the live external-solver wrapper (the
+    hypre_wrapper.cpp:205-244 creator analog, with the reference
+    library itself as the external AMG). Solves OUR operator + rhs and
+    must agree with our own solver on both the solution and the
+    V-cycle count class."""
+    from raptor_tpu.external.reference_oracle import solve_with_reference
+
+    A, ml = _ours("aniso", 40, "RS", "ModClassical")
+    rng = np.random.default_rng(5)
+    xstar = rng.random(A.global_num_cols)
+    b = A.mult(xstar)
+    ref = solve_with_reference(A, b, coarsen="RS", interp="ModClassical")
+    assert ref is not None
+    # the reference converged on our operator...
+    rres = np.linalg.norm(b - A.mult(ref["x"])) / np.linalg.norm(b)
+    assert rres < 1e-5, rres
+    assert ref["residuals"][-1] < ref["residuals"][0] * 1e-7
+    # ...and matches our preconditioner quality on the same rhs
+    ours = _solve_iters(A, ml, b=b)
+    assert abs(ref["iters"] - ours) <= 3, (ref["iters"], ours)
