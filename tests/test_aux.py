@@ -72,3 +72,47 @@ def test_config_roundtrip_and_build():
     sa = AMGConfig(method="smoothed_agg", strong_threshold=0.25).build()
     sa.setup(A)
     assert sa.num_levels >= 2
+
+def test_topology_rank_reorder():
+    """Topology rank-reorder schemes (core/topology.hpp:43-57 methods
+    0/1/2): shard->slot maps are permutations, method 1 (blocked) is
+    the identity standard, reorder_shards is an exact symmetric
+    permutation of the operator, and the TAP comm model quantifies the
+    DCN cost — blocked placement never pays more inter-host traffic
+    than round-robin on a banded operator."""
+    from raptor_tpu.core.topology import Topology, reorder_shards
+    from raptor_tpu.gallery.stencils import diffusion_stencil_2d
+
+    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                         (24, 24), 8)
+    dcn = {}
+    for method in (0, 1, 2):
+        topo = Topology(8, ppn=4, rank_ordering=method)
+        slots = topo.shard_slots()
+        assert sorted(slots) == list(range(8)), (method, slots)
+        if method == 1:
+            np.testing.assert_array_equal(slots, np.arange(8))
+        An, perm = reorder_shards(A, topo)
+        # exact symmetric permutation: An = A[perm][:, perm]
+        ref = A.global_csr.to_scipy()[perm][:, perm].tocsr()
+        got = An.global_csr.to_scipy()
+        assert abs(ref - got).max() == 0.0
+        tap = build_tap_plan(An, 2, 4)
+        dcn[method] = model_tap_plan(tap).inter_host_bytes
+    # blocked placement rides ICI; round-robin pays DCN for every
+    # neighbor-block halo
+    assert dcn[1] <= dcn[0]
+    assert dcn[1] <= dcn[2]
+    assert dcn[0] > 0
+
+
+def test_topology_env_override(monkeypatch):
+    from raptor_tpu.core.topology import ENV_METHOD, ENV_PPN, Topology
+    monkeypatch.setenv(ENV_METHOD, "0")
+    monkeypatch.setenv(ENV_PPN, "2")
+    t = Topology(8, ppn=16, rank_ordering=1)
+    assert t.rank_ordering == 0 and t.ppn == 2 and t.num_nodes == 4
+    # method 0: node = proc % nodes, local = proc // nodes
+    assert [t.get_node(p) for p in range(8)] == [0, 1, 2, 3, 0, 1, 2, 3]
+    assert [t.get_local_proc(p) for p in range(8)] == [0, 0, 0, 0,
+                                                       1, 1, 1, 1]
