@@ -415,12 +415,21 @@ def _host_only_metrics():
 
 def _section(label, fn, *args):
     """Run one bench section; a failure records the error and moves on
-    (never lose the line)."""
+    (never lose the line). Wall time per section is recorded so a
+    deadline-truncated line still shows where the budget went; the
+    RAPTOR_BENCH_ONLY env (comma list of labels) isolates sections."""
+    only = os.environ.get("RAPTOR_BENCH_ONLY")
+    if only and label not in only.split(","):
+        return None
+    t0 = time.perf_counter()
     try:
         return fn(*args)
     except Exception as e:   # noqa: BLE001
         _EXTRAS[f"error_{label}"] = repr(e)[:200]
         return None
+    finally:
+        _EXTRAS[f"t_section_{label}_s"] = round(
+            time.perf_counter() - t0, 1)
 
 
 def main():
