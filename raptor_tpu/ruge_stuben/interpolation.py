@@ -448,6 +448,16 @@ def _device_interp_inputs(a: CSRMatrix, s: CSRMatrix, states):
     return strong, col_to_new, n_coarse
 
 
+def _device_interp_dtype():
+    """f32 on TPU (same policy and rationale as the device RAP engine,
+    par_multilevel._galerkin: the TPU has no native f64 — XLA EMULATES
+    it, which both runs slowly and explodes the remote compile of the
+    big interp programs to tens of minutes); None elsewhere (CPU meshes
+    compute f64 and match the host kernel to roundoff)."""
+    from raptor_tpu.multilevel.par_multilevel import _tpu_backend_alive
+    return np.float32 if _tpu_backend_alive() else None
+
+
 def _use_device_interp(engine: str, level_nnz: int) -> bool:
     if engine not in ("host", "device", "auto"):
         raise ValueError(f"interp engine {engine!r}")
@@ -478,7 +488,8 @@ def _extended_dispatch(a: CSRMatrix, s: CSRMatrix, states, num_variables,
         strong, col_to_new, n_coarse = _device_interp_inputs(a, s, states)
         try:
             p = dinterp.extended_interp_device(
-                a, strong, np.asarray(states), col_to_new, n_coarse)
+                a, strong, np.asarray(states), col_to_new, n_coarse,
+                dtype=_device_interp_dtype())
             LAST_ENGINE["interp"] = "device"
             LAST_ENGINE["device_calls"] += 1
             return p
@@ -500,7 +511,8 @@ def _mod_classical_dispatch(a: CSRMatrix, s: CSRMatrix, states,
         try:
             p = dinterp.mod_classical_interp_device(
                 a, strong, np.asarray(states), col_to_new, n_coarse,
-                variables, num_variables)
+                variables, num_variables,
+                dtype=_device_interp_dtype())
             LAST_ENGINE["interp"] = "device"
             LAST_ENGINE["device_calls"] += 1
             return p
