@@ -98,11 +98,52 @@ def csr_to_dia(a: CSRMatrix, max_diags: int = 48
 
 # --- the device kernel (pure jax; jitted via the cached wrappers below) ------
 
+_MERGE_GROUP = 1024
+
+
 def _merge_compact(cand_c: jnp.ndarray, cand_v: jnp.ndarray,
                    w_cap: int, zero_tol: float):
     """Steps 2-4: sort / merge-duplicates / compact a [Wc, C] candidate
     slab.  Returns ([w_cap, C] cols, [w_cap, C] vals, [C] counts,
-    scalar max_count)."""
+    scalar max_count).
+
+    Slabs taller than _MERGE_GROUP are merged as a TREE: each group of
+    rows is sorted/merged to w_cap (zero_tol deferred so partial sums
+    keep cancelling/accumulating), then the group results merge once
+    more.  A single lax.sort over a many-thousand-row slab (the P^T*AP
+    product reaches W_a*W_b ~ 7k candidates at 128^3) OOM-KILLED the
+    relay's remote compile helper; the tree keeps every sort at most
+    _MERGE_GROUP + n_groups*w_cap tall — and bitonic cost is
+    H log^2 H, so the tree is also cheaper at runtime.  A group
+    truncated at w_cap surfaces through max_count, which triggers the
+    caller's exact-width retry exactly like the flat path."""
+    H = cand_c.shape[0]
+    # group >= 2*w_cap so the re-merge height n_g*w_cap <= H/2 strictly
+    # shrinks (else the recursion would grow when w_cap >= the group)
+    G = max(_MERGE_GROUP, 2 * w_cap)
+    if H > G:
+        n_g = -(-H // G)
+        pad = n_g * G - H
+        if pad:
+            cand_c = jnp.concatenate(
+                [cand_c, jnp.full((pad,) + cand_c.shape[1:], SENT,
+                                  cand_c.dtype)], axis=0)
+            cand_v = jnp.concatenate(
+                [cand_v, jnp.zeros((pad,) + cand_v.shape[1:],
+                                   cand_v.dtype)], axis=0)
+        ks, vs, mxs = [], [], []
+        for g in range(n_g):
+            sl = slice(g * G, (g + 1) * G)
+            k, s, _, m = _merge_compact(cand_c[sl], cand_v[sl],
+                                        w_cap, 0.0)
+            ks.append(k)
+            vs.append(s)
+            mxs.append(m)
+        key, sval, counts, m2 = _merge_compact(
+            jnp.concatenate(ks, axis=0), jnp.concatenate(vs, axis=0),
+            w_cap, zero_tol)
+        return key, sval, counts, jnp.maximum(
+            m2, jnp.stack(mxs).max())
     c, v = jax.lax.sort((cand_c, cand_v), dimension=0, num_keys=1)
     # segmented sum: s_j = v_j + (c_j == c_{j-1}) * s_{j-1}
     same = jnp.concatenate(

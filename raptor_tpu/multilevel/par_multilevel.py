@@ -146,6 +146,16 @@ class ParMultilevel:
                 return ap, ac
             except dsp.CapOverflow:
                 pass    # pathological width: host engine below
+            except Exception as e:                   # noqa: BLE001
+                # same contract as the interp dispatches: an engine
+                # choice must never abort setup. Observed live: the
+                # relay's remote compile helper can be OOM-KILLED on a
+                # big SpGEMM program (HTTP 500 SIGKILL) — fall back to
+                # the host engine and record why.
+                import warnings
+                warnings.warn(f"device RAP fell back to host: "
+                              f"{type(e).__name__}: {e}"[:300],
+                              stacklevel=2)
         self.rap_engine_used = "host"
         ap = a.multiply(p)
         # AP->mult_T(P) = P^T (A P): native transpose-SpGEMM, already

@@ -165,3 +165,41 @@ def test_rap_device_f32_close_and_preconditions(aniso):
         iters[mode] = int(res.n_iters)
     # f32 coarse operators cost at most a couple of extra cycles
     assert iters["device"] <= iters["host"] + 3, iters
+
+def test_merge_compact_tree_equals_flat():
+    """The hierarchical candidate merge (compile-size fix: a single
+    lax.sort over the ~7k-row P^T*AP slab OOM-killed the relay's remote
+    compile helper) produces the same product as the flat merge in the
+    valid (non-overflow) regime.  Distinct w_cap static args force a
+    fresh trace so the tree path really runs."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from raptor_tpu.core.matrix import CSRMatrix
+    from raptor_tpu.device import spgemm as dsp
+
+    a = sp.random(200, 200, density=0.15, random_state=1, format="csr")
+    b = sp.random(200, 200, density=0.15, random_state=2, format="csr")
+    A, B = CSRMatrix.from_scipy(a), CSRMatrix.from_scipy(b)
+    ac, av = dsp.csr_to_ell(A, dtype=np.float64)
+    bc, bv = dsp.csr_to_ell(B, dtype=np.float64)
+    args = (jnp.asarray(ac), jnp.asarray(av), jnp.asarray(bc),
+            jnp.asarray(bv))
+    flat = dsp._jit_ell(*args, w_cap=220)
+    assert int(flat[3]) <= 220  # valid regime
+    old = dsp._MERGE_GROUP
+    try:
+        dsp._MERGE_GROUP = 64   # G = max(64, 2*221) -> tree over 1892 rows
+        tree = dsp._jit_ell(*args, w_cap=221)
+    finally:
+        dsp._MERGE_GROUP = old
+    for f, t in zip(flat[:3], tree[:3]):
+        np.testing.assert_allclose(np.asarray(f)[:220], np.asarray(t)[:220],
+                                   rtol=1e-13)
+    np.testing.assert_array_equal(np.asarray(flat[2]), np.asarray(tree[2]))
+    # full product equality vs scipy through the public wrapper
+    g = (a @ b).tocsr()
+    g.sort_indices()
+    g.eliminate_zeros()
+    s = dsp.spgemm_device(A, B, dtype=np.float64).to_scipy()
+    assert abs(g - s).max() < 1e-12
