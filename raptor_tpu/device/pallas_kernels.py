@@ -241,26 +241,31 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
 
     def kernel_bounded(ws_ref, jlo_ref, jhi_ref, rel_ref, val_ref, x_ref,
                        out_ref, win, sem):
+        # ONE nested (slot, window-row) loop with dynamic slot indexing:
+        # unrolling W dynamic-trip-count while loops (W can be 80+ on
+        # transposed 3-D prolongators) explodes the Mosaic compile
         i = pl.program_id(0)
         s = pl.multiple_of(ws_ref[i], 8)
         cp = pltpu.make_async_copy(x_ref.at[pl.ds(s, WR)], win, sem)
         cp.start()
         cp.wait()
-        acc = jnp.zeros((ba, LANE), dtype=val_ref.dtype)
-        for w in range(W):
-            relw = rel_ref[w].reshape(ba, LANE)
+
+        def wbody(w, acc):
+            relw = rel_ref[pl.ds(w, 1)].reshape(ba, LANE)
             lsw = jax.lax.bitwise_and(relw, 127)
             qw = jax.lax.shift_right_logical(relw, 7)
-            vw = val_ref[w].reshape(ba, LANE)
+            vw = val_ref[pl.ds(w, 1)].reshape(ba, LANE)
 
-            def jbody(j, acc, lsw=lsw, qw=qw, vw=vw):
+            def jbody(j, acc):
                 row = jnp.broadcast_to(win[pl.ds(j, 1)], (ba, LANE))
                 g = jnp.take_along_axis(row, lsw, axis=1)
                 return acc + jnp.where(qw == j, g, 0.0) * vw
 
-            acc = jax.lax.fori_loop(jlo_ref[i, w], jhi_ref[i, w],
-                                    jbody, acc)
-        out_ref[:] = acc.reshape(-1)
+            return jax.lax.fori_loop(jlo_ref[i, w], jhi_ref[i, w],
+                                     jbody, acc)
+
+        acc0 = jnp.zeros((ba, LANE), dtype=val_ref.dtype)
+        out_ref[:] = jax.lax.fori_loop(0, W, wbody, acc0).reshape(-1)
 
     bounded = jlo is not None
     n_pref = 3 if bounded else 1
