@@ -84,7 +84,9 @@ def _emit():
 def _on_deadline(signum, frame):   # noqa: ARG001
     _EXTRAS["deadline_hit"] = True
     _emit()
-    os._exit(0)
+    # own SIGALRM deadline = planned truncation (rc 0, line complete);
+    # SIGTERM = external kill — exit 128+15 so callers see it was killed
+    os._exit(0 if signum == signal.SIGALRM else 128 + signum)
 
 
 def _timed(fn, *args) -> float:
@@ -435,8 +437,8 @@ def _section(label, fn, *args):
 def main():
     signal.signal(signal.SIGALRM, _on_deadline)
     signal.alarm(DEADLINE_S)
-    # also emit on SIGTERM (driver kill) — rc will be nonzero but the
-    # line is already on stdout
+    # also emit on SIGTERM (driver kill): the line lands on stdout and
+    # the handler exits 128+15 so the kill stays visible in the rc
     signal.signal(signal.SIGTERM, _on_deadline)
 
     probe = _probe_start()

@@ -98,7 +98,11 @@ def _wind_slot_assign(q, rows, tid, row_nnz, W, T):
     np.maximum.at(thi, tid, q)
     span = np.maximum(1, thi - tlo)
     t_e = np.minimum(W - 1, (q - tlo[tid]) * W // span[tid])
-    BIG = np.int64(1) << 40
+    # per-row running max via a row-offset segmented scan: BIG need only
+    # exceed the value range of (t_e - k), i.e. W + max(row_nnz); a fixed
+    # 2^40 offset overflows int64 past ~2^23 rows (256^3 operators)
+    BIG = np.int64(W + int(row_nnz.max(initial=1)) + 2)
+    assert int(rows[-1] if len(rows) else 0) < np.iinfo(np.int64).max // BIG
     fwd = np.maximum.accumulate(t_e - k + rows * BIG) - rows * BIG
     s = k + np.minimum(fwd, W - np.repeat(row_nnz, row_nnz))
     return s

@@ -22,6 +22,12 @@ from raptor_tpu.device.formats import LANE
 _BLOCK_CANDIDATES = (65536, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256,
                      128)
 
+# Above this many (tile, slot) pairs the jlo/jhi scan-bound tables no longer
+# fit SMEM prefetch and the windowed kernel silently runs the full W*WR scan.
+# device/par.py's format cost model must use the SAME threshold, else it can
+# auto-select windowed-ELL on bounded-scan cost in the unbounded regime.
+WELL_SCAN_TABLE_MAX = 1 << 17
+
 
 def _pick_block(R: int, K: int, pad: int, itemsize: int) -> int:
     vmem_budget = 8 * 1024 * 1024  # leave headroom for double buffering
@@ -210,7 +216,7 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
     if W == 0 or R % TR or WR % 8:
         return None
     T = R // TR
-    if jlo is not None and T * W > (1 << 17):
+    if jlo is not None and T * W > WELL_SCAN_TABLE_MAX:
         jlo = jhi = None    # scan-bound tables too big for SMEM prefetch
     H = wind_src_height(x.shape[0], WR)
     x2 = jnp.pad(x, (0, H * LANE - x.shape[0])).reshape(H, LANE)

@@ -510,6 +510,12 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         R_w = _round_up(R, wl_ba * 128)
         auto_ok = False
         if force_format is None and wWR <= WELL_MAX_WR and R >= 2048:
+            # past the kernel's SMEM table limit the bounded scan is
+            # silently dropped — cost the full W*WR scan it actually runs
+            from raptor_tpu.device.pallas_kernels import WELL_SCAN_TABLE_MAX
+            T_w = R_w // (wl_ba * 128)
+            if T_w * wW > WELL_SCAN_TABLE_MAX:
+                w_scan = T_w * wW * wWR
             cost_well = 3 * w_scan * wl_ba * 128
             if use_dia == "ell":
                 auto_ok = True

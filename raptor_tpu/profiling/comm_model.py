@@ -77,7 +77,7 @@ class _Acc:
     def __init__(self, n_shards: int, shards_per_host: int):
         self.S = n_shards
         self.L = shards_per_host
-        H = max(1, n_shards // shards_per_host)
+        H = max(1, -(-n_shards // shards_per_host))   # ceil: last host may be partial
         self.n_msgs: Dict[str, int] = {}
         self.n_bytes: Dict[str, int] = {}
         self.per_shard_msgs = np.zeros(n_shards, dtype=np.int64)
