@@ -21,11 +21,26 @@ x/b streams (~2 rows per K=27 diagonals), so
 roofline = stream_bw / (4 * (K+2)/K).
 
 The remaining BASELINE metrics ride in ``extras`` of the same line,
-accumulated INCREMENTALLY in priority order under a hard watchdog
-(RAPTOR_BENCH_DEADLINE_S, default 460 s): whatever has been measured
-when the deadline fires is emitted — the bench can time out a section
-but can never record nothing (the round-3 failure mode, BENCH_r03.json
-rc:124 parsed:null).
+accumulated INCREMENTALLY under a BUDGET-AWARE scheduler: every section
+carries a cost estimate and a hard cap. A section whose estimate no
+longer fits the remaining deadline is SKIPPED with a recorded reason; a
+section that overruns its cap is truncated by SIGALRM (a raised
+exception, never a process kill — killing a client mid-flight wedges
+the axon relay) so it can never starve its successors — the round-4
+failure mode, where a single expensive section left every other metric
+unrecorded (BENCH_r04.json: only t_section_spmv_s). Whatever has been
+measured when the global deadline (RAPTOR_BENCH_DEADLINE_S, default
+460 s) fires is emitted — the bench can time out a section but can
+never record nothing.
+
+Section order (cheap + unique-record first; the 128^3 solve last):
+spmv -> amg2d (2048^2 flagship: HMIS+Extended, re-picked in round 5
+after the round-4 oracle fix made it h-stable — it beats RS+MC on both
+setup and per-cycle cost; RS+MC is re-measured last for the record) ->
+sa -> bsr -> amg3d setup (the on-chip device-engine record:
+interp_device_dispatches, rap_engine) -> transfer applies (from the
+disk-cached level-0 P of a previous amg3d setup when available, so a
+truncated amg3d cannot starve it) -> amg3d solve -> amg2d_rs_mc.
 
 - ``rap_nnz_per_s``: Galerkin triple-product throughput summed over all
   levels (output nnz of AP and P^T(AP) per second of RAP wall time).
@@ -38,8 +53,8 @@ rc:124 parsed:null).
 - ``sa_*`` / ``bsr_*``: smoothed-aggregation (BASELINE config 3) and
   BSR elasticity (config 5) setup + solve.
 - ``p_apply_ms_lap27_l0`` / ``pt_apply_ms_lap27_l0``: level-0 transfer
-  operator apply on the 128^3 hierarchy (the windowed-ELL/BELL kernel
-  path selected by the VPU cost model).
+  operator apply on the 128^3 hierarchy (the windowed-ELL kernel path
+  selected by the VPU cost model).
 
 RAPTOR_BENCH_FAST=1 shrinks the grids for a CPU smoke run.
 """
@@ -55,10 +70,22 @@ import jax.numpy as jnp
 import numpy as np
 
 N_LO, N_HI = 2, 102
-REPS = 5
+REPS = 3
 
 FAST = os.environ.get("RAPTOR_BENCH_FAST", "0") == "1"
 DEADLINE_S = int(os.environ.get("RAPTOR_BENCH_DEADLINE_S", "460"))
+_T0 = time.perf_counter()
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # honor an explicit CPU smoke-run request (the axon sitecustomize
+    # force-sets the platform, so the env var alone is not enough)
+    jax.config.update("jax_platforms", "cpu")
+
+# disk cache for the 128^3 level-0 transfer operator: lets the transfer
+# section run even when the amg3d setup section was skipped/truncated
+# (bump _PCACHE_VER when setup semantics change)
+_PCACHE_VER = "r5a"
+_PCACHE = os.path.expanduser("~/.cache/raptor_tpu_bench/p128_l0.npz")
 
 # global accumulators: the watchdog emits these no matter where the
 # bench was interrupted
@@ -81,12 +108,32 @@ def _emit():
     }), flush=True)
 
 
-def _on_deadline(signum, frame):   # noqa: ARG001
-    _EXTRAS["deadline_hit"] = True
+def _remaining() -> float:
+    return DEADLINE_S - (time.perf_counter() - _T0)
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+def _on_alarm(signum, frame):   # noqa: ARG001
+    """One SIGALRM serves both clocks: past the global deadline it emits
+    and exits; otherwise it truncates the CURRENT section by raising
+    (the process lives on, so the relay connection stays healthy and
+    later sections still run)."""
+    if _remaining() <= 3.0:
+        _EXTRAS["deadline_hit"] = True
+        _emit()
+        os._exit(0)
+    raise _SectionTimeout()
+
+
+def _on_sigterm(signum, frame):   # noqa: ARG001
+    # external kill: the line lands on stdout, rc 128+15 keeps the kill
+    # visible to callers
+    _EXTRAS["sigterm"] = True
     _emit()
-    # own SIGALRM deadline = planned truncation (rc 0, line complete);
-    # SIGTERM = external kill — exit 128+15 so callers see it was killed
-    os._exit(0 if signum == signal.SIGALRM else 128 + signum)
+    os._exit(128 + signum)
 
 
 def _timed(fn, *args) -> float:
@@ -133,6 +180,7 @@ def bench_spmv():
 
     per_spmv = _per_iter(jax.jit(chain_fn, static_argnums=2), dA, x)
     nnz_s = A.nnz / per_spmv
+    _HEADLINE["value"] = nnz_s   # record even if calibration times out
 
     # live stream-bandwidth calibration with the same value-array footprint
     K = max(1, len(dA.dia_offsets))
@@ -152,7 +200,9 @@ def bench_spmv():
     # 4 B of matrix values per nnz + amortized x/b traffic (~2 extra
     # row-streams across K diagonal streams)
     roofline_nnz_s = stream_bw / (4.0 * (K + 2) / K)
-    return nnz_s, roofline_nnz_s, stream_bw
+    _HEADLINE["vs"] = nnz_s / roofline_nnz_s
+    _EXTRAS["stream_bw_GBps"] = round(stream_bw / 1e9, 1)
+    _EXTRAS["spmv_vs_roofline"] = round(nnz_s / roofline_nnz_s, 4)
 
 
 def _solve_to_1e8(ml, A, grid_label):
@@ -167,6 +217,8 @@ def _solve_to_1e8(ml, A, grid_label):
     b = A.mult(np.ones(n))
     # warm call: uploads dA64, compiles the refinement while_loop
     x, hist = dh.solve_mixed(np.zeros(n), b, tol=1e-8, max_iter=200)
+    _EXTRAS[f"solve_1e8_iters_{grid_label}"] = int(len(hist) - 1)
+    _EXTRAS[f"solve_1e8_final_relres_{grid_label}"] = float(hist[-1])
     # timed call keeps the f64 solution on device (tens of MB of result
     # readback through a remote relay would dwarf the solve; hist is an
     # output of the same program, so fetching it bounds completion)
@@ -175,8 +227,6 @@ def _solve_to_1e8(ml, A, grid_label):
                              return_device=True)
     dt = time.perf_counter() - t0
     _EXTRAS[f"solve_1e8_seconds_{grid_label}"] = round(dt, 4)
-    _EXTRAS[f"solve_1e8_iters_{grid_label}"] = int(len(hist) - 1)
-    _EXTRAS[f"solve_1e8_final_relres_{grid_label}"] = float(hist[-1])
     return dh
 
 
@@ -190,17 +240,47 @@ def _record_setup(ml, label, phase_suffix=""):
         _EXTRAS[f"setup_phase_{name}_s{phase_suffix}"] = round(t, 3)
 
 
-def bench_amg_2d():
-    """2048^2 rotated aniso, RS+ModClassical (reference default config)."""
-    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+def _make_aniso_2048(n_dev):
     from raptor_tpu.gallery.stencils import (
         diffusion_stencil_2d, par_stencil_grid)
+    n2d = 128 if FAST else 2048
+    return par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                            (n2d, n2d), n_dev)
+
+
+def bench_amg_2d():
+    """2048^2 rotated aniso FLAGSHIP: HMIS+Extended (re-picked round 5).
+
+    Round 2 chose RS+ModClassical because HMIS+Extended stalled at
+    1.4e-6 — round 4's oracle work root-caused that stall to an
+    extended+i semantics bug and fixed it (HMIS+Extended now h-stable,
+    21 iters matching the reference); its setup is also far cheaper
+    than RS's serial first pass at this size. bench_amg_2d_rs_mc keeps
+    the old config on the record (last, budget permitting)."""
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
     from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
 
     n_dev = len(jax.devices())
-    n2d = 128 if FAST else 2048
-    A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
-                         (n2d, n2d), n_dev)
+    A = _make_aniso_2048(n_dev)
+    ml = ParRugeStubenSolver(0.25, CoarsenType.HMIS, InterpType.Extended,
+                             relax_type=RelaxType.Chebyshev)
+    ml.num_smooth_sweeps = 3
+    t0 = time.perf_counter()
+    ml.setup(A)
+    _EXTRAS["setup_seconds_aniso2048sq_hmis_ext"] = round(
+        time.perf_counter() - t0, 3)
+    _record_setup(ml, "aniso2048sq")
+    _solve_to_1e8(ml, A, "aniso2048sq")
+
+
+def bench_amg_2d_rs_mc():
+    """2048^2 rotated aniso, RS+ModClassical (the round-2..4 flagship,
+    kept on the record for comparison with the HMIS+Extended pick)."""
+    from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
+    from raptor_tpu.multilevel.par_multilevel import ParRugeStubenSolver
+
+    n_dev = len(jax.devices())
+    A = _make_aniso_2048(n_dev)
     ml = ParRugeStubenSolver(0.25, CoarsenType.RS,
                              InterpType.ModClassical,
                              relax_type=RelaxType.Chebyshev)
@@ -209,13 +289,39 @@ def bench_amg_2d():
     ml.setup(A)
     _EXTRAS["setup_seconds_aniso2048sq_rs_mc"] = round(
         time.perf_counter() - t0, 3)
-    _record_setup(ml, "aniso2048sq")
-    _solve_to_1e8(ml, A, "aniso2048sq")
+    _EXTRAS["setup_levels_aniso2048sq_rs_mc"] = len(ml.levels)
+    _solve_to_1e8(ml, A, "aniso2048sq_rs_mc")
 
 
-def bench_amg_3d():
-    """128^3 27-pt Laplacian, PMIS+Extended; interp/RAP auto-engines run
-    ON DEVICE with a live TPU — the setup phase splits below are the
+def _save_pcache(ml3):
+    """Persist the 128^3 level-0 P so the transfer section never depends
+    on the amg3d section having survived its budget."""
+    if FAST:
+        return
+    try:
+        p = ml3.levels[0].P._g()
+        os.makedirs(os.path.dirname(_PCACHE), exist_ok=True)
+        np.savez(_PCACHE, ver=_PCACHE_VER, indptr=p.indptr,
+                 indices=p.indices, data=p.data,
+                 shape=np.array([p.n_rows, p.n_cols]))
+    except Exception as e:   # noqa: BLE001
+        _EXTRAS["pcache_write_error"] = repr(e)[:120]
+
+
+def _load_pcache():
+    from raptor_tpu.core.matrix import CSRMatrix
+    if FAST or not os.path.exists(_PCACHE):
+        return None
+    z = np.load(_PCACHE, allow_pickle=False)
+    if str(z["ver"]) != _PCACHE_VER:
+        return None
+    n_rows, n_cols = (int(v) for v in z["shape"])
+    return CSRMatrix(n_rows, n_cols, z["indptr"], z["indices"], z["data"])
+
+
+def bench_amg_3d_setup():
+    """128^3 27-pt Laplacian, PMIS+Extended SETUP; interp/RAP auto-engines
+    run ON DEVICE with a live TPU — the setup phase splits below are the
     on-chip device-engine record (reference anchor:
     par_ruge_stuben_solver.hpp:146-147, par_interpolation.cpp:301)."""
     from raptor_tpu.core.types import CoarsenType, InterpType, RelaxType
@@ -237,21 +343,34 @@ def bench_amg_3d():
     _EXTRAS["interp_device_dispatches_lap27"] = LAST_ENGINE["device_calls"]
     _EXTRAS["rap_engine_lap27"] = getattr(ml3, "rap_engine_used", "host")
     _record_setup(ml3, "lap27_128cubed", phase_suffix="_lap27")
-    dh = _solve_to_1e8(ml3, A3, "lap27_128cubed")
-    return ml3, dh
+    _save_pcache(ml3)
+    return ml3, A3
+
+
+def bench_amg_3d_solve(ml3, A3):
+    return _solve_to_1e8(ml3, A3, "lap27_128cubed")
 
 
 def bench_transfer_apply(ml3):
     """Level-0 P / P^T apply on the 128^3 hierarchy: the operators the
-    windowed-ELL / BELL Pallas kernels were built for (round 3)."""
+    windowed-ELL Pallas kernels were built for (rounds 3-5). Falls back
+    to the disk-cached P when the amg3d setup section did not run."""
     from raptor_tpu.core.par_matrix import ParCSRMatrix
     from raptor_tpu.core.partition import Partition
     from raptor_tpu.device import par as dpar
 
+    if ml3 is not None:
+        p_csr = ml3.levels[0].P._g()
+    else:
+        p_csr = _load_pcache()
+        if p_csr is None:
+            _EXTRAS["skip_transfer"] = "no amg3d hierarchy and no P cache"
+            return
+        _EXTRAS["transfer_from_pcache"] = True
+
     mesh = dpar.make_mesh(1)
     for name, embed, key in (("P", "cols", "p"), ("Pt", "rows", "pt")):
-        a = ml3.levels[0].P._g() if name == "P" else \
-            ml3.levels[0].P.transpose()._g()
+        a = p_csr if name == "P" else p_csr.transpose()
         A = ParCSRMatrix(a, Partition.create(a.n_rows, a.n_cols, 1))
         dA = dpar.device_put_matrix(
             A, mesh, dtype=jnp.float32, lane_pad=128,
@@ -271,8 +390,8 @@ def bench_transfer_apply(ml3):
         f = jax.jit(chain, static_argnums=2)
         float(f(dA, x, 2))
         float(f(dA, x, 52))
-        t_lo = min(_timed(f, dA, x, 2) for _ in range(1))
-        t_hi = min(_timed(f, dA, x, 52) for _ in range(1))
+        t_lo = _timed(f, dA, x, 2)
+        t_hi = _timed(f, dA, x, 52)
         per = max(1e-9, (t_hi - t_lo) / 50)
         _EXTRAS[f"{key}_apply_ms_lap27_l0"] = round(per * 1e3, 3)
         _EXTRAS[f"{key}_format_lap27_l0"] = dA.on_format
@@ -304,13 +423,13 @@ def bench_sa():
     dh = DeviceHierarchy(ml, mesh, dtype=jnp.float32)
     b = A.mult(np.ones(A.global_num_rows))
     x, hist = dh.solve_mixed(np.zeros_like(b), b, tol=1e-8, max_iter=200)
+    _EXTRAS["sa_solve_1e8_iters_lap27_64cubed"] = int(len(hist) - 1)
+    _EXTRAS["sa_solve_1e8_final_relres"] = float(hist[-1])
     t0 = time.perf_counter()
     x, hist = dh.solve_mixed(np.zeros_like(b), b, tol=1e-8, max_iter=200,
                              return_device=True)
     _EXTRAS["sa_solve_1e8_seconds_lap27_64cubed"] = round(
         time.perf_counter() - t0, 4)
-    _EXTRAS["sa_solve_1e8_iters_lap27_64cubed"] = int(len(hist) - 1)
-    _EXTRAS["sa_solve_1e8_final_relres"] = float(hist[-1])
 
 
 def bench_bsr():
@@ -337,12 +456,12 @@ def bench_bsr():
     b = A.mult(np.ones(A.global_num_rows))
     x, hist, k = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b),
                           tol=1e-6, max_iter=100)
+    _EXTRAS["bsr_solve_1e6_iters_elasticity"] = int(k)
     t0 = time.perf_counter()
     x, hist, k = dh.solve(dh.vector(np.zeros_like(b)), dh.vector(b),
                           tol=1e-6, max_iter=100)
     _EXTRAS["bsr_solve_1e6_seconds_elasticity"] = round(
         time.perf_counter() - t0, 4)
-    _EXTRAS["bsr_solve_1e6_iters_elasticity"] = int(k)
 
 
 def _probe_start():
@@ -388,9 +507,9 @@ def _host_only_metrics():
     pin_arena(prefault_bytes=0 if FAST else 1 << 30)
     _EXTRAS["device_unreachable"] = True
     configs = [
-        ("aniso1024sq_rs_mc", (128 if FAST else 1024,) * 2,
+        ("aniso1024sq_hmis_ext", (128 if FAST else 1024,) * 2,
          diffusion_stencil_2d(0.001, np.pi / 8),
-         CoarsenType.RS, InterpType.ModClassical),
+         CoarsenType.HMIS, InterpType.Extended),
         ("lap27_64cubed", (32 if FAST else 64,) * 3,
          laplace_stencil_27pt(), CoarsenType.PMIS, InterpType.Extended),
     ]
@@ -415,35 +534,53 @@ def _host_only_metrics():
             rap_nnz / max(rap_t, 1e-9))
 
 
-def _section(label, fn, *args):
-    """Run one bench section; a failure records the error and moves on
-    (never lose the line). Wall time per section is recorded so a
-    deadline-truncated line still shows where the budget went; the
-    RAPTOR_BENCH_ONLY env (comma list of labels) isolates sections."""
+def _section(label, fn, *args, est=30, cap=None):
+    """Run one bench section under the budget scheduler.
+
+    - Skips (with a recorded reason) when the remaining global deadline
+      no longer covers ``est`` seconds.
+    - Arms SIGALRM to min(remaining, cap or 3*est): an overrunning
+      section is truncated by a raised _SectionTimeout — the extras it
+      recorded before the cut survive, and every later section still
+      gets its shot (round-4 failure mode: one section starved four).
+    - A failure records the error and moves on (never lose the line).
+    - RAPTOR_BENCH_ONLY (comma list of labels) isolates sections."""
     only = os.environ.get("RAPTOR_BENCH_ONLY")
     if only and label not in only.split(","):
         return None
+    rem = _remaining()
+    if not only and rem < est:
+        _EXTRAS[f"skip_{label}"] = f"budget: {rem:.0f}s left < est {est}s"
+        return None
+    cap = min(max(rem, 0.01), cap or 3 * est)
+    signal.setitimer(signal.ITIMER_REAL, cap)
     t0 = time.perf_counter()
     try:
         return fn(*args)
+    except _SectionTimeout:
+        _EXTRAS[f"timeout_{label}"] = round(cap, 1)
+        return None
     except Exception as e:   # noqa: BLE001
         _EXTRAS[f"error_{label}"] = repr(e)[:200]
         return None
     finally:
         _EXTRAS[f"t_section_{label}_s"] = round(
             time.perf_counter() - t0, 1)
+        # re-arm the global deadline for inter-section time
+        signal.setitimer(signal.ITIMER_REAL, max(_remaining(), 0.01))
 
 
 def main():
-    signal.signal(signal.SIGALRM, _on_deadline)
-    signal.alarm(DEADLINE_S)
-    # also emit on SIGTERM (driver kill): the line lands on stdout and
-    # the handler exits 128+15 so the kill stays visible in the rc
-    signal.signal(signal.SIGTERM, _on_deadline)
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.setitimer(signal.ITIMER_REAL, DEADLINE_S)
+    signal.signal(signal.SIGTERM, _on_sigterm)
 
-    probe = _probe_start()
-    up = _probe_wait(probe, int(os.environ.get("RAPTOR_BENCH_PROBE_S",
-                                               "45")))
+    if jax.config.jax_platforms == "cpu":
+        up = True   # explicitly pinned CPU smoke run: no relay to probe
+    else:
+        probe = _probe_start()
+        up = _probe_wait(probe, int(os.environ.get("RAPTOR_BENCH_PROBE_S",
+                                                   "45")))
     if up is None:
         # Slow handshake or outage — can't tell yet. Land the host-side
         # metrics FIRST (the line can never be empty), with the probe
@@ -451,7 +588,7 @@ def main():
         # then give the handshake the rest of its window.
         _EXTRAS["relay_slow_handshake"] = True
         platforms_before = jax.config.jax_platforms
-        _section("host_metrics", _host_only_metrics)
+        _section("host_metrics", _host_only_metrics, est=0, cap=200)
         up = _probe_wait(probe, int(os.environ.get(
             "RAPTOR_BENCH_PROBE2_S", "240")))
         if up:
@@ -463,7 +600,7 @@ def main():
                             "host-side setup metrics below; see "
                             "BASELINE_RESULTS.md for the last chip set")
         if "host_setup_seconds_lap27_64cubed" not in _EXTRAS:
-            _section("host_metrics", _host_only_metrics)
+            _section("host_metrics", _host_only_metrics, est=0, cap=200)
         _emit()
         return
     if _EXTRAS.pop("device_unreachable", None):
@@ -477,23 +614,24 @@ def main():
     pin_arena(prefault_bytes=0 if FAST else 6 << 30)
 
     # headline SpMV runs with x64 OFF (pure-f32 programs, comparable to
-    # BENCH_r01); the AMG section then enables x64 for the f64 residuals
+    # BENCH_r01); the AMG sections then enable x64 for the f64 residuals
     # of the mixed-precision refinement (fresh shapes, no retrace overlap)
-    r = _section("spmv", bench_spmv)
-    if r is not None:
-        nnz_s, roofline_nnz_s, stream_bw = r
-        _HEADLINE["value"] = nnz_s
-        _HEADLINE["vs"] = nnz_s / roofline_nnz_s
-        _EXTRAS["stream_bw_GBps"] = round(stream_bw / 1e9, 1)
-        _EXTRAS["spmv_vs_roofline"] = round(nnz_s / roofline_nnz_s, 4)
+    _section("spmv", bench_spmv, est=60, cap=130)
 
     jax.config.update("jax_enable_x64", True)
-    ml3dh = _section("amg3d", bench_amg_3d)
-    _section("amg2d", bench_amg_2d)
-    if ml3dh is not None:
-        _section("transfer", bench_transfer_apply, ml3dh[0])
-    _section("sa", bench_sa)
-    _section("bsr", bench_bsr)
+    # cheap + unique-record sections first; the 128^3 marathon last
+    # (est/cap tuned from on-chip section timings, BASELINE_RESULTS.md)
+    _section("amg2d", bench_amg_2d, est=60, cap=150)
+    _section("sa", bench_sa, est=35, cap=90)
+    _section("bsr", bench_bsr, est=35, cap=90)
+    ml3a = _section("amg3d_setup", bench_amg_3d_setup, est=60, cap=200)
+    _section("transfer", bench_transfer_apply,
+             ml3a[0] if ml3a else None, est=35, cap=100)
+    if ml3a is not None:
+        _section("amg3d_solve", bench_amg_3d_solve, *ml3a, est=30, cap=90)
+    else:
+        _EXTRAS["skip_amg3d_solve"] = "no amg3d hierarchy"
+    _section("amg2d_rs_mc", bench_amg_2d_rs_mc, est=80, cap=160)
     _emit()
 
 
