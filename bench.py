@@ -112,7 +112,11 @@ def _remaining() -> float:
     return DEADLINE_S - (time.perf_counter() - _T0)
 
 
-class _SectionTimeout(Exception):
+class _SectionTimeout(BaseException):
+    # BaseException, NOT Exception: the truncation signal must pierce
+    # library-level `except Exception` fallback handlers (the device
+    # interp engine's host-fallback caught the round-5 first draft and
+    # turned a section cut into a silent engine downgrade)
     pass
 
 
@@ -125,7 +129,32 @@ def _on_alarm(signum, frame):   # noqa: ARG001
         _EXTRAS["deadline_hit"] = True
         _emit()
         os._exit(0)
+    # re-arm the GLOBAL deadline before raising: if anything on the
+    # unwind path swallows the truncation, the deadline must still fire
+    signal.setitimer(signal.ITIMER_REAL, max(_remaining(), 0.01))
     raise _SectionTimeout()
+
+
+def _watchdog_thread():
+    """Signal handlers only run between Python bytecodes — a main thread
+    blocked in one long C-level wait (a cold remote compile through the
+    relay can block 20+ min) defers SIGALRM/SIGTERM indefinitely. This
+    daemon thread is the backstop: shortly past the deadline it emits
+    whatever has been measured and exits the process (os._exit works
+    from any thread)."""
+    import threading
+
+    def run():
+        while True:
+            rem = _remaining()
+            if rem <= -5.0:
+                _EXTRAS["deadline_hit"] = True
+                _EXTRAS["watchdog_thread_fired"] = True
+                _emit()
+                os._exit(0)
+            time.sleep(min(max(rem + 5.0, 1.0), 30.0))
+
+    threading.Thread(target=run, daemon=True).start()
 
 
 def _on_sigterm(signum, frame):   # noqa: ARG001
@@ -574,6 +603,7 @@ def main():
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.setitimer(signal.ITIMER_REAL, DEADLINE_S)
     signal.signal(signal.SIGTERM, _on_sigterm)
+    _watchdog_thread()
 
     if jax.config.jax_platforms == "cpu":
         up = True   # explicitly pinned CPU smoke run: no relay to probe

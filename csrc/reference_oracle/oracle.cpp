@@ -6,12 +6,21 @@
 // independent implementation.
 //
 // Usage: oracle <aniso|lap27|PATH.pm> <n> <coarsen> <interp> <threshold>
-//        <outdir> [rhs.bin]
+//        <outdir> [rhs.bin | stages]
 //   rhs.bin (optional): int32 n + f64[n] right-hand side. When given
 //   the driver runs in SOLVE mode — the external-solver wrapper analog
 //   of the reference's own hypre_wrapper.cpp:205-244 creators: solve
 //   A x = b from x0 = 0, write <outdir>/x.bin (same binary layout) and
 //   <outdir>/residuals.txt, and skip the per-level hierarchy dumps.
+//   "stages" (literal): STAGE-DUMP mode — replicate
+//   ParRugeStubenSolver::extend_hierarchy level by level OUTSIDE the
+//   solver class, dumping the per-level strength matrix (L<i>_S.bin),
+//   CF splitting states (L<i>_cf.bin: int32 n + int32[n], the
+//   Selected/Unselected codes of core/types.hpp:29-35), P and A. This
+//   is the reference's own per-stage diffing discipline
+//   (ruge_stuben/tests/test_hypre_splitting.cpp, test_hypre_strength.cpp)
+//   so a semantics divergence on a new operator localizes to its stage
+//   in one test run instead of a round of bisection. RS-family only.
 //   problem: the two gallery stencils, or any .pm matrix file (read by
 //            the reference's own readParMatrix — this makes the oracle
 //            a live external-solver wrapper for ARBITRARY operators,
@@ -117,6 +126,137 @@ int main(int argc, char** argv)
         double* stencil = diffusion_stencil_2d(0.001, M_PI / 8.0);
         A = par_stencil_grid(stencil, grid.data(), 2);
         delete[] stencil;
+    }
+
+    if (argc >= 8 && strcmp(argv[7], "stages") == 0)
+    {
+        // STAGE-DUMP mode: run the RS pipeline stages by hand
+        // (par_ruge_stuben_solver.hpp:55-169 replicated) so S and the
+        // CF states — which ParMultilevel::setup discards — can be
+        // dumped per level.
+        if (co == "SA")
+        {
+            fprintf(stderr, "stages mode is RS-family only\n");
+            return 2;
+        }
+        coarsen_t ct = co == "RS" ? RS : co == "CLJP" ? CLJP :
+                       co == "Falgout" ? Falgout :
+                       co == "PMIS" ? PMIS : HMIS;
+        interp_t it = in == "Direct" ? Direct :
+                      in == "ModClassical" ? ModClassical : Extended;
+        const double interp_filter = 0.3;   // solver ctor default
+
+        ParCSRMatrix* Ac = A->copy();
+        Ac->sort();
+        Ac->on_proc->move_diag();
+        // fine-level weights, reused at every level
+        // (par_multilevel.hpp:159-217: srand(2448422 + first_row))
+        std::vector<double> weights(Ac->local_num_rows);
+        srand(2448422 + Ac->partition->first_local_row);
+        for (int i = 0; i < Ac->local_num_rows; i++)
+            weights[i] = double(rand()) / RAND_MAX;
+
+        char path[4096];
+        snprintf(path, sizeof(path), "%s/summary.txt", outdir.c_str());
+        FILE* s = fopen(path, "w");
+        fprintf(s, "iters -1\n");
+        int lvl = 0;
+        while (Ac->global_num_rows > 50 && lvl < 25)
+        {
+            fprintf(s, "%d %ld %ld\n", lvl, (long)Ac->global_num_rows,
+                    (long)Ac->local_nnz);
+            snprintf(path, sizeof(path), "%s/L%d_A.bin", outdir.c_str(),
+                     lvl);
+            dump_par_csr(Ac, path);
+
+            ParCSRMatrix* S = Ac->strength(Classical, threshold, false,
+                                           1, NULL);
+            snprintf(path, sizeof(path), "%s/L%d_S.bin", outdir.c_str(),
+                     lvl);
+            dump_par_csr(S, path);
+
+            std::vector<int> states;
+            std::vector<int> off_proc_states;
+            switch (ct)
+            {
+                case RS:
+                    if (lvl < 3)
+                        split_rs(S, states, off_proc_states, false);
+                    else
+                        split_falgout(S, states, off_proc_states, false,
+                                      weights.data());
+                    break;
+                case CLJP:
+                    split_cljp(S, states, off_proc_states, false,
+                               weights.data());
+                    break;
+                case Falgout:
+                    split_falgout(S, states, off_proc_states, false,
+                                  weights.data());
+                    break;
+                case PMIS:
+                    split_pmis(S, states, off_proc_states, false,
+                               weights.data());
+                    break;
+                default:
+                    split_hmis(S, states, off_proc_states, false,
+                               weights.data());
+                    break;
+            }
+            snprintf(path, sizeof(path), "%s/L%d_cf.bin", outdir.c_str(),
+                     lvl);
+            FILE* cf = fopen(path, "wb");
+            int32_t ns = (int32_t)states.size();
+            fwrite(&ns, 4, 1, cf);
+            std::vector<int32_t> st32(states.begin(), states.end());
+            fwrite(st32.data(), 4, st32.size(), cf);
+            fclose(cf);
+
+            ParCSRMatrix* P;
+            switch (it)
+            {
+                case Direct:
+                    P = direct_interpolation(Ac, S, states,
+                                             off_proc_states, false);
+                    break;
+                case ModClassical:
+                    P = mod_classical_interpolation(
+                            Ac, S, states, off_proc_states, false, 1,
+                            NULL);
+                    break;
+                default:
+                    P = extended_interpolation(
+                            Ac, S, states, off_proc_states,
+                            interp_filter, false, 1, NULL);
+                    break;
+            }
+            snprintf(path, sizeof(path), "%s/L%d_P.bin", outdir.c_str(),
+                     lvl);
+            dump_par_csr(P, path);
+
+            ParCSRMatrix* AP = Ac->mult(P, false);
+            ParCSRMatrix* An = AP->mult_T(P, false);
+            An->sort();
+            An->on_proc->move_diag();
+            An->comm = new ParComm(An->partition, An->off_proc_column_map,
+                                   An->on_proc_column_map, Ac->comm->key,
+                                   Ac->comm->mpi_comm);
+            delete AP;
+            delete S;
+            delete P;
+            delete Ac;
+            Ac = An;
+            lvl++;
+        }
+        fprintf(s, "%d %ld %ld\n", lvl, (long)Ac->global_num_rows,
+                (long)Ac->local_nnz);
+        snprintf(path, sizeof(path), "%s/L%d_A.bin", outdir.c_str(), lvl);
+        dump_par_csr(Ac, path);
+        fclose(s);
+        delete Ac;
+        delete A;
+        MPI_Finalize();
+        return 0;
     }
 
     ParMultilevel* ml;

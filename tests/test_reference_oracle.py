@@ -13,7 +13,8 @@ quality (V-cycle iterations to 1e-7)."""
 import numpy as np
 import pytest
 
-from raptor_tpu.external.reference_oracle import build_oracle, run_oracle
+from raptor_tpu.external.reference_oracle import (build_oracle, run_oracle,
+                                                  run_oracle_stages)
 
 pytestmark = pytest.mark.skipif(
     build_oracle() is None,
@@ -163,6 +164,86 @@ def test_oracle_hmis_extended_h_stability():
         A, ml = _ours("aniso", n, "HMIS", "Extended")
         ours = _solve_iters(A, ml)
         assert abs(ours - ref) <= 2, (n, ours, ref)
+
+def _our_stage0(A, coarsen, interp, threshold=0.25):
+    """Run OUR level-0 stages exactly as ParRugeStubenSolver does
+    (par_multilevel.py extend_hierarchy), returning (S, states, P)."""
+    from raptor_tpu.core.types import CoarsenType, StrengthType
+    from raptor_tpu.ruge_stuben import cf_splitting as cf
+    from raptor_tpu.ruge_stuben.interpolation import par_interpolation
+    from raptor_tpu.ruge_stuben.strength import strength
+    from raptor_tpu.utils.glibc_rand import form_rand_weights
+
+    s = strength(A, StrengthType.Classical, threshold, 1, None)
+    w = form_rand_weights(A.global_num_rows, 0)
+    ct = CoarsenType[coarsen]
+    split = {CoarsenType.RS: lambda: cf.split_rs_entry(s),
+             CoarsenType.CLJP: lambda: cf.split_cljp(s, w),
+             CoarsenType.Falgout: lambda: cf.split_falgout(s, w),
+             CoarsenType.PMIS: lambda: cf.split_pmis(s, w),
+             CoarsenType.HMIS: lambda: cf.split_hmis(s, w)}[ct]
+    states = split()
+    kind = {"Direct": "direct", "ModClassical": "mod_classical",
+            "Extended": "extended"}[interp]
+    p = par_interpolation(A, s, states, kind)
+    return s, np.asarray(states), p
+
+
+@pytest.mark.parametrize("problem,n,coarsen,interp", [
+    ("aniso", 25, "HMIS", "Extended"),
+    ("aniso", 25, "CLJP", "ModClassical"),
+    ("lap27", 10, "PMIS", "Extended"),
+])
+def test_oracle_stage_dumps(problem, n, coarsen, interp):
+    """Per-STAGE diffing against the live reference (its own
+    test_hypre_splitting / test_hypre_strength discipline): the level-0
+    strength matrix must match bit-exactly (pattern AND values) and the
+    CF splitting states must be identical integers — so the NEXT
+    semantics divergence localizes to strength vs splitting vs interp
+    in one test run instead of a round of hierarchy bisection
+    (the round-4 extended+i bug took exactly that bisection)."""
+    ref = run_oracle_stages(problem, n, coarsen, interp)
+    assert ref is not None and len(ref["S"]) >= 1 and len(ref["cf"]) >= 1
+
+    from raptor_tpu.gallery.stencils import (diffusion_stencil_2d,
+                                             laplace_stencil_27pt,
+                                             par_stencil_grid)
+    if problem == "lap27":
+        A = par_stencil_grid(laplace_stencil_27pt(), (n, n, n), 1)
+    else:
+        A = par_stencil_grid(diffusion_stencil_2d(0.001, np.pi / 8),
+                             (n, n), 1)
+    s, states, p = _our_stage0(A, coarsen, interp)
+
+    Sr = ref["S"][0]
+    ip, c, v = s._g().sorted_csr()
+    np.testing.assert_array_equal(Sr.indptr, ip)
+    np.testing.assert_array_equal(Sr.indices, c)
+    assert np.abs(Sr.data - v).max() < 1e-14
+
+    np.testing.assert_array_equal(ref["cf"][0], states)
+
+
+def test_oracle_stage_dumps_pm_operator(test_data):
+    """Stage dumps on an arbitrary .pm operator (read by the
+    reference's own readParMatrix on its side, by gallery.io.read_pm on
+    ours): level-0 S pattern+values and CF states must be identical."""
+    from raptor_tpu.core.par_matrix import par_matrix_from_scipy
+    from raptor_tpu.gallery.io import read_pm
+
+    path = str(test_data / "aniso.pm")
+    ref = run_oracle_stages(path, 0, "PMIS", "Extended")
+    assert ref is not None and len(ref["S"]) >= 1
+    A = par_matrix_from_scipy(read_pm(path).to_scipy(), 1)
+    s, states, p = _our_stage0(A, "PMIS", "Extended")
+
+    Sr = ref["S"][0]
+    ip, c, v = s._g().sorted_csr()
+    np.testing.assert_array_equal(Sr.indptr, ip)
+    np.testing.assert_array_equal(Sr.indices, c)
+    assert np.abs(Sr.data - v).max() < 1e-14
+    np.testing.assert_array_equal(ref["cf"][0], states)
+
 
 def test_solve_with_reference_external_solver():
     """solve_with_reference: the live external-solver wrapper (the
