@@ -91,7 +91,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     cache = sys.argv[2] if len(sys.argv) > 2 else "/tmp"
     only = sys.argv[3] if len(sys.argv) > 3 else None
-    fmts = (None, "well", "bell", "ell") if only is None else \
+    fmts = (None, "well", "wellt", "bell", "ell") if only is None else \
         ((None,) if only == "auto" else (only,))
     ops = _build_or_load(n, cache)
     mesh = dpar.make_mesh(1)

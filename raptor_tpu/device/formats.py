@@ -108,7 +108,7 @@ def _wind_slot_assign(q, rows, tid, row_nnz, W, T):
     return s
 
 
-def wind_ell_stats(a: CSRMatrix, rows_pad: int, ba: int):
+def wind_ell_stats(a: CSRMatrix, rows_pad: int, ba: int, chunk: int = 1):
     """(W, WR, T, scan) for the windowed-ELL layout at tile size ba*128.
 
     W is the ELL row width; WR the max per-tile column-window height in
@@ -119,7 +119,12 @@ def wind_ell_stats(a: CSRMatrix, rows_pad: int, ba: int):
     slot assignment (_wind_slot_assign): slot w of a tile only spans a
     narrow band of window rows, so scan << W*WR*T for transfer
     operators (the 128^3 transposed prolongator drops ~5x, the forward
-    ~7x)."""
+    ~7x).
+
+    ``chunk`` > 1 counts each (tile, slot) band rounded out to aligned
+    ``chunk``-row groups — the scan the TRANSPOSE kernel
+    (wind_ell_spmv_T_pallas) actually performs, whose inner step covers
+    ``chunk`` aligned window rows per one-hot matmul."""
     row_nnz = np.diff(a.indptr)
     W = int(row_nnz.max()) if a.nnz else 0
     TR = ba * LANE
@@ -143,7 +148,11 @@ def wind_ell_stats(a: CSRMatrix, rows_pad: int, ba: int):
     np.minimum.at(slo, flat, q)
     np.maximum.at(shi, flat, q)
     act = shi >= 0
-    scan = int(np.sum(shi[act] - slo[act] + 1))
+    if chunk > 1:
+        scan = int(np.sum((shi[act] // chunk - slo[act] // chunk + 1))
+                   ) * chunk
+    else:
+        scan = int(np.sum(shi[act] - slo[act] + 1))
     return W, int(_round_up(span, 8)), T, scan
 
 
@@ -222,6 +231,39 @@ def wind_ell_spmv(ws: jnp.ndarray, rel: jnp.ndarray, vals: jnp.ndarray,
     need = wind_src_height(x.shape[0], WR) * LANE
     x2 = jnp.pad(x, (0, need - x.shape[0]))
     return (vals * x2[cols]).sum(axis=0)[:rows_pad]
+
+
+def wind_ellt_cols(ws: jnp.ndarray, relT: jnp.ndarray,
+                   ba: int) -> jnp.ndarray:
+    """Absolute TARGET ids [R, W] from the pre-transposed windowed
+    layout (relT [R, W] window-relative, per source-row tile)."""
+    R, W = relT.shape
+    T = R // (ba * LANE)
+    return (relT.reshape(T, ba * LANE, W)
+            + ws[:, None, None].astype(relT.dtype) * LANE).reshape(R, W)
+
+
+def wind_ell_spmv_T(ws: jnp.ndarray, relT: jnp.ndarray,
+                    valsT: jnp.ndarray, x: jnp.ndarray, ba: int,
+                    WR: int, n_out: int) -> jnp.ndarray:
+    """XLA reference/fallback for the TRANSPOSED windowed-ELL apply.
+
+    The operand set is the FORWARD matrix B packed by wind_ell_arrays
+    (its rows = the x domain) but stored pre-transposed ([R, W] instead
+    of [W, R], so the Pallas kernel lane-slices per-slot columns without
+    relayouts); this computes y = B^T x by scattering each entry's
+    contribution to its windowed target. This is the restriction path
+    (reference util/linalg/par_spmv.cpp:157-209 mult_T): iterating the
+    FORWARD (fine-row) layout keeps the scan bands ~10x narrower than
+    packing the transpose directly (wind_ell_stats on the 128^3
+    extended+i P: 180k forward vs 1.8M transposed)."""
+    R, W = relT.shape
+    cols = wind_ellt_cols(ws, relT, ba)
+    xp = jnp.pad(x, (0, R - x.shape[0]))
+    H = wind_src_height(n_out, WR)
+    y = jnp.zeros(H * LANE, dtype=valsT.dtype).at[cols.reshape(-1)].add(
+        (valsT * xp[:, None]).reshape(-1))
+    return y[:n_out]
 
 
 # --- boundary-compacted off_proc block ----------------------------------------

@@ -290,15 +290,15 @@ def mod_classical_interp_device(a: CSRMatrix, strong: np.ndarray,
                                 (0, n_pad - n)).astype(dtype))
     sgnd = jnp.asarray(np.pad(ops["sgn"], (0, n_pad - n)).astype(dtype))
 
-    vals_out = []
-    for s in range(0, n_pad, C):
-        sl = np.s_[:, s:s + C]
-        pv = _jit_mc(
-            sc_cd[sl], sc_vd[sl], sf_cd[sl], sf_vd[sl],
-            wsum0d[s:s + C], sgnd,
-            bag_c, bag_v, ztol=float(ZERO_TOL))
-        vals_out.append(np.asarray(pv))
-    vals = np.concatenate(vals_out, axis=1)[:, :n]
+    # dispatch all chunks, then read back (see extended_interp_device)
+    outs = [
+        _jit_mc(sc_cd[:, s:s + C], sc_vd[:, s:s + C],
+                sf_cd[:, s:s + C], sf_vd[:, s:s + C],
+                wsum0d[s:s + C], sgnd,
+                bag_c, bag_v, ztol=float(ZERO_TOL))
+        for s in range(0, n_pad, C)]
+    vals = np.concatenate([np.asarray(pv) for pv in outs],
+                          axis=1)[:, :n]
     counts = (sc_c != SENT).sum(axis=0)
     return _assemble_p(n, n_coarse, states, sc_c, vals, counts,
                        col_to_new)
@@ -385,18 +385,21 @@ def extended_interp_device(a: CSRMatrix, strong: np.ndarray,
     wsum0d = jnp.asarray(np.pad(ops["wsum0"],
                                 (0, n_pad - n)).astype(dtype))
 
-    chunks, counts, mx = [], [], 0
+    # dispatch ALL chunks before any readback: np.asarray blocks, and a
+    # blocking readback between dispatches serializes host transfer
+    # with device compute (chunk s+1 idles while chunk s downloads)
+    outs = []
     for s in range(0, n_pad, C):
         sl = np.s_[:, s:s + C]
-        pc, pv, cnt, m = _jit_interp(
+        outs.append(_jit_interp(
             scg_d[sl], sc_vd[sl], sf_cd[sl], sf_vd[sl],
             di_vd[sl], awc_cd[sl], awc_vd[sl],
             wsum0d[s:s + C],
             scg_d, bcs_cd, bcs_vd, bcw_cd, bcw_vd, dsc_d,
-            p_cap=p_cap, ztol=float(ZERO_TOL))
-        chunks.append((np.asarray(pc), np.asarray(pv)))
-        counts.append(np.asarray(cnt))
-        mx = max(mx, int(m))
+            p_cap=p_cap, ztol=float(ZERO_TOL)))
+    chunks = [(np.asarray(pc), np.asarray(pv)) for pc, pv, _, _ in outs]
+    counts = [np.asarray(cnt) for _, _, cnt, _ in outs]
+    mx = max(int(m) for _, _, _, m in outs)
     if mx > p_cap:
         raise InterpOverflow(f"pattern width {mx} > cap {p_cap}")
 

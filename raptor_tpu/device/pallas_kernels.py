@@ -319,6 +319,138 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
     return out[:rows_pad]
 
 
+def wind_ell_spmv_T_pallas(ws: jnp.ndarray, relT: jnp.ndarray,
+                           valsT: jnp.ndarray, x: jnp.ndarray, WR: int,
+                           ba: int, n_out: int,
+                           jlo: jnp.ndarray = None,
+                           jhi: jnp.ndarray = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Transpose-windowed-ELL apply: y = B^T x from FORWARD-packed B.
+
+    The restriction kernel (reference util/linalg/par_spmv.cpp:157-209
+    mult_T). Packing P^T directly as windowed ELL makes the scan bands
+    ~10x wider than the forward layout's (coarse rows interleave fine
+    sources), so this kernel iterates the FORWARD (source-row) tiles and
+    SCATTERS: the full padded output lives VMEM-resident ([H, 128]
+    blocks, ~0.7 MB for a 128^3 coarse grid) and accumulates across the
+    sequential grid; per (tile, slot) the lane-scatter is a one-hot MXU
+    matmul — Q[n, j'] = (window-row(n) == j0+j') * val[n] * x[n]
+    contracted over the TR source rows against the slot's one-hot lane
+    matrix [ls(n) == l], eight window rows per step. The operands are
+    stored PRE-TRANSPOSED ([R, W]) so every per-slot read is a natural
+    (TR, 1) lane slice — no in-kernel relayouts.
+
+    With ``jlo``/``jhi`` ([T, W] window-row bounds over the forward
+    layout) each slot only visits its aligned 8-row chunks — the same
+    bounded-scan tables the forward kernel uses.
+
+    Returns None (caller falls back to formats.wind_ell_spmv_T) for
+    f64, empty layouts, or outputs too large to keep VMEM-resident."""
+    from raptor_tpu.device.formats import wind_src_height
+    if valsT.dtype.itemsize > 4:
+        return None     # Mosaic has no 64-bit support; XLA path handles f64
+    R, W = valsT.shape
+    TR = ba * LANE
+    if W == 0 or R % TR or WR % 8:
+        return None
+    T = R // TR
+    H = wind_src_height(n_out, WR)
+    # output + both (TR, W) operand blocks must fit VMEM comfortably
+    if (H * LANE + 2 * TR * W) * valsT.dtype.itemsize > 12 * 1024 * 1024:
+        return None
+    if jlo is not None and T * W > WELL_SCAN_TABLE_MAX:
+        jlo = jhi = None    # scan-bound tables too big for SMEM prefetch
+    x2 = jnp.pad(x, (0, R - x.shape[0])).reshape(R, 1)
+    JB = 8
+    bounded = jlo is not None
+
+    def kernel(*refs):
+        if bounded:
+            (ws_ref, jlo_ref, jhi_ref, rel_ref, val_ref, x_ref,
+             out_ref) = refs
+        else:
+            ws_ref, rel_ref, val_ref, x_ref, out_ref = refs
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[:, :] = jnp.zeros((H, LANE), val_ref.dtype)
+
+        s = pl.multiple_of(ws_ref[i], 8)
+        xt = x_ref[:, :]                                    # (TR, 1)
+        liota = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 1)
+
+        def wbody(w, _):
+            relw = rel_ref[:, pl.ds(w, 1)]                  # (TR, 1)
+            lsw = jax.lax.bitwise_and(relw, 127)
+            qw = jax.lax.shift_right_logical(relw, 7)
+            cw = val_ref[:, pl.ds(w, 1)] * xt               # (TR, 1)
+            onehot = jnp.where(lsw == liota,
+                               val_ref.dtype.type(1),
+                               val_ref.dtype.type(0))       # (TR, LANE)
+            if bounded:
+                c0 = jlo_ref[i, w] // JB
+                c1 = (jhi_ref[i, w] + JB - 1) // JB
+            else:
+                c0, c1 = 0, WR // JB
+
+            def cbody(c, _):
+                j0 = c * JB
+                jio = j0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (TR, JB), 1)
+                q8 = jnp.where(qw == jio, cw, 0)            # (TR, JB)
+                y8 = jax.lax.dot_general(
+                    q8, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=val_ref.dtype)   # (JB, LANE)
+                t0 = pl.multiple_of(s + j0, JB)
+                out_ref[pl.ds(t0, JB), :] += y8
+                return 0
+
+            jax.lax.fori_loop(c0, c1, cbody, 0)
+            return 0
+
+        jax.lax.fori_loop(0, W, wbody, 0)
+
+    n_pref = 3 if bounded else 1
+    operands = [jnp.asarray(ws, jnp.int32)]
+    if bounded:
+        operands += [jnp.asarray(jlo, jnp.int32),
+                     jnp.asarray(jhi, jnp.int32)]
+
+    def _im_tile(i, *pref):
+        return (i, 0)
+
+    def _im_out(i, *pref):
+        return (0, 0)
+
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_pref,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((TR, W), _im_tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, W), _im_tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 1), _im_tile, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((H, LANE), _im_out,
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((H, LANE), valsT.dtype,
+                                           vma=jax.typeof(valsT).vma),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * W * R * JB,
+                bytes_accessed=(2 * W * R + 2 * R) * valsT.dtype.itemsize,
+                transcendentals=0),
+        )(*operands, relT, valsT, x2)
+    return out.reshape(-1)[:n_out]
+
+
 def bell_spmv_pallas(src: jnp.ndarray, idx: jnp.ndarray,
                      vals: jnp.ndarray, x: jnp.ndarray,
                      rows_pad: int, interpret: bool = False) -> jnp.ndarray:

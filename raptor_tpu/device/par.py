@@ -41,7 +41,7 @@ from raptor_tpu.device.formats import (
     dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays,
     ell_boundary_arrays, ell_spmv, ell_spmv_T, off_spmv, off_spmv_T,
     select_planes, wind_ell_arrays, wind_ell_cols, wind_ell_spmv,
-    wind_ell_stats)
+    wind_ell_spmv_T, wind_ell_stats, wind_ellt_cols, wind_src_height)
 
 ROW_AXIS = "rows"
 
@@ -199,7 +199,7 @@ class DeviceParCSR:
     bd_ba: int              # pallas sublane block size (0 = XLA fallback)
     wl_wr: int              # windowed-ELL window height (128-blocks)
     wl_ba: int              # windowed-ELL tile size (128-row blocks)
-    on_format: str          # "ell" | "dia" | "bdia" | "bell" | "well"
+    on_format: str          # "ell"|"dia"|"bdia"|"bell"|"well"|"wellt"
     embed_kind: str         # "none" | "cols" | "rows"
     on_rows_pad: int        # row space of the PACKED on block
     has_t: bool             # transpose path available (ELL copy packed)
@@ -214,6 +214,8 @@ class DeviceParCSR:
 MAX_DIA_OFFSETS = 64
 MAX_BDIA_PLANES = 1024
 WELL_MAX_WR = 1024      # windowed-ELL window cap (512 KB f32 VMEM)
+WELLT_ALPHA = 2.0       # scatter-kernel cost per chunk-8 scan step vs the
+#                         forward kernel's per-step cost (on-chip calibrated)
 
 
 def _block_anchors(firsts: np.ndarray, space: int) -> np.ndarray:
@@ -497,10 +499,12 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     # 3*P*fmt_R streaming planes + ~128/entry for the per-entry 'rest'
     # gathers.
     wl_ba, wl_wr, wl_T = 8, 0, 1
-    wW = 0
-    if force_format == "well" or (
+    wW = wWt = 0
+    if force_format in ("well", "wellt") or (
             use_dia in ("ell", "bdia")
             and os.environ.get("RAPTOR_TPU_WELL", "1") == "1"):
+        from raptor_tpu.device.pallas_kernels import WELL_SCAN_TABLE_MAX
+        itemsz = jnp.dtype(dtype).itemsize
         stats = [st for p_l in _gall(
             tr, [wind_ell_stats(blk.on_proc, R, wl_ba) for blk in shards])
             for st in p_l]
@@ -508,28 +512,64 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         wWR = max(wr for _, wr, _, _ in stats)
         w_scan = max(sc for _, _, _, sc in stats)
         R_w = _round_up(R, wl_ba * 128)
-        auto_ok = False
-        if force_format is None and wWR <= WELL_MAX_WR and R >= 2048:
-            # past the kernel's SMEM table limit the bounded scan is
-            # silently dropped — cost the full W*WR scan it actually runs
-            from raptor_tpu.device.pallas_kernels import WELL_SCAN_TABLE_MAX
-            T_w = R_w // (wl_ba * 128)
-            if T_w * wW > WELL_SCAN_TABLE_MAX:
-                w_scan = T_w * wW * wWR
-            cost_well = 3 * w_scan * wl_ba * 128
+        T_w = R_w // (wl_ba * 128)
+        # past the kernel's SMEM table limit the bounded scan is
+        # silently dropped — cost the full W*WR scan it actually runs
+        if T_w * wW > WELL_SCAN_TABLE_MAX:
+            w_scan = T_w * wW * wWR
+        cost_well = 3 * w_scan * wl_ba * 128
+        # TRANSPOSE-windowed candidacy (restriction-shaped blocks only:
+        # strictly fewer rows than cols, e.g. P^T). The scatter kernel
+        # iterates the FORWARD layout of the transposed block — its
+        # chunk-8 scan bands are ~10x narrower than packing P^T directly
+        # (coarse rows interleave fine sources) — and keeps the whole
+        # padded output VMEM-resident, so it needs a small row space.
+        wellt_cand = (force_format == "wellt"
+                      or (force_format is None
+                          and part.global_num_rows < part.global_num_cols))
+        if wellt_cand:
+            statsT = [st for p_l in _gall(
+                tr, [wind_ell_stats(blk.on_proc.transpose(), C, wl_ba,
+                                    chunk=8) for blk in shards])
+                for st in p_l]
+            wWt = max(w for w, _, _, _ in statsT)
+            wWRt = max(wr for _, wr, _, _ in statsT)
+            w_scanT = max(sc for _, _, _, sc in statsT)
+            C_w = _round_up(C, wl_ba * 128)
+            T_t = C_w // (wl_ba * 128)
+            if T_t * wWt > WELL_SCAN_TABLE_MAX:
+                w_scanT = T_t * wWt * _round_up(max(wWRt, 8), 8)
+            cost_wellt = WELLT_ALPHA * 3 * w_scanT * wl_ba * 128
+            H_t = wind_src_height(R, max(wWRt, 8))
+            wellt_fits = ((H_t * 128 + 2 * wl_ba * 128 * max(wWt, 1))
+                          * itemsz <= 12 * 1024 * 1024)
+        cand = []
+        if wW > 0 and wWR <= WELL_MAX_WR and R >= 2048:
+            cand.append((cost_well, "well"))
+        if (wellt_cand and wWt > 0 and wWRt <= WELL_MAX_WR and C >= 2048
+                and wellt_fits):
+            cand.append((cost_wellt, "wellt"))
+        pick = force_format if force_format in ("well", "wellt") else None
+        if force_format is None and cand:
+            cbest, fbest = min(cand)
             if use_dia == "ell":
-                auto_ok = True
+                pick = fbest
             elif use_dia == "bdia":
                 rest_nnz = total - kept_nnz
                 cost_bdia = 3 * len(bd_spec) * A128 * 128 \
                     + 128 * rest_nnz
                 # bias toward BDIA near ties (its kernel is the more
                 # mature one)
-                auto_ok = cost_well < 0.7 * cost_bdia
-        if force_format == "well" or (wW > 0 and auto_ok):
+                if cbest < 0.7 * cost_bdia:
+                    pick = fbest
+        if pick == "well" and wW > 0:
             use_dia, wl_wr = "well", max(wWR, 8)
-            wl_T = R_w // (wl_ba * 128)
-            # well packs the ORIGINAL blocks; drop any embedding
+            wl_T = T_w
+        elif pick == "wellt":
+            use_dia, wl_wr = "wellt", max(wWRt, 8)
+            wl_T = _round_up(C, wl_ba * 128) // (wl_ba * 128)
+        if use_dia in ("well", "wellt"):
+            # well/wellt pack the ORIGINAL blocks; drop any embedding
             embed_kind = "none"
             emb_idx = np.zeros((SL, 1), dtype=np.int32)
             emb_mask = np.zeros((SL, 1), dtype=np.float64)
@@ -607,6 +647,17 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         on_vals = np.zeros((SL, W_on, R_w), dtype=npdt)
         dia_vals = np.zeros((SL, 1, 1), dtype=npdt)
         dia_pad, dia_offsets = 1, (0,)
+    elif use_dia == "wellt":
+        # PRE-TRANSPOSED forward layout of the transposed block: [R_w, W]
+        # window-relative TARGET ids over the wl-tiled SOURCE (col) space
+        # (the scatter kernel lane-slices per-slot columns natively)
+        W_on = max(1, wWt)
+        R_w = wl_T * wl_ba * 128
+        fmt_R = R_w
+        on_cols = np.zeros((SL, R_w, W_on), dtype=np.int32)
+        on_vals = np.zeros((SL, R_w, W_on), dtype=npdt)
+        dia_vals = np.zeros((SL, 1, 1), dtype=npdt)
+        dia_pad, dia_offsets = 1, (0,)
     else:
         if use_dia in ("bdia", "bell") and not need_transpose:
             W_on = 1   # ELL copy only serves spmv_T; skip when unused
@@ -625,9 +676,14 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     row_mask = np.zeros((SL, R), dtype=npdt)
     col_mask = np.zeros((SL, C), dtype=npdt)
     wl_ws = np.zeros((SL, wl_T), dtype=np.int32)
-    wl_W = on_cols.shape[1] if use_dia == "well" else 1
-    wl_jlo = np.zeros((SL, wl_T if use_dia == "well" else 1, wl_W),
-                      dtype=np.int32)
+    if use_dia == "well":
+        wl_W = on_cols.shape[1]
+    elif use_dia == "wellt":
+        wl_W = on_cols.shape[2]
+    else:
+        wl_W = 1
+    wl_jlo = np.zeros((SL, wl_T if use_dia in ("well", "wellt") else 1,
+                       wl_W), dtype=np.int32)
     wl_jhi = np.zeros_like(wl_jlo)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
@@ -641,6 +697,15 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
              wl_jhi[s]) = wind_ell_arrays(
                 blk.on_proc, R, on_cols.shape[1], wl_wr, wl_ba, C,
                 dtype=npdt)
+        elif use_dia == "wellt":
+            # forward-pack the TRANSPOSED block (source rows = x domain,
+            # window over the OUTPUT rows), stored pre-transposed
+            (wl_ws[s], rel_s, val_s, wl_jlo[s],
+             wl_jhi[s]) = wind_ell_arrays(
+                blk.on_proc.transpose(), C, on_cols.shape[2], wl_wr,
+                wl_ba, R, dtype=npdt)
+            on_cols[s] = rel_s.T
+            on_vals[s] = val_s.T
         else:
             if not ((use_dia in ("bdia", "bell"))
                     and not need_transpose):
@@ -841,6 +906,18 @@ def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
             out = wind_ell_spmv(A.wl_ws, A.on_cols, A.on_vals, x,
                                 A.wl_ba, A.wl_wr, A.rows_pad)
         return out
+    elif A.on_format == "wellt":
+        from raptor_tpu.device.pallas_kernels import (
+            wind_ell_spmv_T_pallas, use_pallas)
+        out = None
+        if use_pallas():
+            out = wind_ell_spmv_T_pallas(A.wl_ws, A.on_cols, A.on_vals,
+                                         x, A.wl_wr, A.wl_ba, A.rows_pad,
+                                         jlo=A.wl_jlo, jhi=A.wl_jhi)
+        if out is None:
+            out = wind_ell_spmv_T(A.wl_ws, A.on_cols, A.on_vals, x,
+                                  A.wl_ba, A.wl_wr, A.rows_pad)
+        return out
     elif A.on_format == "bell":
         from raptor_tpu.device.pallas_kernels import (
             bell_spmv_pallas, use_pallas)
@@ -880,6 +957,12 @@ def on_spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
         cols = wind_ell_cols(A.wl_ws, A.on_cols, A.wl_ba)
         xp = jnp.pad(x, (0, A.on_vals.shape[1] - x.shape[0]))
         return ell_spmv_T(cols, A.on_vals, xp, A.cols_pad)
+    if A.on_format == "wellt":
+        # the packed arrays ARE the transpose: spmv_T = forward gather
+        cols = wind_ellt_cols(A.wl_ws, A.on_cols, A.wl_ba)
+        need = wind_src_height(A.rows_pad, A.wl_wr) * 128
+        xp = jnp.pad(x, (0, need - x.shape[0]))
+        return (A.on_vals * xp[cols]).sum(axis=1)[:A.cols_pad]
     if not A.has_t:
         raise ValueError(
             "matrix was packed with need_transpose=False; rebuild with "

@@ -161,3 +161,49 @@ def test_scaled_amg_solves_original_system():
     x = diagonally_unscale(xs, scales)
     r = np.linalg.norm(b - A.mult(x)) / np.linalg.norm(b)
     assert r < 1e-8, r
+
+
+def test_lp_partitioner_local_view_matches_global(test_data):
+    """The distributed (local-view) repartition path: label-propagation
+    partitioner + transport row migration equal the global
+    make_contiguous exactly, and the refined cut never worsens the
+    block partition (repartition.cpp:64's distributed role; the
+    multi-process twin runs in tests/test_multiproc.py)."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.comm.transport import InProcessTransport
+    from raptor_tpu.core.par_matrix import (ParCSRMatrix,
+                                            par_matrix_from_scipy)
+    from raptor_tpu.gallery.io import read_pm
+    from raptor_tpu.linalg.repartition import (comm_volume,
+                                               dist_partition_graph,
+                                               make_contiguous)
+
+    m = read_pm(test_data / "random.pm").to_scipy().tocsr()
+    n = m.shape[0]
+    S = 4
+    Ap = par_matrix_from_scipy(m, S)
+    labels = dist_partition_graph(Ap, InProcessTransport(Ap))
+    proc = np.concatenate(labels)
+    block_proc = np.repeat(np.arange(S), np.diff(Ap.partition.row_bounds))
+    assert (comm_volume(Ap, proc)["edge_cut"]
+            <= comm_volume(Ap, block_proc)["edge_cut"])
+    cap = int(np.ceil(n / S * 1.05))
+    assert np.bincount(proc, minlength=S).max() <= cap
+
+    A_ref, perm_ref = make_contiguous(Ap, proc)
+    # the same migration through the transport on a LOCAL VIEW
+    blocks = [blk.global_cols_csr(n) for blk in Ap.shards()]
+    Alv = ParCSRMatrix.from_local_rows(blocks, Ap.partition,
+                                       first_shard=0)
+    tr = InProcessTransport(Alv)
+    labels_lv = partition_graph(Alv, tr=tr)
+    assert all(np.array_equal(a, b) for a, b in zip(labels, labels_lv))
+    A_new, perms = repartition_matrix(Alv, labels_lv, tr=tr)
+    assert A_new.is_local_view
+    assert np.array_equal(np.concatenate(perms), perm_ref)
+    got = A_new.assemble_global()
+    want = A_ref.global_csr
+    assert np.array_equal(got.indptr, want.indptr)
+    assert np.array_equal(got.indices, want.indices)
+    np.testing.assert_allclose(got.data, want.data, rtol=1e-14)

@@ -373,3 +373,71 @@ def test_spmd_bsr_full_hierarchy(world):
     for r in range(1, world):
         np.testing.assert_allclose(results[r][1], results[0][1],
                                    rtol=1e-12)
+
+
+def _repart_worker(rank, group, blocks, part):
+    """k-way-repartition an unstructured operator with NO global view:
+    the label-propagation partitioner and the row migration both run
+    over the transport only (repartition.cpp:64's distributed role)."""
+    a = _local_view(blocks, part, rank)
+    assert a.is_local_view
+    tr = MultiProcessTransport(group, a)
+    from raptor_tpu.linalg.repartition import (partition_graph,
+                                               repartition_matrix)
+    labels = partition_graph(a, tr=tr)
+    a_new, perms = repartition_matrix(a, labels, tr=tr)
+    assert a_new.is_local_view
+    blk = a_new.shards()[0].global_cols_csr(a_new.global_num_cols)
+    return (labels[0], blk, perms[0],
+            np.asarray(a_new.partition.row_bounds))
+
+
+@pytest.mark.parametrize("world", [4])
+def test_multiproc_repartition_kway(world):
+    """Distributed repartition of an unstructured operator across 4 real
+    processes — no rank ever assembles the global matrix (VERDICT r4
+    item 5; reference util/linalg/repartition.cpp:64). Bit-identical to
+    the in-process transport, which the test verifies directly against
+    the global make_contiguous."""
+    import scipy.sparse as sp
+
+    from raptor_tpu.comm.transport import InProcessTransport
+    from raptor_tpu.linalg.repartition import (comm_volume,
+                                               dist_partition_graph,
+                                               make_contiguous)
+
+    n = 400
+    m = sp.random(n, n, density=0.02, random_state=7, format="csr")
+    m = (m + m.T + sp.diags(np.ones(n) * 4)).tocsr()
+    m.sort_indices()
+    Ap = par_matrix_from_scipy(m, world)
+    part = Ap.partition
+    blocks = [blk.global_cols_csr(n) for blk in Ap.shards()]
+
+    results = run_spmd(world, _repart_worker, blocks, part)
+
+    # in-process twin + global-path oracle
+    labels_ip = dist_partition_graph(Ap, InProcessTransport(Ap))
+    proc = np.concatenate(labels_ip)
+    A_ref, perm_ref = make_contiguous(Ap, proc)
+    rb_ref = np.asarray(A_ref.partition.row_bounds)
+
+    got_rows = []
+    for rank in range(world):
+        labels_r, blk_r, perm_r, rb_r = results[rank]
+        assert np.array_equal(labels_r, labels_ip[rank])
+        assert np.array_equal(rb_r, rb_ref)
+        assert np.array_equal(
+            perm_r, perm_ref[rb_ref[rank]:rb_ref[rank + 1]])
+        got_rows.append(blk_r)
+    A_mp = _stack(got_rows, n)
+    want = A_ref.global_csr
+    assert np.array_equal(A_mp.indptr, want.indptr)
+    assert np.array_equal(A_mp.indices, want.indices)
+    np.testing.assert_allclose(A_mp.data, want.data, rtol=1e-14)
+
+    # the refinement must not worsen the block partition's edge cut
+    block_proc = np.repeat(np.arange(world),
+                           np.diff(part.row_bounds))
+    assert (comm_volume(Ap, proc)["edge_cut"]
+            <= comm_volume(Ap, block_proc)["edge_cut"])
