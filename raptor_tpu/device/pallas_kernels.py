@@ -23,10 +23,19 @@ _BLOCK_CANDIDATES = (65536, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256,
                      128)
 
 # Above this many (tile, slot) pairs the jlo/jhi scan-bound tables no longer
+# fit SMEM (1 MB/core): the tables are passed FLATTENED to (T*W,) — a 2-D
+# (T, W) SMEM operand gets its minor dim padded to 128 lanes, so a 2048-tile
+# table costs 1 MB regardless of W (observed SMEM OOM at 128^3). Two int32
+# tables at 1<<16 entries = 512 KB, leaving room for ws + program scalars.
 # fit SMEM prefetch and the windowed kernel silently runs the full W*WR scan.
 # device/par.py's format cost model must use the SAME threshold, else it can
 # auto-select windowed-ELL on bounded-scan cost in the unbounded regime.
-WELL_SCAN_TABLE_MAX = 1 << 17
+WELL_SCAN_TABLE_MAX = 1 << 16
+
+# The transpose kernel Python-unrolls its slot loop (Mosaic rejects dynamic
+# lane-dim slices); past this width the unrolled Mosaic program gets too big.
+# device/par.py must gate wellt auto-selection on the same limit.
+WELLT_UNROLL_MAX = 32
 
 
 def _pick_block(R: int, K: int, pad: int, itemsize: int) -> int:
@@ -267,8 +276,8 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
                 g = jnp.take_along_axis(row, lsw, axis=1)
                 return acc + jnp.where(qw == j, g, 0.0) * vw
 
-            return jax.lax.fori_loop(jlo_ref[i, w], jhi_ref[i, w],
-                                     jbody, acc)
+            return jax.lax.fori_loop(jlo_ref[i * W + w],
+                                     jhi_ref[i * W + w], jbody, acc)
 
         acc0 = jnp.zeros((ba, LANE), dtype=val_ref.dtype)
         out_ref[:] = jax.lax.fori_loop(0, W, wbody, acc0).reshape(-1)
@@ -277,8 +286,9 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
     n_pref = 3 if bounded else 1
     operands = [jnp.asarray(ws, jnp.int32)]
     if bounded:
-        operands += [jnp.asarray(jlo, jnp.int32),
-                     jnp.asarray(jhi, jnp.int32)]
+        # FLATTENED: 2-D SMEM operands pad the minor dim to 128 lanes
+        operands += [jnp.asarray(jlo, jnp.int32).reshape(-1),
+                     jnp.asarray(jhi, jnp.int32).reshape(-1)]
     scratch = [pltpu.VMEM((WR, LANE), vals.dtype)]
     if not bounded:
         scratch.append(pltpu.VMEM((W, ba, LANE), jnp.int32))
@@ -351,7 +361,7 @@ def wind_ell_spmv_T_pallas(ws: jnp.ndarray, relT: jnp.ndarray,
         return None     # Mosaic has no 64-bit support; XLA path handles f64
     R, W = valsT.shape
     TR = ba * LANE
-    if W == 0 or R % TR or WR % 8:
+    if W == 0 or W > WELLT_UNROLL_MAX or R % TR or WR % 8:
         return None
     T = R // TR
     H = wind_src_height(n_out, WR)
@@ -380,42 +390,49 @@ def wind_ell_spmv_T_pallas(ws: jnp.ndarray, relT: jnp.ndarray,
         xt = x_ref[:, :]                                    # (TR, 1)
         liota = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 1)
 
-        def wbody(w, _):
-            relw = rel_ref[:, pl.ds(w, 1)]                  # (TR, 1)
+        # the slot loop is PYTHON-UNROLLED: Mosaic rejects DYNAMIC
+        # lane-dimension slices (rel_ref[:, pl.ds(w, 1)]) while every
+        # individual construct here compiles (bisected on chip) — and
+        # W is small for the operands this kernel is selected for (the
+        # forward width of P, ~11 at 128^3; device/par.py gates on it)
+        for w in range(W):
+            relw = rel_ref[:, w:w + 1]                      # (TR, 1)
             lsw = jax.lax.bitwise_and(relw, 127)
             qw = jax.lax.shift_right_logical(relw, 7)
-            cw = val_ref[:, pl.ds(w, 1)] * xt               # (TR, 1)
+            cw = val_ref[:, w:w + 1] * xt                   # (TR, 1)
             onehot = jnp.where(lsw == liota,
                                val_ref.dtype.type(1),
                                val_ref.dtype.type(0))       # (TR, LANE)
             if bounded:
-                c0 = jlo_ref[i, w] // JB
-                c1 = (jhi_ref[i, w] + JB - 1) // JB
+                c0 = jlo_ref[i * W + w] // JB
+                c1 = (jhi_ref[i * W + w] + JB - 1) // JB
             else:
                 c0, c1 = 0, WR // JB
 
-            def cbody(c, _):
+            def cbody(c, _, qw=qw, cw=cw, onehot=onehot):
                 j0 = c * JB
                 jio = j0 + jax.lax.broadcasted_iota(
                     jnp.int32, (TR, JB), 1)
                 q8 = jnp.where(qw == jio, cw, 0)            # (TR, JB)
                 y8 = jax.lax.dot_general(
                     q8, onehot, (((0,), (0,)), ((), ())),
+                    # HIGHEST: the MXU's default bf16 passes truncate the
+                    # f32 values (~1e-3 rel error, observed 3.4e-2 abs on
+                    # chip); the dot is tiny so full precision is free
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=val_ref.dtype)   # (JB, LANE)
                 t0 = pl.multiple_of(s + j0, JB)
                 out_ref[pl.ds(t0, JB), :] += y8
                 return 0
 
             jax.lax.fori_loop(c0, c1, cbody, 0)
-            return 0
-
-        jax.lax.fori_loop(0, W, wbody, 0)
 
     n_pref = 3 if bounded else 1
     operands = [jnp.asarray(ws, jnp.int32)]
     if bounded:
-        operands += [jnp.asarray(jlo, jnp.int32),
-                     jnp.asarray(jhi, jnp.int32)]
+        # FLATTENED: 2-D SMEM operands pad the minor dim to 128 lanes
+        operands += [jnp.asarray(jlo, jnp.int32).reshape(-1),
+                     jnp.asarray(jhi, jnp.int32).reshape(-1)]
 
     def _im_tile(i, *pref):
         return (i, 0)

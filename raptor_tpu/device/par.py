@@ -546,9 +546,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         cand = []
         if wW > 0 and wWR <= WELL_MAX_WR and R >= 2048:
             cand.append((cost_well, "well"))
-        if (wellt_cand and wWt > 0 and wWRt <= WELL_MAX_WR and C >= 2048
-                and wellt_fits):
-            cand.append((cost_wellt, "wellt"))
+        if wellt_cand:
+            from raptor_tpu.device.pallas_kernels import WELLT_UNROLL_MAX
+            if (0 < wWt <= WELLT_UNROLL_MAX and wWRt <= WELL_MAX_WR
+                    and C >= 2048 and wellt_fits):
+                cand.append((cost_wellt, "wellt"))
         pick = force_format if force_format in ("well", "wellt") else None
         if force_format is None and cand:
             cbest, fbest = min(cand)
