@@ -498,7 +498,11 @@ def bell_spmv_pallas(src: jnp.ndarray, idx: jnp.ndarray,
     ba = 8
     C128 = -(-x.shape[0] // LANE)
     C128p = -(-C128 // 8) * 8
-    # x2 + double-buffered slot blocks must fit comfortably in VMEM
+    # resident x is hard-capped at 4 MB: an 8.4 MB fine-level x
+    # RESOURCE_EXHAUSTs on chip (128^3 P^T probe) even though the naive
+    # VMEM sum fits — the pipeline's double buffering multiplies it
+    if C128p * LANE * 4 > 4 * 1024 * 1024:
+        return None
     if C128p * LANE * 4 + 4 * W * ba * LANE * (4 + 1 + 4) > 100 * 1024 * 1024:
         return None
     A128p = -(-A128 // ba) * ba
@@ -507,13 +511,16 @@ def bell_spmv_pallas(src: jnp.ndarray, idx: jnp.ndarray,
         src = jnp.pad(src, ((0, 0), (0, A128p - A128)))
         idx = jnp.pad(idx, ((0, 0), (0, A128p - A128), (0, 0)))
         vals = jnp.pad(vals, ((0, 0), (0, A128p - A128), (0, 0)))
+    # src rides along as a per-block SMEM operand, NOT scalar prefetch:
+    # a (W, A128) prefetch table pads its minor dim to 128 lanes in SMEM
+    # (1.5-2.5 MB at 128^3 vs the 1 MB budget) — the production-width
+    # Mosaic rejection of round 4. Blocked (ba, W) it is ~16 KB/step.
+    srcT = jnp.asarray(src, jnp.int32).T  # (A128p, W)
 
     def kernel(src_ref, idx_ref, val_ref, x_ref, out_ref, wrow_s):
-        i = pl.program_id(0)
-
         def wbody(w, acc):
             for t in range(ba):
-                sb = src_ref[w, i * ba + t]
+                sb = src_ref[t, w]
                 wrow_s[pl.ds(t, 1)] = x_ref[pl.ds(sb, 1)]
             lid = idx_ref[w].astype(jnp.int32)
             return acc + val_ref[w] * jnp.take_along_axis(
@@ -524,17 +531,19 @@ def bell_spmv_pallas(src: jnp.ndarray, idx: jnp.ndarray,
 
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=0,
             grid=(A128p // ba,),
             in_specs=[
-                pl.BlockSpec((W, ba, LANE), lambda i, src: (0, i, 0),
+                pl.BlockSpec((ba, W), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((W, ba, LANE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((W, ba, LANE), lambda i, src: (0, i, 0),
+                pl.BlockSpec((W, ba, LANE), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((C128p, LANE), lambda i, src: (0, 0),
+                pl.BlockSpec((C128p, LANE), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((ba, LANE), lambda i, src: (i, 0),
+            out_specs=pl.BlockSpec((ba, LANE), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((ba, LANE), vals.dtype),
@@ -553,7 +562,7 @@ def bell_spmv_pallas(src: jnp.ndarray, idx: jnp.ndarray,
                 bytes_accessed=(2 * W * A128p * LANE + 2 * A128p * LANE)
                 * vals.dtype.itemsize,
                 transcendentals=0),
-        )(jnp.asarray(src, jnp.int32), idx, vals, x2)
+        )(srcT, idx, vals, x2)
     return out.reshape(-1)[:rows_pad]
 
 

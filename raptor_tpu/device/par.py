@@ -214,8 +214,27 @@ class DeviceParCSR:
 MAX_DIA_OFFSETS = 64
 MAX_BDIA_PLANES = 1024
 WELL_MAX_WR = 1024      # windowed-ELL window cap (512 KB f32 VMEM)
-WELLT_ALPHA = 2.0       # scatter-kernel cost per chunk-8 scan step vs the
-#                         forward kernel's per-step cost (on-chip calibrated)
+# Transfer-format cost model, CALIBRATED ON SILICON (round-5 128^3/48^3
+# shoot-outs, v5e). Every kernel is issue-bound, with a steady cost per
+# inner scan step plus a fixed cost per (tile, slot) pair (loop set-up,
+# operand slicing) that dominates short-band shapes:
+#   well  : 25 ns/step + 400 ns/pair.  Fit: 128^3 P (scan 186504,
+#           pairs 22528) -> 13.7 ms model vs 14.1 measured; 128^3 Pt
+#           (scan 1801707, pairs 13861) -> 50.6 model vs 45.6 measured
+#   wellt : 140 ns/chunk-step + 270 ns/pair (128^3 Pt: 343784 steps,
+#           22528 pairs -> 54.2 ms measured = fit point)
+#   bell  : 100 ns per (slot-layer, 8-target-block) step: 8 sublane
+#           copies + lane gather + fma (128^3 P: Wb=24 x 2048 steps ->
+#           4.85 ms; 48^3 P: 2376 steps -> 0.245 ms)
+WELL_NS_PER_STEP = 25.0
+WELL_NS_PER_SLOT = 400.0
+WELLT_NS_PER_STEP = 140.0
+WELLT_NS_PER_SLOT = 270.0
+BELL_NS_PER_STEP = 100.0
+# The bell Pallas kernel keeps x VMEM-resident: candidacy requires the
+# column vector to fit (8.4 MB fine-level x RESOURCE_EXHAUSTs on chip;
+# 683 KB coarse x runs). 4 MB leaves headroom for double buffering.
+BELL_X_VMEM_CAP = 4 * 1024 * 1024
 
 
 def _block_anchors(firsts: np.ndarray, space: int) -> np.ndarray:
@@ -453,14 +472,12 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 tr, [bell_stats(blk) for blk in fmt_blocks])
                 for st in p_l]
             Wb = max((w for w, _ in stats), default=0)
-            # BELL auto-selection is opt-in AND CPU-only: the Pallas
-            # kernel is bit-correct in interpret mode and ran on-chip at
-            # 48^3, but Mosaic REJECTS it at production widths (128^3 P
-            # and P^T both fail remote_compile, round-4 shoot-out) — and
-            # a compile failure surfaces only at first apply, far too
-            # late to fall back. Shoot-out decision: windowed-ELL is the
-            # production 3-D transfer format; bell stays reachable via
-            # force_format="bell" for explicit experiments.
+            # This slot-estimate heuristic is the CPU (XLA-path) opt-in
+            # only. On TPU, bell competes in the calibrated-ns candidate
+            # comparison below (round 5: the round-4 production-width
+            # Mosaic rejection was an SMEM padding OOM of the (W, A128)
+            # prefetch table; with src as a blocked SMEM operand the
+            # kernel runs 128^3 P at 4.85 ms vs well's 14.1).
             bell_on = (os.environ.get("RAPTOR_TPU_BELL", "0") == "1"
                        and jax.devices()[0].platform != "tpu")
             if bell_on and Wb > 0 and A128 > 2:
@@ -490,14 +507,10 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         emb_idx = np.zeros((SL, 1), dtype=np.int32)
         emb_mask = np.zeros((SL, 1), dtype=np.float64)
 
-    # windowed ELL: rescue matrices headed for per-entry ELL gathers —
-    # or for a sparse-filled BDIA plane set — whose per-tile column
-    # footprint is narrow (3-D transfer operators). Stats unified across
-    # shards for SPMD uniformity. Cost model in VPU element-ops:
-    # well = 3*scan*TR (the bounded kernel scans sum-of-(tile, slot)
-    # spans, each step a lane-gather+select over TR rows) vs bdia =
-    # 3*P*fmt_R streaming planes + ~128/entry for the per-entry 'rest'
-    # gathers.
+    # Transfer-format rescue: matrices headed for per-entry ELL gathers —
+    # or for a sparse-filled BDIA plane set — compete well vs wellt vs
+    # bell on the silicon-calibrated per-step ns model (constants above).
+    # Stats unified across shards for SPMD uniformity.
     wl_ba, wl_wr, wl_T = 8, 0, 1
     wW = wWt = 0
     if force_format in ("well", "wellt") or (
@@ -517,7 +530,8 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         # silently dropped — cost the full W*WR scan it actually runs
         if T_w * wW > WELL_SCAN_TABLE_MAX:
             w_scan = T_w * wW * wWR
-        cost_well = 3 * w_scan * wl_ba * 128
+        cost_well = (WELL_NS_PER_STEP * w_scan
+                     + WELL_NS_PER_SLOT * T_w * wW)
         # TRANSPOSE-windowed candidacy (restriction-shaped blocks only:
         # strictly fewer rows than cols, e.g. P^T). The scatter kernel
         # iterates the FORWARD layout of the transposed block — its
@@ -539,7 +553,8 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             T_t = C_w // (wl_ba * 128)
             if T_t * wWt > WELL_SCAN_TABLE_MAX:
                 w_scanT = T_t * wWt * _round_up(max(wWRt, 8), 8)
-            cost_wellt = WELLT_ALPHA * 3 * w_scanT * wl_ba * 128
+            cost_wellt = (WELLT_NS_PER_STEP * w_scanT
+                          + WELLT_NS_PER_SLOT * T_t * wWt)
             H_t = wind_src_height(R, max(wWRt, 8))
             wellt_fits = ((H_t * 128 + 2 * wl_ba * 128 * max(wWt, 1))
                           * itemsz <= 12 * 1024 * 1024)
@@ -551,18 +566,46 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             if (0 < wWt <= WELLT_UNROLL_MAX and wWRt <= WELL_MAX_WR
                     and C >= 2048 and wellt_fits):
                 cand.append((cost_wellt, "wellt"))
+        # bell (Pallas path only): forward-shaped blocks whose column
+        # vector stays VMEM-resident — the production 3-D prolongator
+        # format (128^3 P: 4.85 ms vs well 14.1). Restriction-shaped
+        # blocks are excluded: the fine-side x exhausts VMEM on chip
+        # and the per-(slot, step) cost is ~12x worse (48^3 Pt 9.1 ms).
+        bell_Wr = 0
+        if (use_dia == "ell" and force_format is None and itemsz <= 4
+                and part.global_num_rows > part.global_num_cols
+                and _round_up(C, 1024) * itemsz <= BELL_X_VMEM_CAP):
+            from raptor_tpu.device.pallas_kernels import use_pallas
+            if use_pallas():
+                bstats = [st for p_l in _gall(
+                    tr, [bell_stats(blk) for blk in fmt_blocks])
+                    for st in p_l]
+                bell_Wr = max((w for w, _ in bstats), default=0)
+                A128_r = -(-fmt_R // 128)
+                if bell_Wr > 0 and A128_r > 2:
+                    cost_bell = (BELL_NS_PER_STEP * bell_Wr
+                                 * _round_up(A128_r, 8) // 8)
+                    cand.append((cost_bell, "bell"))
         pick = force_format if force_format in ("well", "wellt") else None
         if force_format is None and cand:
             cbest, fbest = min(cand)
             if use_dia == "ell":
                 pick = fbest
             elif use_dia == "bdia":
+                # the "replace BDIA at all?" gate stays in the proven
+                # legacy element-op units (round-2 calibration) — the ns
+                # model only ranks the rescue family against itself
                 rest_nnz = total - kept_nnz
-                cost_bdia = 3 * len(bd_spec) * A128 * 128 \
+                legacy = {"well": 3 * w_scan * wl_ba * 128,
+                          "wellt": 2.0 * 3 * w_scanT * wl_ba * 128
+                          if wellt_cand else None}
+                legacy_best = min(legacy[f] for _, f in cand
+                                  if legacy.get(f) is not None)
+                legacy_bdia = 3 * len(bd_spec) * A128 * 128 \
                     + 128 * rest_nnz
                 # bias toward BDIA near ties (its kernel is the more
                 # mature one)
-                if cbest < 0.7 * cost_bdia:
+                if legacy_best < 0.7 * legacy_bdia:
                     pick = fbest
         if pick == "well" and wW > 0:
             use_dia, wl_wr = "well", max(wWR, 8)
@@ -570,6 +613,9 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         elif pick == "wellt":
             use_dia, wl_wr = "wellt", max(wWRt, 8)
             wl_T = _round_up(C, wl_ba * 128) // (wl_ba * 128)
+        elif pick == "bell":
+            use_dia, bl_Wb = "bell", bell_Wr
+            A128 = -(-fmt_R // 128)
         if use_dia in ("well", "wellt"):
             # well/wellt pack the ORIGINAL blocks; drop any embedding
             embed_kind = "none"

@@ -136,8 +136,11 @@ def test_well_format_forced(n_shards):
 
 
 def test_well_auto_selected_for_3d_transfer():
-    """A 3-D extended+i prolongator auto-selects windowed ELL (the
-    per-entry ELL fallback it replaces was the whole 3-D solve cost)."""
+    """A 3-D extended+i prolongator never lands on per-entry ELL (the
+    fallback that was the whole 3-D solve cost). The specific winner is
+    platform-dependent under the silicon-calibrated cost model:
+    windowed ELL on the XLA path, BELL on TPU (128^3 round-5
+    shoot-out: bell 4.85 ms vs well 14.1)."""
     import jax.numpy as jnp
 
     from raptor_tpu.core.types import CoarsenType, InterpType
@@ -152,7 +155,7 @@ def test_well_auto_selected_for_3d_transfer():
     mesh = dpar.make_mesh(1)
     dP = dpar.device_put_matrix(P, mesh, dtype=jnp.float64, embed="cols",
                                 need_transpose=False)
-    assert dP.on_format == "well", dP.on_format
+    assert dP.on_format in ("well", "bell"), dP.on_format
     x = np.random.default_rng(1).random(P.global_num_cols)
     xd = dpar.device_put_vector(x, P.partition.col_bounds, dP.cols_pad,
                                 mesh, dtype=jnp.float64)
