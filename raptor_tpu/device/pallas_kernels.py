@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raptor_tpu.device.formats import LANE
+from raptor_tpu.device.formats import LANE, _round_up
 
 _BLOCK_CANDIDATES = (65536, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256,
                      128)
@@ -31,11 +31,6 @@ _BLOCK_CANDIDATES = (65536, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256,
 # device/par.py's format cost model must use the SAME threshold, else it can
 # auto-select windowed-ELL on bounded-scan cost in the unbounded regime.
 WELL_SCAN_TABLE_MAX = 1 << 16
-
-# The transpose kernel Python-unrolls its slot loop (Mosaic rejects dynamic
-# lane-dim slices); past this width the unrolled Mosaic program gets too big.
-# device/par.py must gate wellt auto-selection on the same limit.
-WELLT_UNROLL_MAX = 32
 
 
 def _pick_block(R: int, K: int, pad: int, itemsize: int) -> int:
@@ -329,142 +324,116 @@ def wind_ell_spmv_pallas(ws: jnp.ndarray, rel: jnp.ndarray,
     return out[:rows_pad]
 
 
-def wind_ell_spmv_T_pallas(ws: jnp.ndarray, relT: jnp.ndarray,
-                           valsT: jnp.ndarray, x: jnp.ndarray, WR: int,
-                           ba: int, n_out: int,
-                           jlo: jnp.ndarray = None,
-                           jhi: jnp.ndarray = None,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Transpose-windowed-ELL apply: y = B^T x from FORWARD-packed B.
+def swellt_spmv_T_pallas(meta: jnp.ndarray, vals: jnp.ndarray,
+                         qb: jnp.ndarray, x: jnp.ndarray, n_out: int,
+                         tb: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Sorted-scatter restriction: y = B^T x from the swellt layout
+    (formats.swellt_arrays; reference util/linalg/par_spmv.cpp:157-209
+    mult_T).
 
-    The restriction kernel (reference util/linalg/par_spmv.cpp:157-209
-    mult_T). Packing P^T directly as windowed ELL makes the scan bands
-    ~10x wider than the forward layout's (coarse rows interleave fine
-    sources), so this kernel iterates the FORWARD (source-row) tiles and
-    SCATTERS: the full padded output lives VMEM-resident ([H, 128]
-    blocks, ~0.7 MB for a 128^3 coarse grid) and accumulates across the
-    sequential grid; per (tile, slot) the lane-scatter is a one-hot MXU
-    matmul — Q[n, j'] = (window-row(n) == j0+j') * val[n] * x[n]
-    contracted over the TR source rows against the slot's one-hot lane
-    matrix [ls(n) == l], eight window rows per step. The operands are
-    stored PRE-TRANSPOSED ([R, W]) so every per-slot read is a natural
-    (TR, 1) lane slice — no in-kernel relayouts.
+    Grid over groups of ``tb`` source tiles (128 rows each; tb a
+    multiple of 8 for block tiling). Per slot of 128 target-sorted
+    entries, statically unrolled:
+      - the x values are one lane gather of the tile's x row (source row
+        == lane position at tile size 128 — no gather tables at all),
+      - the target window rows are an (AMAX, 128) one-hot select of the
+        per-entry contributions,
+      - the target lanes are resolved by ONE MXU matmul against the
+        slot's one-hot lane matrix P[m, e] = [lout[e] == m], built from
+        the lane-major lout with a sublane broadcast + iota compare and
+        contracted rhs-transposed ((1,), (1,)) — Mosaic rejects dynamic
+        lane slicing and has no cheap lane->sublane transpose (both
+        learned on chip), and this formulation needs neither,
+      - and the (AMAX, 128) product accumulates at the slot's 8-aligned
+        window base (scalar-prefetched) into the VMEM-resident output.
 
-    With ``jlo``/``jhi`` ([T, W] window-row bounds over the forward
-    layout) each slot only visits its aligned 8-row chunks — the same
-    bounded-scan tables the forward kernel uses.
-
-    Returns None (caller falls back to formats.wind_ell_spmv_T) for
-    f64, empty layouts, or outputs too large to keep VMEM-resident."""
-    from raptor_tpu.device.formats import wind_src_height
-    if valsT.dtype.itemsize > 4:
+    Returns None (caller falls back to formats.swellt_spmv_T) for f64,
+    empty layouts, SMEM-oversized qb tables, or outputs too large to
+    keep VMEM-resident."""
+    from raptor_tpu.device.formats import SWELLT_AMAX, swellt_height
+    if vals.dtype.itemsize > 4:
         return None     # Mosaic has no 64-bit support; XLA path handles f64
-    R, W = valsT.shape
-    TR = ba * LANE
-    if W == 0 or W > WELLT_UNROLL_MAX or R % TR or WR % 8:
+    T, KL = meta.shape
+    Kp = KL // LANE
+    if Kp == 0:
         return None
-    T = R // TR
-    H = wind_src_height(n_out, WR)
-    # output + both (TR, W) operand blocks must fit VMEM comfortably
-    if (H * LANE + 2 * TR * W) * valsT.dtype.itemsize > 12 * 1024 * 1024:
+    if T * Kp * 4 > 700 * 1024:
+        return None      # qb prefetch must fit SMEM (1 MB/core)
+    H = swellt_height(n_out)
+    if (H * LANE + 2 * tb * KL) * 4 > 12 * 1024 * 1024:
         return None
-    if jlo is not None and T * W > WELL_SCAN_TABLE_MAX:
-        jlo = jhi = None    # scan-bound tables too big for SMEM prefetch
-    x2 = jnp.pad(x, (0, R - x.shape[0])).reshape(R, 1)
-    JB = 8
-    bounded = jlo is not None
+    Tp = _round_up(T, tb)
+    if Tp != T:
+        meta = jnp.pad(meta, ((0, Tp - T), (0, 0)))
+        vals = jnp.pad(vals, ((0, Tp - T), (0, 0)))
+        qb = jnp.pad(jnp.asarray(qb), (0, Tp * Kp - T * Kp))
+    x2 = jnp.pad(x, (0, Tp * LANE - x.shape[0])).reshape(Tp, LANE)
+    AM = SWELLT_AMAX
 
-    def kernel(*refs):
-        if bounded:
-            (ws_ref, jlo_ref, jhi_ref, rel_ref, val_ref, x_ref,
-             out_ref) = refs
-        else:
-            ws_ref, rel_ref, val_ref, x_ref, out_ref = refs
-        i = pl.program_id(0)
+    def kernel(qb_ref, meta_ref, val_ref, x_ref, out_ref):
+        g = pl.program_id(0)
 
-        @pl.when(i == 0)
+        @pl.when(g == 0)
         def _init():
             out_ref[:, :] = jnp.zeros((H, LANE), val_ref.dtype)
 
-        s = pl.multiple_of(ws_ref[i], 8)
-        xt = x_ref[:, :]                                    # (TR, 1)
-        liota = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 1)
-
-        # the slot loop is PYTHON-UNROLLED: Mosaic rejects DYNAMIC
-        # lane-dimension slices (rel_ref[:, pl.ds(w, 1)]) while every
-        # individual construct here compiles (bisected on chip) — and
-        # W is small for the operands this kernel is selected for (the
-        # forward width of P, ~11 at 128^3; device/par.py gates on it)
-        for w in range(W):
-            relw = rel_ref[:, w:w + 1]                      # (TR, 1)
-            lsw = jax.lax.bitwise_and(relw, 127)
-            qw = jax.lax.shift_right_logical(relw, 7)
-            cw = val_ref[:, w:w + 1] * xt                   # (TR, 1)
-            onehot = jnp.where(lsw == liota,
-                               val_ref.dtype.type(1),
-                               val_ref.dtype.type(0))       # (TR, LANE)
-            if bounded:
-                c0 = jlo_ref[i * W + w] // JB
-                c1 = (jhi_ref[i * W + w] + JB - 1) // JB
-            else:
-                c0, c1 = 0, WR // JB
-
-            def cbody(c, _, qw=qw, cw=cw, onehot=onehot):
-                j0 = c * JB
-                jio = j0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (TR, JB), 1)
-                q8 = jnp.where(qw == jio, cw, 0)            # (TR, JB)
-                y8 = jax.lax.dot_general(
-                    q8, onehot, (((0,), (0,)), ((), ())),
-                    # HIGHEST: the MXU's default bf16 passes truncate the
-                    # f32 values (~1e-3 rel error, observed 3.4e-2 abs on
-                    # chip); the dot is tiny so full precision is free
+        miota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+        jio = jax.lax.broadcasted_iota(jnp.int32, (AM, LANE), 0)
+        one = val_ref.dtype.type(1)
+        zero = val_ref.dtype.type(0)
+        for ti in range(tb):
+            xr = x_ref[ti:ti + 1, :]                        # (1, 128)
+            for k in range(Kp):
+                m = meta_ref[ti:ti + 1, k * LANE:(k + 1) * LANE]
+                srcl = jax.lax.bitwise_and(m, 127)
+                qrel = jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(m, 7), AM - 1)
+                lout = jax.lax.shift_right_logical(m, 12)   # (1, 128)
+                v = val_ref[ti:ti + 1, k * LANE:(k + 1) * LANE]
+                xv = jnp.take_along_axis(xr, srcl, axis=1)  # (1, 128)
+                c = v * xv
+                A = jnp.where(qrel == jio,
+                              jnp.broadcast_to(c, (AM, LANE)), zero)
+                Pm = jnp.where(lout == miota, one, zero)    # (128m, 128e)
+                y = jax.lax.dot_general(
+                    A, Pm, (((1,), (1,)), ((), ())),
+                    # HIGHEST: the MXU's default bf16 passes truncate
+                    # the f32 values (~1e-3 rel error, observed on chip)
                     precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=val_ref.dtype)   # (JB, LANE)
-                t0 = pl.multiple_of(s + j0, JB)
-                out_ref[pl.ds(t0, JB), :] += y8
-                return 0
-
-            jax.lax.fori_loop(c0, c1, cbody, 0)
-
-    n_pref = 3 if bounded else 1
-    operands = [jnp.asarray(ws, jnp.int32)]
-    if bounded:
-        # FLATTENED: 2-D SMEM operands pad the minor dim to 128 lanes
-        operands += [jnp.asarray(jlo, jnp.int32).reshape(-1),
-                     jnp.asarray(jhi, jnp.int32).reshape(-1)]
-
-    def _im_tile(i, *pref):
-        return (i, 0)
-
-    def _im_out(i, *pref):
-        return (0, 0)
+                    preferred_element_type=val_ref.dtype)   # (AM, 128m)
+                t0 = pl.multiple_of(
+                    qb_ref[(g * tb + ti) * Kp + k], 8)
+                out_ref[pl.ds(t0, AM), :] += y
 
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=n_pref,
-            grid=(T,),
+            num_scalar_prefetch=1,
+            grid=(Tp // tb,),
             in_specs=[
-                pl.BlockSpec((TR, W), _im_tile, memory_space=pltpu.VMEM),
-                pl.BlockSpec((TR, W), _im_tile, memory_space=pltpu.VMEM),
-                pl.BlockSpec((TR, 1), _im_tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, KL), lambda g, qb: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, KL), lambda g, qb: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tb, LANE), lambda g, qb: (g, 0),
+                             memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((H, LANE), _im_out,
+            out_specs=pl.BlockSpec((H, LANE), lambda g, qb: (0, 0),
                                    memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             interpret=interpret,
-            out_shape=jax.ShapeDtypeStruct((H, LANE), valsT.dtype,
-                                           vma=jax.typeof(valsT).vma),
+            out_shape=jax.ShapeDtypeStruct((H, LANE), vals.dtype,
+                                           vma=jax.typeof(vals).vma),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
-                flops=2 * W * R * JB,
-                bytes_accessed=(2 * W * R + 2 * R) * valsT.dtype.itemsize,
+                flops=2 * T * KL * AM,
+                bytes_accessed=2 * T * KL * 4 + T * LANE * 4,
                 transcendentals=0),
-        )(*operands, relT, valsT, x2)
+        )(jnp.asarray(qb, jnp.int32), meta, vals, x2)
     return out.reshape(-1)[:n_out]
 
 

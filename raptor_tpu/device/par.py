@@ -40,8 +40,10 @@ from raptor_tpu.device.formats import (
     bell_arrays, bell_spmv, bell_stats,
     dia_arrays, dia_detect, dia_spmv, dia_spmv_T, ell_arrays,
     ell_boundary_arrays, ell_spmv, ell_spmv_T, off_spmv, off_spmv_T,
-    select_planes, wind_ell_arrays, wind_ell_cols, wind_ell_spmv,
-    wind_ell_spmv_T, wind_ell_stats, wind_ellt_cols, wind_src_height)
+    select_planes, swellt_arrays, swellt_height, swellt_spmv,
+    swellt_spmv_T, swellt_stats, SWELLT_AMAX,
+    wind_ell_arrays, wind_ell_cols, wind_ell_spmv, wind_ell_stats,
+    wind_src_height)
 
 ROW_AXIS = "rows"
 
@@ -178,9 +180,12 @@ class DeviceParCSR:
     # streams the window through VMEM and resolves entries with lane
     # gathers (transfer operators whose spans defeat DIA/BDIA, e.g.
     # 3-D extended+i P / P^T)
-    wl_ws: jnp.ndarray      # [S, T] int32 8-aligned window starts
-    wl_jlo: jnp.ndarray     # [S, T, W] int32 per-(tile, slot) scan lo
-    wl_jhi: jnp.ndarray     # [S, T, W] int32 per-(tile, slot) scan hi
+    wl_ws: jnp.ndarray      # well: [S, T] int32 8-aligned window starts
+    #                         wellt: [S, T*Kp] int32 per-slot window base
+    wl_jlo: jnp.ndarray     # well: [S, T, W] int32 per-(tile, slot)
+    #                         scan lo (wellt: unused [S, 1, 1])
+    wl_jhi: jnp.ndarray     # well: [S, T, W] int32 per-(tile, slot)
+    #                         scan hi (wellt: unused [S, 1, 1])
     send_idx: jnp.ndarray   # [S, S, Q] int32 (local col ids)
     send_mask: jnp.ndarray  # [S, S, Q]
     halo_src: jnp.ndarray   # [S, H] int32 (flat recv slot)
@@ -221,15 +226,15 @@ WELL_MAX_WR = 1024      # windowed-ELL window cap (512 KB f32 VMEM)
 #   well  : 25 ns/step + 400 ns/pair.  Fit: 128^3 P (scan 186504,
 #           pairs 22528) -> 13.7 ms model vs 14.1 measured; 128^3 Pt
 #           (scan 1801707, pairs 13861) -> 50.6 model vs 45.6 measured
-#   wellt : 140 ns/chunk-step + 270 ns/pair (128^3 Pt: 343784 steps,
-#           22528 pairs -> 54.2 ms measured = fit point)
+#   wellt : ~520 ns per 128-entry sorted-scatter slot (one lane gather
+#           + one-hot MXU + 32-row accumulate; 128^3 Pt: 16384 tiles x
+#           8 slots -> 8.5 ms measured on chip)
 #   bell  : 100 ns per (slot-layer, 8-target-block) step: 8 sublane
 #           copies + lane gather + fma (128^3 P: Wb=24 x 2048 steps ->
 #           4.85 ms; 48^3 P: 2376 steps -> 0.245 ms)
 WELL_NS_PER_STEP = 25.0
 WELL_NS_PER_SLOT = 400.0
-WELLT_NS_PER_STEP = 140.0
-WELLT_NS_PER_SLOT = 270.0
+SWELLT_NS_PER_SLOT = 520.0
 BELL_NS_PER_STEP = 100.0
 # The bell Pallas kernel keeps x VMEM-resident: candidacy requires the
 # column vector to fit (8.4 MB fine-level x RESOURCE_EXHAUSTs on chip;
@@ -533,39 +538,32 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         cost_well = (WELL_NS_PER_STEP * w_scan
                      + WELL_NS_PER_SLOT * T_w * wW)
         # TRANSPOSE-windowed candidacy (restriction-shaped blocks only:
-        # strictly fewer rows than cols, e.g. P^T). The scatter kernel
-        # iterates the FORWARD layout of the transposed block — its
-        # chunk-8 scan bands are ~10x narrower than packing P^T directly
-        # (coarse rows interleave fine sources) — and keeps the whole
-        # padded output VMEM-resident, so it needs a small row space.
+        # strictly fewer rows than cols, e.g. P^T). The sorted-scatter
+        # layout (formats.swellt_arrays) packs the FORWARD matrix of the
+        # transposed block with entries target-sorted into 128-wide
+        # slots; the kernel keeps the whole padded output VMEM-resident,
+        # so it needs a small row space.
         wellt_cand = (force_format == "wellt"
                       or (force_format is None
                           and part.global_num_rows < part.global_num_cols))
+        sw_T = sw_Kp = 0
         if wellt_cand:
             statsT = [st for p_l in _gall(
-                tr, [wind_ell_stats(blk.on_proc.transpose(), C, wl_ba,
-                                    chunk=8) for blk in shards])
+                tr, [swellt_stats(blk.on_proc.transpose())
+                     for blk in shards])
                 for st in p_l]
-            wWt = max(w for w, _, _, _ in statsT)
-            wWRt = max(wr for _, wr, _, _ in statsT)
-            w_scanT = max(sc for _, _, _, sc in statsT)
-            C_w = _round_up(C, wl_ba * 128)
-            T_t = C_w // (wl_ba * 128)
-            if T_t * wWt > WELL_SCAN_TABLE_MAX:
-                w_scanT = T_t * wWt * _round_up(max(wWRt, 8), 8)
-            cost_wellt = (WELLT_NS_PER_STEP * w_scanT
-                          + WELLT_NS_PER_SLOT * T_t * wWt)
-            H_t = wind_src_height(R, max(wWRt, 8))
-            wellt_fits = ((H_t * 128 + 2 * wl_ba * 128 * max(wWt, 1))
-                          * itemsz <= 12 * 1024 * 1024)
+            sw_T = max(t for t, _ in statsT)
+            sw_Kp = max(k for _, k in statsT)
+            cost_wellt = SWELLT_NS_PER_SLOT * sw_T * sw_Kp
+            H_t = swellt_height(R)
+            wellt_fits = ((H_t * 128 + 8 * sw_Kp * 128) * itemsz
+                          <= 12 * 1024 * 1024
+                          and sw_T * sw_Kp * 4 <= 700 * 1024)
         cand = []
         if wW > 0 and wWR <= WELL_MAX_WR and R >= 2048:
             cand.append((cost_well, "well"))
-        if wellt_cand:
-            from raptor_tpu.device.pallas_kernels import WELLT_UNROLL_MAX
-            if (0 < wWt <= WELLT_UNROLL_MAX and wWRt <= WELL_MAX_WR
-                    and C >= 2048 and wellt_fits):
-                cand.append((cost_wellt, "wellt"))
+        if wellt_cand and sw_Kp > 0 and C >= 2048 and wellt_fits:
+            cand.append((cost_wellt, "wellt"))
         # bell (Pallas path only): forward-shaped blocks whose column
         # vector stays VMEM-resident — the production 3-D prolongator
         # format (128^3 P: 4.85 ms vs well 14.1). Restriction-shaped
@@ -597,8 +595,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 # model only ranks the rescue family against itself
                 rest_nnz = total - kept_nnz
                 legacy = {"well": 3 * w_scan * wl_ba * 128,
-                          "wellt": 2.0 * 3 * w_scanT * wl_ba * 128
-                          if wellt_cand else None}
+                          # ns -> legacy element-ops at the well scan-
+                          # regime rate (25 ns per 3*1024-element step)
+                          "wellt": cost_wellt * (3 * wl_ba * 128
+                                                 / WELL_NS_PER_STEP)
+                          if wellt_cand and sw_Kp > 0 else None}
                 legacy_best = min(legacy[f] for _, f in cand
                                   if legacy.get(f) is not None)
                 legacy_bdia = 3 * len(bd_spec) * A128 * 128 \
@@ -611,8 +612,8 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
             use_dia, wl_wr = "well", max(wWR, 8)
             wl_T = T_w
         elif pick == "wellt":
-            use_dia, wl_wr = "wellt", max(wWRt, 8)
-            wl_T = _round_up(C, wl_ba * 128) // (wl_ba * 128)
+            use_dia, wl_wr = "wellt", SWELLT_AMAX
+            wl_T = sw_T
         elif pick == "bell":
             use_dia, bl_Wb = "bell", bell_Wr
             A128 = -(-fmt_R // 128)
@@ -696,14 +697,14 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
         dia_vals = np.zeros((SL, 1, 1), dtype=npdt)
         dia_pad, dia_offsets = 1, (0,)
     elif use_dia == "wellt":
-        # PRE-TRANSPOSED forward layout of the transposed block: [R_w, W]
-        # window-relative TARGET ids over the wl-tiled SOURCE (col) space
-        # (the scatter kernel lane-slices per-slot columns natively)
-        W_on = max(1, wWt)
-        R_w = wl_T * wl_ba * 128
-        fmt_R = R_w
-        on_cols = np.zeros((SL, R_w, W_on), dtype=np.int32)
-        on_vals = np.zeros((SL, R_w, W_on), dtype=npdt)
+        # sorted-scatter layout of the transposed block (swellt_arrays):
+        # on_cols/on_vals = [T, Kp*128] meta/vals over the tiled SOURCE
+        # (col) space; wl_jlo carries the sublane-major target-lane copy
+        # and wl_ws the per-slot window bases
+        fmt_R = wl_T * 128
+        on_cols = np.zeros((SL, wl_T, max(1, sw_Kp) * 128),
+                           dtype=np.int32)
+        on_vals = np.zeros((SL, wl_T, max(1, sw_Kp) * 128), dtype=npdt)
         dia_vals = np.zeros((SL, 1, 1), dtype=npdt)
         dia_pad, dia_offsets = 1, (0,)
     else:
@@ -723,16 +724,17 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
     off_vals = np.zeros((SL, W_off, B), dtype=npdt)
     row_mask = np.zeros((SL, R), dtype=npdt)
     col_mask = np.zeros((SL, C), dtype=npdt)
-    wl_ws = np.zeros((SL, wl_T), dtype=np.int32)
-    if use_dia == "well":
-        wl_W = on_cols.shape[1]
-    elif use_dia == "wellt":
-        wl_W = on_cols.shape[2]
+    if use_dia == "wellt":
+        # wl_ws = per-slot window bases [T*Kp]; wl_jlo/wl_jhi unused
+        wl_ws = np.zeros((SL, wl_T * max(1, sw_Kp)), dtype=np.int32)
+        wl_jlo = np.zeros((SL, 1, 1), dtype=np.int32)
+        wl_jhi = np.zeros((SL, 1, 1), dtype=np.int32)
     else:
-        wl_W = 1
-    wl_jlo = np.zeros((SL, wl_T if use_dia in ("well", "wellt") else 1,
-                       wl_W), dtype=np.int32)
-    wl_jhi = np.zeros_like(wl_jlo)
+        wl_ws = np.zeros((SL, wl_T), dtype=np.int32)
+        wl_W = on_cols.shape[1] if use_dia == "well" else 1
+        wl_jlo = np.zeros((SL, wl_T if use_dia == "well" else 1,
+                           wl_W), dtype=np.int32)
+        wl_jhi = np.zeros_like(wl_jlo)
     for s, blk in enumerate(shards):
         if use_dia == "dia":
             dia_vals[s] = dia_arrays(fmt_blocks[s], union, fmt_R,
@@ -746,14 +748,11 @@ def device_put_matrix(a: ParCSRMatrix, mesh: Mesh,
                 blk.on_proc, R, on_cols.shape[1], wl_wr, wl_ba, C,
                 dtype=npdt)
         elif use_dia == "wellt":
-            # forward-pack the TRANSPOSED block (source rows = x domain,
-            # window over the OUTPUT rows), stored pre-transposed
-            (wl_ws[s], rel_s, val_s, wl_jlo[s],
-             wl_jhi[s]) = wind_ell_arrays(
-                blk.on_proc.transpose(), C, on_cols.shape[2], wl_wr,
-                wl_ba, R, dtype=npdt)
-            on_cols[s] = rel_s.T
-            on_vals[s] = val_s.T
+            # sorted-scatter pack of the TRANSPOSED block (source rows
+            # = x domain, targets = this matrix's rows)
+            if sw_Kp > 0:
+                on_cols[s], on_vals[s], wl_ws[s] = swellt_arrays(
+                    blk.on_proc.transpose(), sw_Kp, dtype=npdt)
         else:
             if not ((use_dia in ("bdia", "bell"))
                     and not need_transpose):
@@ -956,15 +955,14 @@ def on_spmv_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
         return out
     elif A.on_format == "wellt":
         from raptor_tpu.device.pallas_kernels import (
-            wind_ell_spmv_T_pallas, use_pallas)
+            swellt_spmv_T_pallas, use_pallas)
         out = None
         if use_pallas():
-            out = wind_ell_spmv_T_pallas(A.wl_ws, A.on_cols, A.on_vals,
-                                         x, A.wl_wr, A.wl_ba, A.rows_pad,
-                                         jlo=A.wl_jlo, jhi=A.wl_jhi)
+            out = swellt_spmv_T_pallas(A.on_cols, A.on_vals,
+                                       A.wl_ws, x, A.rows_pad)
         if out is None:
-            out = wind_ell_spmv_T(A.wl_ws, A.on_cols, A.on_vals, x,
-                                  A.wl_ba, A.wl_wr, A.rows_pad)
+            out = swellt_spmv_T(A.on_cols, A.on_vals, A.wl_ws, x,
+                                A.rows_pad)
         return out
     elif A.on_format == "bell":
         from raptor_tpu.device.pallas_kernels import (
@@ -1007,10 +1005,8 @@ def on_spmv_T_shard(A: DeviceParCSR, x: jnp.ndarray) -> jnp.ndarray:
         return ell_spmv_T(cols, A.on_vals, xp, A.cols_pad)
     if A.on_format == "wellt":
         # the packed arrays ARE the transpose: spmv_T = forward gather
-        cols = wind_ellt_cols(A.wl_ws, A.on_cols, A.wl_ba)
-        need = wind_src_height(A.rows_pad, A.wl_wr) * 128
-        xp = jnp.pad(x, (0, need - x.shape[0]))
-        return (A.on_vals * xp[cols]).sum(axis=1)[:A.cols_pad]
+        return swellt_spmv(A.on_cols, A.on_vals, A.wl_ws, x,
+                           A.cols_pad)
     if not A.has_t:
         raise ValueError(
             "matrix was packed with need_transpose=False; rebuild with "

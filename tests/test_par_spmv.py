@@ -239,15 +239,16 @@ def test_wellt_auto_selected_for_restriction():
 
 
 def test_wellt_pallas_kernel_interpret():
-    """wind_ell_spmv_T_pallas (interpret mode) matches the XLA scatter
-    formulation to f32 roundoff on restriction-shaped operators — with
-    and without the bounded chunk tables, including ragged tails."""
+    """swellt_spmv_T_pallas (interpret mode) matches the XLA scatter
+    formulation and scipy to f32 roundoff on restriction-shaped
+    operators, including ragged tails and both tile-batch sizes; the
+    forward swellt_spmv matches scipy's forward product."""
     import jax.numpy as jnp
 
     from raptor_tpu.core.matrix import CSRMatrix
     from raptor_tpu.device.formats import (
-        wind_ell_arrays, wind_ell_spmv_T, wind_ell_stats)
-    from raptor_tpu.device.pallas_kernels import wind_ell_spmv_T_pallas
+        swellt_arrays, swellt_spmv, swellt_spmv_T, swellt_stats)
+    from raptor_tpu.device.pallas_kernels import swellt_spmv_T_pallas
 
     rng = np.random.default_rng(7)
     for nf, nc in ((5000, 700), (2200, 180)):
@@ -262,25 +263,26 @@ def test_wellt_pallas_kernel_interpret():
             indptr.append(len(idx))
         B = CSRMatrix(nf, nc, np.array(indptr), np.array(idx),
                       np.array(dat))
-        ba = 8
-        rows_pad = -(-nf // (ba * 128)) * ba * 128
-        W, WR, T, _ = wind_ell_stats(B, rows_pad, ba)
-        ws, rel, vals, jlo, jhi = wind_ell_arrays(
-            B, rows_pad, W, WR, ba, nc, dtype=np.float32)
-        relT = jnp.asarray(np.ascontiguousarray(rel.T))
-        valsT = jnp.asarray(np.ascontiguousarray(vals.T))
+        T, Kp = swellt_stats(B)
+        meta, vals, qb = swellt_arrays(B, Kp, dtype=np.float32)
+        meta, vals = jnp.asarray(meta), jnp.asarray(vals)
+        qb = jnp.asarray(qb)
         x = jnp.asarray(rng.standard_normal(nf).astype(np.float32))
-        ref = wind_ell_spmv_T(jnp.asarray(ws), relT, valsT, x, ba, WR, nc)
+        ref = swellt_spmv_T(meta, vals, qb, x, nc)
         oracle = B.to_scipy().T @ np.asarray(x, np.float64)
         np.testing.assert_allclose(np.asarray(ref, np.float64), oracle,
                                    atol=1e-4)
-        for kw in ({"jlo": jnp.asarray(jlo), "jhi": jnp.asarray(jhi)},
-                   {}):
-            out = wind_ell_spmv_T_pallas(
-                jnp.asarray(ws), relT, valsT, x, WR, ba, nc,
-                interpret=True, **kw)
+        for tb in (8, 16):
+            out = swellt_spmv_T_pallas(meta, vals, qb, x, nc,
+                                       tb=tb, interpret=True)
             np.testing.assert_allclose(np.asarray(out),
                                        np.asarray(ref), atol=1e-4)
+        # forward path (the spmv_T of a wellt-packed matrix)
+        xc = jnp.asarray(rng.standard_normal(nc).astype(np.float32))
+        yf = swellt_spmv(meta, vals, qb, xc, nf)
+        np.testing.assert_allclose(
+            np.asarray(yf, np.float64), B.to_scipy() @ np.asarray(xc),
+            atol=1e-4)
 
 
 def test_bell_pallas_kernel_interpret():
